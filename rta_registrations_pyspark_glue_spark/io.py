@@ -1,0 +1,106 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S6).
+
+The reference reads raw CSV with schema inference
+(etl1_clean_and_stage.py:59), reads/writes partitioned parquet
+(etl1_clean_and_stage.py:145, etl2_advclean_and_dimcreatin.py:94,285-315),
+and sizes its output files with a driver-side boto3 two-pass
+(etl2_advclean_and_dimcreatin.py:67-88,301-315).  Here:
+
+- CSV scans take an explicit schema (inference is a full extra pass over
+  100 TB of input — never at scale); a permissive all-string bronze schema
+  helper is provided for dirty feeds.
+- Partitioned writes target a file size via ``maxRecordsPerFile`` computed
+  single-pass from the optimizer's size statistics — no second write, no
+  object-store listing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TARGET_FILE_SIZE_MB = 128.0  # reference: etl2_advclean_and_dimcreatin.py:62
+MAX_OUTPUT_FILES = 100  # reference clamp: etl2_advclean_and_dimcreatin.py:308
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan (S2). ``columns`` prunes eagerly; Catalyst would prune
+    anyway once a select appears downstream, but being explicit keeps ad-hoc
+    usage from scanning all columns."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def bronze_string_schema(columns: list[str]) -> T.StructType:
+    """Permissive all-string schema for dirty CSV feeds (SURVEY.md §1.3):
+    every raw column arrives as a nullable string and is hardened by the
+    cleaning operators, never by the scanner."""
+    return T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (S1, etl1_clean_and_stage.py:59). Explicit schema replaces
+    inferSchema: on a 100 TB feed, inference is a wasted full pass and can
+    flip types between monthly drops."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)  # small/ad-hoc only
+    return reader.csv(path)
+
+
+def estimate_plan_bytes(df: DataFrame) -> int:
+    """Single-pass replacement for the reference's boto3 S3 size probe
+    (etl2_advclean_and_dimcreatin.py:67-88): ask Catalyst for the optimized
+    plan's size estimate (propagated from parquet footers / file sizes).
+    No extra job, no object-store listing."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def target_file_count(
+    total_bytes: int,
+    target_mb: float = TARGET_FILE_SIZE_MB,
+    max_files: int = MAX_OUTPUT_FILES,
+) -> int:
+    """The reference's output-file-count policy
+    (etl2_advclean_and_dimcreatin.py:301-308): collapse to one file below
+    target/2, else clamp(ceil(bytes/target), 1, max_files)."""
+    target_bytes = target_mb * 1024 * 1024
+    if total_bytes < target_bytes / 2:
+        return 1
+    return min(max_files, max(1, math.ceil(total_bytes / target_bytes)))
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_mb: float = TARGET_FILE_SIZE_MB,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink with single-pass adaptive file sizing
+    (S3-S6).  Instead of the reference's write → S3 size probe → coalesce →
+    rewrite (etl2_advclean_and_dimcreatin.py:285-315, two full passes over
+    the fact table), we estimate bytes from plan statistics and bound file
+    size with ``maxRecordsPerFile`` — one pass, still ~target_mb files.
+    At cluster scale the double write is the difference between 1x and 2x
+    the job's I/O."""
+    total_bytes = estimate_plan_bytes(df)
+    n_files = target_file_count(total_bytes, target_mb) if total_bytes > 0 else 1
+    current = df.rdd.getNumPartitions()
+    if n_files < current:
+        # coalesce is shuffle-free: it merges task outputs, bounding the
+        # file count without the reference's second write pass.
+        df = df.coalesce(n_files)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,65 @@
+"""Query registry: every implemented operator exposed as a named
+(spark, sf_dir) -> DataFrame callable, with a DuckDB-equivalent ANSI SQL
+oracle where SQL-expressible (SURVEY.md §5 item 1).
+
+Conventions that make the driver's hash comparison meaningful:
+
+- every computed column is aliased identically in Spark and SQL;
+- money sums accumulate in DECIMAL(18,2) (exact, associative) and cast to
+  double at the end, so both engines produce bit-identical doubles;
+- every ranking has a total order (explicit unique tiebreakers);
+- timestamps compare under UTC session time (session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load_all()
+    return _QUERIES["star_revenue_by_region_year"](spark, sf_dir)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from rta_registrations_pyspark_glue_spark.plans import (  # noqa: F401
+        queries_star,
+    )
+
+    _LOADED = True

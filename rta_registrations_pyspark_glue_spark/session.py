@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Replaces the reference's Glue bootstrap (etl1_clean_and_stage.py:17-23,
+etl2_advclean_and_dimcreatin.py:39-47) with a portable builder that keeps
+its two correctness knobs (LEGACY time parser for dd/MM/yy, LEGACY parquet
+rebase) and adds the scale knobs the reference left to Glue defaults:
+AQE (runtime re-plan, skew-join splitting, partition coalescing), a UTC
+session timezone (so results are oracle-comparable), and Arrow transfers
+for the few pandas-UDF code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rta_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N from ``SPARK_GRAFT_CPUS`` (driver
+    contract) or all cores.  ``spark.sql.shuffle.partitions`` defaults to
+    2x the local parallelism — on a 1000-executor cluster you would set
+    this (or leave AQE coalescing to shrink a deliberately-high value).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = 2 * int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # sort-merge->broadcast conversion. This subsumes the reference's
+        # hand-tuned repartition(10)/coalesce(n) logic at the shuffle level.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic, oracle-comparable timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas-UDF paths (similarity / multimodal operators).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Reference correctness knobs (etl1_clean_and_stage.py:23,
+        # etl2_advclean_and_dimcreatin.py:46-47): two-digit years like
+        # "15/03/23" must parse as 2023, and pre-1900 dates must not be
+        # rebased on write.
+        .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
+        # Quiet local runs; harmless on a cluster.
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
