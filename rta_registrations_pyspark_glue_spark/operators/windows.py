@@ -1,0 +1,87 @@
+"""Window-function operators (SURVEY.md §2.5 plus the analytic window
+surface the reference's warehouse layer implies).
+
+The reference uses windows only for top-1-per-group ranking
+(etl1_clean_and_stage.py:68-70, etl2_advclean_and_dimcreatin.py:236-238);
+this module generalizes to running aggregates, lag/lead, top-k per group,
+and gap-based sessionization.
+
+Every window spec here carries a total order (unique tiebreaker column) —
+ranking over a partial order is nondeterministic under Spark's parallel
+sort and would not be reproducible run-to-run.
+
+Scale: a window over ``partitionBy(k)`` is one hash shuffle on k plus a
+per-partition sort. Skewed keys are the hazard at 100 TB; AQE skew-join
+handling does not apply to window exchanges, so keys with billions of rows
+per value (e.g. a null user_id) must be filtered or salted by the caller.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"
+
+
+def ordered_window(keys: Sequence[str], order_by: Sequence[str]) -> WindowSpec:
+    return Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int = 1,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Generalized J5/W2 (etl2_advclean_and_dimcreatin.py:236-238): keep the
+    k best rows per key under ``order_by`` (pass desc() columns for
+    largest-first)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def running_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative decimal-exact sum of ``value`` per key in event order,
+    with the row's sequence number. ROWS UNBOUNDED PRECEDING frame."""
+    w = ordered_window(keys, order_by)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("seq", F.row_number().over(w)).withColumn(
+        out_col, F.sum(F.col(value).cast(MONEY)).over(frame).cast("double")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same user exceeds ``gap_seconds``.
+    Adds ``session_seq`` (1-based per user). Batch analogue of streaming
+    ``session_window`` (streaming/ module); two stacked windows over the
+    same (user, ts) order → one shuffle, one sort."""
+    w = ordered_window([user_col], [ts_col, tiebreak_col])
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("__is_new", is_new).withColumn(
+        "session_seq", F.sum("__is_new").over(frame)
+    ).drop("__is_new")

@@ -59,6 +59,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from rta_registrations_pyspark_glue_spark.plans import (  # noqa: F401
+        queries_analytics,
         queries_star,
     )
 
