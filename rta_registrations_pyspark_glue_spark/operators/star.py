@@ -1,0 +1,102 @@
+"""Star-schema assembly: surrogate keys, dimension builders, fact table
+(SURVEY.md §7 Phase 2-3; reference etl2_advclean_and_dimcreatin.py:152-290
+and starschema_dw.txt:9-77).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.functions.dates import date_key
+from rta_registrations_pyspark_glue_spark.functions.hashing import surrogate_key
+
+
+def add_surrogate_keys(df: DataFrame) -> DataFrame:
+    """VEHICLE_ID / MANUFACTURER_ID / RTA_ID content-hash keys over
+    normalized natural keys (etl2:156-162)."""
+    df = df.withColumn(
+        "MAKE_YEAR_KEY",
+        F.when(F.col("makeYear_clean").isNull(), "UNKNOWN").otherwise(F.col("makeYear_clean")),
+    )
+    df = df.withColumn(
+        "VEHICLE_ID", surrogate_key("modelName", "variant", "MAKE_YEAR_KEY")
+    )
+    df = df.withColumn("MANUFACTURER_ID", surrogate_key("makerName"))
+    return df.withColumn("RTA_ID", surrogate_key("OfficeCd"))
+
+
+def build_dim_vehicle(df: DataFrame) -> DataFrame:
+    """dim_vehicle (etl2:173-180; DDL starschema_dw.txt:9-21)."""
+    return df.select(
+        "VEHICLE_ID",
+        F.col("modelName").alias("MODEL_NAME"),
+        F.col("variant").alias("VARIANT"),
+        F.col("emissionStandard").alias("EMISSION_STANDARD"),
+        F.col("fuel_clean").alias("FUEL"),
+        F.coalesce(F.col("colour"), F.lit("UNKNOWN")).alias("COLOUR"),
+        F.coalesce(F.col("vehicleClass"), F.lit("UNKNOWN")).alias("VEHICLE_CLASS"),
+        F.col("makeYear_clean").alias("MAKE_YEAR"),
+        F.coalesce(F.col("seatCapacity").cast("int"), F.lit(0)).alias("SEAT_CAPACITY"),
+        F.col("isElectric").alias("IS_ELECTRIC"),
+    ).dropDuplicates(["VEHICLE_ID"])
+
+
+def build_dim_manufacturer(df: DataFrame) -> DataFrame:
+    """dim_manufacturer (etl2:182)."""
+    return df.select("MANUFACTURER_ID", F.col("makerName").alias("MAKER_NAME")).dropDuplicates(
+        ["MANUFACTURER_ID"]
+    )
+
+
+def build_dim_rta(df: DataFrame) -> DataFrame:
+    """dim_rta with placeholder geo columns (etl2:183-186; DDL :30-41)."""
+    return (
+        df.select("RTA_ID", F.col("OfficeCd").alias("RTA_OFFICE_CODE"))
+        .dropDuplicates(["RTA_ID"])
+        .withColumn("RTA_REGION", F.lit(None).cast("string"))
+        .withColumn("RTA_STATE", F.lit(None).cast("string"))
+        .withColumn("RTA_CITY", F.lit(None).cast("string"))
+    )
+
+
+def assemble_fact(df: DataFrame, resolution: DataFrame) -> DataFrame:
+    """fact_registrations (etl2:256-275): left-join the resolution map,
+    encode yyyyMMdd date keys, keep only rows with a valid issue date
+    (DDL NOT NULL, starschema_dw.txt:59).
+
+    ``resolution`` carries (tempRegistrationNumber, RESOLVED_ID, LEV_DIST,
+    IS_FUZZY_MATCH) from operators.resolve. The manufacturer map is taken
+    from ``df`` itself keyed by registration number (etl2:246,258)."""
+    man_res = df.select("tempRegistrationNumber", "MANUFACTURER_ID").dropDuplicates(
+        ["tempRegistrationNumber"]
+    )
+    s = df.alias("s")
+    r = resolution.alias("r")
+    m = man_res.alias("m")
+    return (
+        s.join(r, on="tempRegistrationNumber", how="left")
+        .join(m, on="tempRegistrationNumber", how="left")
+        .select(
+            F.coalesce(F.col("r.RESOLVED_ID"), F.col("s.VEHICLE_ID")).alias("VEHICLE_ID"),
+            F.col("m.MANUFACTURER_ID").alias("MANUFACTURER_ID"),
+            F.col("s.RTA_ID").alias("RTA_ID"),
+            date_key(F.col("s.fromdate_parsed")).alias("REGISTRATION_ISSUE_DATE_ID"),
+            date_key(F.col("s.todate_parsed")).alias("REGISTRATION_EXPIRY_DATE_ID"),
+            F.year(F.col("s.fromdate_parsed")).alias("REGISTRATION_YEAR"),
+            F.when(
+                F.col("s.makeYear_clean").rlike("^[0-9]{4}$"),
+                F.concat(F.col("s.makeYear_clean"), F.lit("0101")).cast("int"),
+            )
+            .otherwise(F.lit(None).cast("int"))
+            .alias("MANUFACTURER_DATE_ID"),
+            F.col("s.vehicleClass").alias("TRANSPORT_TYPE"),
+            F.col("s.tempRegistrationNumber").alias("TEMP_REGISTRATION_NUMBER"),
+            F.col("s.slno").alias("SLNO"),
+            F.coalesce(F.col("r.IS_FUZZY_MATCH"), F.lit(False)).alias("IS_FUZZY_MATCH"),
+            F.col("s.colour").alias("COLOUR"),
+            F.col("s.fuel_clean").alias("FUEL_TYPE"),
+            F.col("s.modelName").alias("MODEL_NAME"),
+        )
+        .filter(F.col("REGISTRATION_ISSUE_DATE_ID").isNotNull())
+    )

@@ -1,0 +1,96 @@
+"""End-to-end registration pipeline: bronze → stage (ETL1) → star (ETL2).
+
+Composes the operator library into the reference's two jobs
+(etl1_clean_and_stage.py, etl2_advclean_and_dimcreatin.py), minus their
+anti-patterns: no validation count() actions re-running the chain
+(SURVEY.md §3.1 notes the triple recompute), one-pass adaptive writes
+(io.py), and resolution with documented total-order tiebreaks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import cleaning, dedup, resolve, star
+
+
+def clean_and_stage(df_raw: DataFrame) -> DataFrame:
+    """ETL1: bronze registrations (all-string) → typed, deduplicated,
+    partition-ready stage rows. Mirrors etl1_clean_and_stage.py:59-137.
+
+    Dedup note: the reference dedupes on the *raw string* fromdate before
+    parsing (etl1:68-70) with no tiebreak; we order by (parsed date desc,
+    slno desc) — a documented total order."""
+    df = cleaning.clean_maker_name(df_raw)
+    df = cleaning.repair_office_code_misalignment(df)
+    df = cleaning.derive_model_variant(df)
+    df = cleaning.parse_date_columns(df)
+    df = dedup.keep_latest_agg(
+        df, keys=["tempRegistrationNumber"], order_by=["fromdate_parsed", "slno"]
+    )
+    df = cleaning.normalize_fuel(df)
+    df = cleaning.backfill_make_year(df)
+    df = df.withColumn("year", F.year("fromdate_parsed")).withColumn(
+        "month", F.month("fromdate_parsed")
+    )
+    return df.filter(
+        F.col("fromdate_parsed").isNotNull()
+        & F.col("year").isNotNull()
+        & F.col("month").isNotNull()
+    )
+
+
+@dataclass
+class StarOutput:
+    dim_vehicle: DataFrame
+    dim_manufacturer: DataFrame
+    dim_rta: DataFrame
+    fact: DataFrame
+
+
+def build_star(staged: DataFrame) -> StarOutput:
+    """ETL2: staged rows → dims + fact with exact/fuzzy vehicle resolution
+    (etl2_advclean_and_dimcreatin.py:105-275)."""
+    df = staged.withColumn("makerName", F.trim("makerName"))
+    df = df.withColumn("modelName", F.trim("modelName"))
+    df = df.withColumn("variant", F.trim("variant"))
+    df = df.withColumn("OfficeCd", F.trim("OfficeCd"))
+    df = cleaning.fix_two_digit_year(df)
+    df = cleaning.derive_emission_standard(df)
+    df = cleaning.coerce_is_electric(df)
+    df = star.add_surrogate_keys(df)
+
+    dim_vehicle = star.build_dim_vehicle(df)
+    dim_manufacturer = star.build_dim_manufacturer(df)
+    dim_rta = star.build_dim_rta(df)
+
+    # Vehicle resolution: probe = one row per registration with its
+    # normalized (model+variant) text; catalog = dim_vehicle (etl2:195-244).
+    probe = df.select(
+        "tempRegistrationNumber",
+        F.concat_ws(" ", F.col("modelName"), F.col("variant")).alias("probe_text"),
+        "MAKE_YEAR_KEY",
+    )
+    catalog = dim_vehicle.select(
+        "VEHICLE_ID",
+        F.concat_ws(" ", F.col("MODEL_NAME"), F.col("VARIANT")).alias("cat_text"),
+        F.col("MAKE_YEAR").cast("string").alias("cat_year"),
+    )
+    resolution = resolve.resolve_exact_fuzzy(
+        probe,
+        catalog,
+        probe_key="tempRegistrationNumber",
+        probe_text="probe_text",
+        catalog_id="VEHICLE_ID",
+        catalog_text="cat_text",
+        extra_exact_keys=[("MAKE_YEAR_KEY", "cat_year")],
+    )
+    fact = star.assemble_fact(df, resolution)
+    return StarOutput(dim_vehicle, dim_manufacturer, dim_rta, fact)
+
+
+def run_pipeline(df_raw: DataFrame) -> StarOutput:
+    return build_star(clean_and_stage(df_raw))

@@ -60,6 +60,8 @@ def _load_all() -> None:
         return
     from rta_registrations_pyspark_glue_spark.plans import (  # noqa: F401
         queries_analytics,
+        queries_etl,
+        queries_pipeline,
         queries_star,
     )
 
