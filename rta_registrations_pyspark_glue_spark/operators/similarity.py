@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how ANN systems are actually deployed:
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast;
+  the candidate corpus streams — no shuffle of the big side, and the
+  per-pair dot product runs as a codegen'd sequential fold (zip_with +
+  aggregate), which is deterministic (fixed accumulation order) and
+  therefore oracle-checkable bit-for-bit.
+- ``ivf_topk``: IVF-style two-stage search — a coarse quantizer (one
+  pivot vector per partition/label) prunes the corpus to ``nprobe``
+  partitions per query, then exact cosine within the probed partitions.
+  At 100 TB this is the difference between scanning the corpus per query
+  and scanning ``nprobe/num_partitions`` of it. Pivots here are the
+  min-id member per label (deterministic, join-free to define); a
+  production variant would train k-means centroids the same way and
+  nothing else changes.
+
+Top-k is row_number over (cosine desc, candidate id) — a total order, so
+ties break identically everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product (deterministic accumulation order)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return dot(ca, cb) / (F.sqrt(dot(ca, ca)) * F.sqrt(dot(cb, cb)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, stream the corpus.
+    Output: (qid, cid, rank, cosine). Zero-norm vectors are excluded."""
+    q = queries.select(
+        F.col(query_id), as_double(query_vec).alias("__qv")
+    ).withColumn("__qn", dot("__qv", "__qv"))
+    c = corpus.select(
+        F.col(corpus_id), as_double(corpus_vec).alias("__cv")
+    ).withColumn("__cn", dot("__cv", "__cv"))
+    pairs = (
+        c.join(F.broadcast(q), F.col(query_id) != F.col(corpus_id), "inner")
+        .filter((F.col("__qn") > 0) & (F.col("__cn") > 0))
+        .withColumn(
+            "cosine", dot("__qv", "__cv") / (F.sqrt("__qn") * F.sqrt("__cn"))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_pivots: int = 8,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+) -> DataFrame:
+    """IVF two-stage ANN. Index build: every corpus vector is assigned to
+    its nearest pivot by cosine (the coarse quantizer — pivots are the
+    ``n_pivots`` lowest-id vectors; swapping in trained k-means centroids
+    changes nothing downstream). Search: each query probes its ``nprobe``
+    nearest pivots and runs exact top-k within those cells only.
+
+    Output: (qid, cid, rank, cosine) — approximate (recall < 1) by design.
+
+    Scale: the build is one broadcast pass over the corpus (n_pivots dot
+    products per vector, no shuffle except the rank-1 window); a search
+    scans ~nprobe/n_pivots of the corpus per query. In production the
+    assignment is computed once and persisted partitioned by cell id, so
+    queries prune cells via partition pruning."""
+    pivots = (
+        corpus.orderBy(F.col(corpus_id))
+        .limit(n_pivots)
+        .select(F.col(corpus_id).alias("__pid"), as_double(corpus_vec).alias("__pv"))
+        .withColumn("__pn", dot("__pv", "__pv"))
+        .filter(F.col("__pn") > 0)
+    )
+
+    c = corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv")).withColumn(
+        "__cn", dot("__cv", "__cv")
+    ).filter(F.col("__cn") > 0)
+
+    # Index build: nearest pivot per corpus vector.
+    assign_scores = c.crossJoin(F.broadcast(pivots)).withColumn(
+        "__acos", dot("__cv", "__pv") / (F.sqrt("__cn") * F.sqrt("__pn"))
+    )
+    wassign = Window.partitionBy(corpus_id).orderBy(F.col("__acos").desc(), F.col("__pid"))
+    assigned = (
+        assign_scores.withColumn("__arn", F.row_number().over(wassign))
+        .filter(F.col("__arn") == 1)
+        .select(F.col(corpus_id), "__cv", "__cn", F.col("__pid").alias("__cell"))
+    )
+
+    q = queries.select(F.col(query_id), as_double(query_vec).alias("__qv")).withColumn(
+        "__qn", dot("__qv", "__qv")
+    ).filter(F.col("__qn") > 0)
+
+    probe_scores = q.crossJoin(F.broadcast(pivots)).withColumn(
+        "__pcos", dot("__qv", "__pv") / (F.sqrt("__qn") * F.sqrt("__pn"))
+    )
+    wprobe = Window.partitionBy(query_id).orderBy(F.col("__pcos").desc(), F.col("__pid"))
+    probed = (
+        probe_scores.withColumn("__prn", F.row_number().over(wprobe))
+        .filter(F.col("__prn") <= nprobe)
+        .select(query_id, "__qv", "__qn", F.col("__pid").alias("__cell"))
+    )
+
+    cands = probed.join(
+        assigned.withColumnRenamed("__cell", "__ccell"),
+        (F.col("__cell") == F.col("__ccell")) & (F.col(query_id) != F.col(corpus_id)),
+        "inner",
+    ).withColumn("cosine", dot("__qv", "__cv") / (F.sqrt("__qn") * F.sqrt("__cn")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", "cosine")
+    )

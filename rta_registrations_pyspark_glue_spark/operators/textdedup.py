@@ -1,0 +1,204 @@
+"""Document deduplication operators for training-data pipelines:
+exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard, and SimHash.
+
+These generalize the reference's one scale idea — blocking before an
+expensive pairwise comparison (etl2_advclean_and_dimcreatin.py:221-232,
+SURVEY.md §4) — from 2-char-prefix blocks to locality-sensitive buckets:
+
+- exact:    one shuffle on the content hash; at 100 TB this is the
+            cheapest possible dedup (hash is computed scan-side).
+- MinHash:  per-doc signatures are row-local (scan-side); the only
+            shuffle is the band-bucket self-join, whose cost is bounded
+            by bucket sizes, not corpus size². Banding parameters trade
+            recall vs candidate count exactly as in the LSH literature.
+- Jaccard:  exact verification on candidate pairs only (never all pairs).
+- SimHash:  one 2^bits-space fingerprint per doc; near-dup = small
+            Hamming distance; bucketing on bit-prefixes bounds the join.
+
+MinHash here uses *lexicographic min of seeded md5 hex digests* as the
+permutation approximation: md5(seed || shingle) is a uniform hash, and
+taking the min over a doc's shingle set is the classic MinHash estimator.
+Hex-string min is engine-portable (identical in any SQL dialect), which
+is what lets the DuckDB oracle verify the operator bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators.text import normalize_text, word_shingles
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over the normalized content hash: one row per distinct
+    content, with the representative (min id) and copy count."""
+    key = F.md5(normalize_text(text_col))
+    return (
+        df.select(F.col(id_col), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _seeded_md5(prefix: str):
+    # Single-arg lambda: a two-arg lambda would make PySpark bind the
+    # element *index* to the second parameter.
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> list[Column]:
+    """num_hashes MinHash components: min over md5('<i>:' || shingle)."""
+    return [
+        F.array_min(F.transform(shingles, _seeded_md5(f"{i}:"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become
+    a candidate pair (id_a < id_b, distinct).
+
+    Plan shape at scale: signature computation is scan-side; explode to
+    (band_idx, band_key) rows — num_bands rows per doc — then a self
+    equi-join on the bucket key. Catalyst hashes on (band_idx, band_key),
+    so only same-bucket docs ever meet; AQE splits skewed buckets."""
+    df = df.withColumn("__norm", normalize_text(text_col)).withColumn(
+        "__sh", word_shingles("__norm", shingle_n)
+    )
+    sig = df.filter(F.size("__sh") > 0).select(
+        F.col(id_col), *minhash_signature(F.col("__sh"), num_hashes)
+    )
+    num_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key"))
+    a = buckets.select(
+        F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = buckets.select(
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+        F.col(id_col).alias("id_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("band_idx") == F.col("band_idx_b"))
+        & (F.col("band_key") == F.col("band_key_b"))
+        & (F.col("id_a") < F.col("id_b")),
+        "inner",
+    )
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs: |A∩B| / |A∪B| over distinct
+    shingle sets. Joins the (small) candidate list back to the corpus
+    twice; the pairwise set ops run row-local on the joined rows."""
+    base = df.withColumn("__norm2", normalize_text(text_col)).select(
+        F.col(id_col).alias("__jid"), word_shingles("__norm2", shingle_n).alias("__jsh")
+    )
+    a = base.select(F.col("__jid").alias("id_a"), F.col("__jsh").alias("sh_a"))
+    b = base.select(F.col("__jid").alias("id_b"), F.col("__jsh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over whitespace tokens of (already normalized) text.
+
+    Each token hashes to 16 bits (first 4 hex chars of md5); fingerprint
+    bit b is 1 iff the majority of token-hash bits b are 1 (sum of ±1
+    votes > 0). Built entirely from codegen-able expressions; engine-
+    portable, hence oracle-checkable. 16 bits keeps the oracle cheap —
+    production would use 64 via the same construction."""
+    name = col if isinstance(col, str) else None
+    assert name is not None, "simhash16 takes a column name"
+    tok = f"split(trim({name}), '\\\\s+')"
+    # nibble j of token t: strpos of hex char — instr is 1-based → -1.
+    def nibble(j: int) -> str:
+        return f"(instr('0123456789abcdef', substring(md5(t), {j + 1}, 1)) - 1)"
+
+    bit_votes = []
+    for b in range(16):
+        j, k = divmod(b, 4)  # hex char j, bit k within it (LSB-first)
+        vote = f"CASE WHEN (shiftright({nibble(j)}, {k}) & 1) = 1 THEN 1 ELSE -1 END"
+        bit_votes.append(
+            f"CASE WHEN aggregate(transform({tok}, t -> {vote}), 0, (a, x) -> a + x) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    return F.expr(" + ".join(bit_votes)).cast("int")
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    df = df.withColumn("__norm", normalize_text(text_col))
+    return df.select(F.col(id_col), simhash16("__norm").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed on the top
+    ``prefix_bits`` bits so the self-join is per-bucket, not all-pairs.
+    (Bucketing trades recall for cost exactly like the reference's 2-char
+    blocking; a production variant unions several bit-range buckets.)"""
+    fp = simhash_fingerprints(df, text_col, id_col)
+    bucket = F.shiftright(F.col("simhash"), 16 - prefix_bits)
+    fp = fp.withColumn("__bucket", bucket)
+    a = fp.select(F.col("__bucket"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(
+        F.col("__bucket").alias("__bucket_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__bucket") == F.col("__bucket_b")) & (F.col("id_a") < F.col("id_b")),
+        "inner",
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,141 @@
+"""Similarity-search and multimodal queries with DuckDB oracles.
+
+Cosine scores are engine-comparable because both sides compute the dot
+product as a sequential fold over doubles (verified bit-exact: Spark
+zip_with+aggregate vs DuckDB list_dot_product) and derive cosine with the
+identical expression shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import multimodal, similarity
+from rta_registrations_pyspark_glue_spark.plans.registry import register
+from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+
+def _queries_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "label")
+    return q, c
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+    ), pairs AS (
+        SELECT qid, cid,
+               list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                   AS cosine
+        FROM q, c
+        WHERE qid <> cid
+          AND list_dot_product(qv, qv) > 0 AND list_dot_product(cv, cv) > 0
+    )
+    SELECT qid, cid, CAST(rank AS INT) AS rank, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 10th vector (broadcast
+    queries, streamed corpus — the exact-ANN baseline)."""
+    q, c = _queries_corpus(spark, sf_dir)
+    return similarity.brute_force_topk(q, c.drop("label"), k=5)
+
+
+@register(
+    "cosine_topk_ivf",
+    oracle="""
+    WITH piv AS (
+        SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), assigned AS (
+        SELECT cid, cv, pid AS cell FROM (
+            SELECT c.cid, c.cv, p.pid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cid
+                       ORDER BY list_dot_product(c.cv, p.pv)
+                                / (sqrt(list_dot_product(c.cv, c.cv))
+                                   * sqrt(list_dot_product(p.pv, p.pv))) DESC,
+                                p.pid) AS arn
+            FROM c, piv p
+        ) WHERE arn = 1
+    ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings
+        WHERE vec_id % 10 = 0
+          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), probe AS (
+        SELECT qid, qv, pid AS cell FROM (
+            SELECT q.qid, q.qv, p.pid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_dot_product(q.qv, p.pv)
+                                / (sqrt(list_dot_product(q.qv, q.qv))
+                                   * sqrt(list_dot_product(p.pv, p.pv))) DESC,
+                                p.pid) AS prn
+            FROM q, piv p
+        ) WHERE prn <= 4
+    ), cands AS (
+        SELECT pr.qid, a.cid,
+               list_dot_product(pr.qv, a.cv)
+                   / (sqrt(list_dot_product(pr.qv, pr.qv))
+                      * sqrt(list_dot_product(a.cv, a.cv))) AS cosine
+        FROM probe pr
+        JOIN assigned a ON a.cell = pr.cell AND a.cid <> pr.qid
+    )
+    SELECT qid, cid, CAST(rank AS INT) AS rank, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS rank
+        FROM cands
+    ) WHERE rank <= 5
+    """,
+)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus vectors assigned to their nearest of 8 pivots
+    (coarse quantizer); each query probes its 4 nearest pivots and runs
+    exact top-5 within those cells — the scale path (scans nprobe/n_pivots
+    of the corpus per query)."""
+    q, c = _queries_corpus(spark, sf_dir)
+    return similarity.ivf_topk(q, c.drop("label"), k=5, nprobe=4, n_pivots=8)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::INT AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata through the full Arrow/pandas path
+    (mapInPandas) — oracle-checked against DuckDB's blob functions, which
+    validates the binary→Arrow→pandas round trip byte-for-byte."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.extract_meta(multimodal.synthesize_binary_docs(docs))
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction + frame chunking via mapInPandas
+    (rows-only: the decode stand-in is Spark-side by design)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.extract_features(multimodal.synthesize_binary_docs(docs))

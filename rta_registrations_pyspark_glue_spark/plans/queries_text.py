@@ -1,0 +1,331 @@
+"""Text-analysis and deduplication queries (BASELINE.json north-star:
+LLM-data-pipeline operators) with DuckDB oracles.
+
+Near-dup inputs are synthesized deterministically: every 5th document
+gets a copy (id+1,000,000) with every 7th token dropped — a realistic
+near-duplicate; every 10th gets an exact copy (id+2,000,000). Both
+corpora are reproduced identically in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import text, textdedup
+from rta_registrations_pyspark_glue_spark.plans.registry import register
+from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+# Normalized text in DuckDB — must match operators.text.normalize_text.
+SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ token-dropped copies of every 5th doc."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    # Spark filter lambda index is 0-based; DuckDB's is 1-based — hence i+1.
+    perturbed = F.concat_ws(
+        " ", F.filter(toks, lambda x, i: (i + 1) % 7 != 0)
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), perturbed.alias("text"))
+    )
+    return docs.unionByName(copies)
+
+
+SQL_NEAR_CORPUS = r"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               (x, i) -> i % 7 != 0), ' ') AS text
+        FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           length(text)::INT AS n_chars,
+           len(t)::INT AS n_tokens,
+           len(list_distinct(t))::INT AS n_unique_tokens,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_ratio,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
+           CAST(len(list_filter(t, x -> lower(x) IN
+                ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+               / len(t) AS stopword_ratio
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (quality-scoring signals)."""
+    return text.token_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_quality_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), stats AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_ratio,
+               CAST(len(list_filter(t, x -> lower(x) IN
+                    ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                   / len(t) AS stopword_ratio
+        FROM toks
+    )
+    SELECT doc_id,
+           (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+            + least(stopword_ratio * 3, 0.3)
+            + least(unique_ratio, 0.3)) AS quality_score
+    FROM stats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score per document."""
+    return text.quality_score(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "quality_score"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+                                      x -> lower(x)) AS t
+        FROM documents
+    ), scores AS (
+        SELECT doc_id,
+               len(list_filter(t, x -> x IN ('the','and','of','a','to')))::INT AS score_en,
+               len(list_filter(t, x -> x IN ('el','la','de','los','que')))::INT AS score_es,
+               len(list_filter(t, x -> x IN ('der','die','und','das','ist')))::INT AS score_de,
+               len(list_filter(t, x -> x IN ('le','la','et','les','des')))::INT AS score_fr
+        FROM toks
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scores
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with fixed tie precedence."""
+    return text.language_id(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({SQL_NORM}) AS fp_md5,
+           sha256({SQL_NORM}) AS fp_sha256
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints over normalized text."""
+    return text.fingerprint(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "exact_dedup_documents",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5({SQL_NORM}) AS content_key,
+           MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a corpus with injected exact
+    copies — every 10th doc appears twice, and must collapse to one
+    group with n_copies=2."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return textdedup.exact_duplicates(docs.unionByName(copies))
+
+
+def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    comps = ",\n               ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS band_key FROM sig"
+        for b in range(num_hashes // 2)
+    )
+    return comps, bands
+
+
+_MH_COMPS, _MH_BANDS = _minhash_sig_sql(8)
+
+
+@register(
+    "minhash_lsh_near_dups",
+    oracle=f"""
+    WITH corpus AS (
+        {SQL_NEAR_CORPUS}
+    ), normed AS (
+        SELECT doc_id, {SQL_NORM} AS norm FROM corpus
+    ), toks AS (
+        SELECT doc_id, string_split_regex(norm, '\\s+') AS t FROM normed
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN []
+                   ELSE list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        FROM toks
+    ), sig AS (
+        SELECT doc_id,
+               {_MH_COMPS}
+        FROM sh WHERE len(s) > 0
+    ), bucketed AS (
+        {_MH_BANDS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bucketed a
+        JOIN bucketed b ON a.band_idx = b.band_idx
+                       AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN len(list_distinct(sa.s || sb.s)) > 0
+                    THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / len(list_distinct(sa.s || sb.s))
+                    ELSE 0.0 END AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.35
+    """,
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH banding (4 bands of 2) candidate generation, then
+    exact-Jaccard verification at 0.35 — the scalable near-dup pipeline
+    (generalizing the reference's blocked fuzzy join, SURVEY.md §4)."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    cands = textdedup.minhash_lsh_candidates(corpus)
+    return textdedup.jaccard_verify(cands, corpus, threshold=0.35)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH normed AS (
+        SELECT doc_id, lang, source, {SQL_NORM} AS norm FROM documents
+    ), grams AS (
+        SELECT doc_id, lang, source,
+               list_distinct(CASE WHEN length(norm) < 5 THEN [norm]
+                   ELSE list_transform(range(1, length(norm) - 3),
+                        i -> substr(norm, i, 5)) END) AS g
+        FROM normed
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / len(list_distinct(a.g || b.g)) AS jaccard
+    FROM grams a
+    JOIN grams b ON a.lang = b.lang AND a.source = b.source
+                AND a.doc_id < b.doc_id
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard similarity between documents blocked on
+    (lang, source) — the reference's equi-key blocking pattern applied to
+    n-gram sets."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.withColumn("__norm", text.normalize_text("text")).select(
+        "doc_id", "lang", "source", text.char_shingles("__norm", 5).alias("g")
+    )
+    a = grams.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_a"), F.col("g").alias("g_a")
+    )
+    b = grams.select(
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("g").alias("g_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("source") == F.col("source_b"))
+        & (F.col("id_a") < F.col("id_b")),
+        "inner",
+    )
+    jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
+        F.array_distinct(F.concat("g_a", "g_b"))
+    )
+    return pairs.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for b in range(16):
+        j, k = divmod(b, 4)
+        nib = f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1)"
+        votes.append(
+            f"SUM(CASE WHEN (({nib} >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
+    sums = ",\n               ".join(votes)
+    recompose = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH normed AS (
+        SELECT doc_id, {SQL_NORM} AS norm FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS t FROM normed
+    ), h AS (
+        SELECT doc_id, md5(t) AS m FROM tok
+    ), bits AS (
+        SELECT doc_id,
+               {sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({recompose} AS INT) AS simhash FROM bits
+    """
+
+
+@register("simhash_fingerprints", oracle=_simhash_sql())
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (majority vote over token-hash bits)."""
+    return textdedup.simhash_fingerprints(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH fp AS ({_simhash_sql()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+    FROM fp a
+    JOIN fp b ON (a.simhash >> 12) = (b.simhash >> 12) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming ≤ 3 within 4-bit-prefix buckets."""
+    return textdedup.simhash_near_pairs(load_table(spark, "documents", sf_dir))

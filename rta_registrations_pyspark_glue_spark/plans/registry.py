@@ -62,7 +62,9 @@ def _load_all() -> None:
         queries_analytics,
         queries_etl,
         queries_pipeline,
+        queries_similarity,
         queries_star,
+        queries_text,
     )
 
     _LOADED = True
