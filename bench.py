@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the noop sink (measures
+compute, not result transfer). The set spans every operator family:
+scan+agg, star joins, windows, sessionization, date parsing, fuzzy
+resolution, the full ETL pipeline, dedup (exact + MinHash-LSH), ANN
+(exact + IVF), streaming-window semantics, and text stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rta_registrations_pyspark_glue_spark.plans import registry
+from rta_registrations_pyspark_glue_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "star_revenue_by_region_year",
+    "top_customers_by_revenue",
+    "nation_order_stats",
+    "running_customer_spend",
+    "sessionize_events",
+    "multiformat_date_parse",
+    "fuzzy_resolution_parts",
+    "rta_pipeline_fact",
+    "exact_dedup_documents",
+    "minhash_lsh_near_dups",
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "events_tumbling_hourly",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = registry.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

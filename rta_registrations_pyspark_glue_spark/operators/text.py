@@ -110,24 +110,41 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _zip_shingles(unit_array: str, n: int, sep: str) -> str:
+    """n-gram construction as arrays_zip of n shifted copies of the unit
+    array, NOT as indexed access inside a transform lambda: projection
+    collapse inlines column aliases into lambdas, so ``f(arr, i)`` with
+    arr = split(...) would re-run the split per element — O(len²) regex
+    work per row. The zip form evaluates the unit array a constant number
+    of times regardless of length."""
+    shifted = ", ".join(
+        [unit_array]
+        + [f"slice({unit_array}, {j + 1}, size({unit_array}) - {j})" for j in range(1, n)]
+    )
+    fields = ", ".join(f"x['{j}']" for j in range(n))
+    return (
+        f"transform(slice(arrays_zip({shifted}), 1, size({unit_array}) - {n - 1}), "
+        f"x -> concat_ws('{sep}', {fields}))"
+    )
+
+
 def word_shingles(name: str, n: int = 3) -> Column:
     """Distinct word n-grams (default 3) of the text column ``name`` — the
     unit set for Jaccard/MinHash. Empty array when fewer than n tokens."""
+    tok = f"split(trim({name}), '\\\\s+')"
     expr = (
-        f"array_distinct(CASE WHEN size(split(trim({name}), '\\\\s+')) < {n} "
-        f"THEN array() "
-        f"ELSE transform(sequence(1, size(split(trim({name}), '\\\\s+')) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(split(trim({name}), '\\\\s+'), i, {n}))) END)"
+        f"array_distinct(CASE WHEN size({tok}) < {n} THEN array() "
+        f"ELSE {_zip_shingles(tok, n, ' ')} END)"
     )
     return F.expr(expr)
 
 
 def char_shingles(name: str, n: int = 5) -> Column:
     """Distinct character n-grams (default 5) of the normalized text
-    column ``name``: substring(x, i, n) for i in 1..len-n+1."""
+    column ``name``."""
+    chars = f"split({name}, '')"
     expr = (
         f"array_distinct(CASE WHEN length({name}) < {n} THEN array({name}) "
-        f"ELSE transform(sequence(1, length({name}) - {n - 1}), "
-        f"i -> substring({name}, i, {n})) END)"
+        f"ELSE {_zip_shingles(chars, n, '')} END)"
     )
     return F.expr(expr)

@@ -81,8 +81,20 @@ def minhash_lsh_candidates(
     df = df.withColumn("__norm", normalize_text(text_col)).withColumn(
         "__sh", word_shingles("__norm", shingle_n)
     )
-    sig = df.filter(F.size("__sh") > 0).select(
-        F.col(id_col), *minhash_signature(F.col("__sh"), num_hashes)
+    # Signature via explode + min-aggregate rather than 8 array_min
+    # expressions over the same array column: projection collapse would
+    # inline the whole shingle expression into every component (8x the
+    # work); exploding computes shingles once, hashes each shingle once
+    # per seed, and the min() partial-aggregates map-side — the shuffle
+    # carries num_hashes digests per doc per partition.
+    exploded = df.filter(F.size("__sh") > 0).select(
+        F.col(id_col), F.explode("__sh").alias("__shingle")
+    )
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__shingle")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
     num_bands = num_hashes // band_size
     bands = F.array(
@@ -95,7 +107,13 @@ def minhash_lsh_candidates(
             for b in range(num_bands)
         ]
     )
-    buckets = sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key"))
+    # Persist the bucket index: both sides of the self-join read it, and
+    # without it the whole shingle→signature pipeline executes twice.
+    # (num_bands small rows per doc — this is the LSH "index" any real
+    # deployment materializes.)
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
+    ).persist()
     a = buckets.select(
         F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -140,37 +158,33 @@ def jaccard_verify(
     )
 
 
-def simhash16(col: Column | str) -> Column:
-    """16-bit SimHash over whitespace tokens of (already normalized) text.
-
-    Each token hashes to 16 bits (first 4 hex chars of md5); fingerprint
-    bit b is 1 iff the majority of token-hash bits b are 1 (sum of ±1
-    votes > 0). Built entirely from codegen-able expressions; engine-
-    portable, hence oracle-checkable. 16 bits keeps the oracle cheap —
-    production would use 64 via the same construction."""
-    name = col if isinstance(col, str) else None
-    assert name is not None, "simhash16 takes a column name"
-    tok = f"split(trim({name}), '\\\\s+')"
-    # nibble j of token t: strpos of hex char — instr is 1-based → -1.
-    def nibble(j: int) -> str:
-        return f"(instr('0123456789abcdef', substring(md5(t), {j + 1}, 1)) - 1)"
-
-    bit_votes = []
-    for b in range(16):
-        j, k = divmod(b, 4)  # hex char j, bit k within it (LSB-first)
-        vote = f"CASE WHEN (shiftright({nibble(j)}, {k}) & 1) = 1 THEN 1 ELSE -1 END"
-        bit_votes.append(
-            f"CASE WHEN aggregate(transform({tok}, t -> {vote}), 0, (a, x) -> a + x) > 0 "
-            f"THEN {1 << b} ELSE 0 END"
-        )
-    return F.expr(" + ".join(bit_votes)).cast("int")
-
-
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
+    """16-bit SimHash over whitespace tokens of normalized text.
+
+    Each token hashes to 16 bits (first 4 hex chars of md5); fingerprint
+    bit b is 1 iff the majority of token-hash bits b are 1 (sum of ±1
+    votes > 0). Computed explode-side — one md5 per token, 16 partial-
+    aggregated vote sums — rather than 16 array-lambda passes, which
+    projection collapse would each inline into a full re-tokenization.
+    16 bits keeps the oracle cheap; production would use 64 unchanged."""
     df = df.withColumn("__norm", normalize_text(text_col))
-    return df.select(F.col(id_col), simhash16("__norm").alias("simhash"))
+    hashed = df.select(
+        F.col(id_col), F.explode(F.split(F.trim("__norm"), r"\s+")).alias("__t")
+    ).select(F.col(id_col), F.md5("__t").alias("__m"))
+    votes = []
+    for b in range(16):
+        j, k = divmod(b, 4)  # hex char j, bit k within it (LSB-first)
+        nib = F.expr(f"instr('0123456789abcdef', substring(__m, {j + 1}, 1)) - 1")
+        bit = F.shiftright(nib, k).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__b{b}"))
+    bits = hashed.groupBy(id_col).agg(*votes)
+    value = None
+    for b in range(16):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return bits.select(F.col(id_col), value.cast("int").alias("simhash"))
 
 
 def simhash_near_pairs(

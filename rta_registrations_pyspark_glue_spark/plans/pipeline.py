@@ -62,6 +62,11 @@ def build_star(staged: DataFrame) -> StarOutput:
     df = cleaning.derive_emission_standard(df)
     df = cleaning.coerce_is_electric(df)
     df = star.add_surrogate_keys(df)
+    # The keyed frame feeds six consumers (three dims, the resolution
+    # probe, the manufacturer map, and fact assembly). Without a persist,
+    # the whole bronze→clean→dedup chain re-executes per consumer — the
+    # reference has exactly this recompute anti-pattern (SURVEY.md §3.1).
+    df = df.persist()
 
     dim_vehicle = star.build_dim_vehicle(df)
     dim_manufacturer = star.build_dim_manufacturer(df)

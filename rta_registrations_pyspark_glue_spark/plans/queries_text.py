@@ -32,7 +32,13 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), perturbed.alias("text"))
     )
-    return docs.unionByName(copies)
+    # The docs parquet is a single small file → 1-2 input partitions; the
+    # shingle/MinHash work downstream is CPU-bound per row, so spread it
+    # across the cores (a 6k-row shuffle is free; at real scale the input
+    # is already many files and this is a no-op sizing choice).
+    return docs.unionByName(copies).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 SQL_NEAR_CORPUS = r"""
@@ -228,7 +234,9 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH banding (4 bands of 2) candidate generation, then
     exact-Jaccard verification at 0.35 — the scalable near-dup pipeline
     (generalizing the reference's blocked fuzzy join, SURVEY.md §4)."""
-    corpus = _near_dup_corpus(spark, sf_dir)
+    # Three plan branches read the corpus (signature build + both sides
+    # of the verification join) — persist it once.
+    corpus = _near_dup_corpus(spark, sf_dir).persist()
     cands = textdedup.minhash_lsh_candidates(corpus)
     return textdedup.jaccard_verify(cands, corpus, threshold=0.35)
 

@@ -64,6 +64,7 @@ def _load_all() -> None:
         queries_pipeline,
         queries_similarity,
         queries_star,
+        queries_streaming,
         queries_text,
     )
 

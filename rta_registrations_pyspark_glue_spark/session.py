@@ -40,6 +40,9 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode: the driver JVM is the only executor, so its heap is
+        # the cluster memory. Overridable for constrained environments.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime partition coalescing, skew-join splitting, and
         # sort-merge->broadcast conversion. This subsumes the reference's

@@ -32,6 +32,11 @@ def synthesize_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"
     )
+    # The orders parquet is 1-3 files → as few input partitions; the dirty
+    # row synthesis and the downstream cleaning chain are CPU-bound per
+    # row, so spread across cores up front (real bronze arrives as many
+    # CSV files and needs no such step).
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_name", "p_brand")
     k = F.col("o_orderkey")
 
