@@ -47,6 +47,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     qs = registry.queries()
+    # Warm the JVM/session (codegen infra, parquet footer caches) so
+    # session startup is not attributed to the first timed query.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -1,0 +1,217 @@
+"""Extended operator coverage with DuckDB oracles: the full window-
+function surface, set operations, skew-resistant salted aggregation,
+constraint-validation (quality) operators, JSON extraction, and exact
+quantiles — completing SURVEY.md §2's inventory beyond the reference's
+own usage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import quality, skew
+from rta_registrations_pyspark_glue_spark.operators.analytics import dsum
+from rta_registrations_pyspark_glue_spark.plans.registry import register
+from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment AS mktsegment, c.c_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT mktsegment, c_custkey, revenue,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           LAG(c_custkey) OVER w AS prev_custkey,
+           LEAD(c_custkey) OVER w AS next_custkey,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                OVER (PARTITION BY mktsegment ORDER BY revenue DESC, c_custkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS moving_rev_3
+    FROM rev
+    WINDOW w AS (PARTITION BY mktsegment ORDER BY revenue DESC, c_custkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / lag / lead / explicit ROWS frame — the
+    window surface the reference never used (SURVEY.md §2.5 '—' row)."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "c_custkey")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("mktsegment").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    frame = w.rowsBetween(-2, Window.currentRow)
+    return rev.select(
+        "mktsegment",
+        "c_custkey",
+        "revenue",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("c_custkey").over(w).alias("prev_custkey"),
+        F.lead("c_custkey").over(w).alias("next_custkey"),
+        F.sum(F.col("revenue").cast("decimal(18,2)")).over(frame).cast("double").alias("moving_rev_3"),
+    )
+
+
+@register(
+    "nation_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, n_nationkey FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customers_only' AS tag, n_nationkey FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT proper (SURVEY.md §2.7 lists them as absent from
+    the reference): nations with both customers and suppliers vs
+    customer-only nations."""
+    cust_nations = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    supp_nations = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    both = cust_nations.intersect(supp_nations).select(
+        F.lit("both").alias("tag"), "n_nationkey"
+    )
+    only = cust_nations.subtract(supp_nations).select(
+        F.lit("customers_only").alias("tag"), "n_nationkey"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "salted_event_totals",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation (operators/skew.py).
+    The oracle is the PLAIN group-by — proving the salted rewrite is
+    semantics-preserving, which is the whole point of the technique."""
+    events = load_table(spark, "events", sf_dir)
+    return skew.salted_agg(
+        events,
+        keys=["event_type"],
+        salt_source="event_id",
+        aggs={"n_events": ("event_id", "count"), "total_value": ("value", "sum_decimal")},
+        n_salts=16,
+    )
+
+
+@register(
+    "fk_violation_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (
+          SELECT 1 FROM customer c
+          WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 != 0
+      )
+    """,
+)
+def fk_violation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK constraint validation (operators/quality.py): the warehouse DDL
+    declares FKs Redshift-side (starschema_dw.txt:59-66); here the check
+    is an anti-join operator. A third of the customer dim is withheld to
+    synthesize violations deterministically."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") % 3 != 0)
+    return quality.fk_violations(
+        orders, customer, fact_key="o_custkey", dim_key="c_custkey"
+    ).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "pk_duplicate_check",
+    oracle="""
+    WITH corpus AS (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS n_rows
+    FROM corpus
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    """,
+)
+def pk_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK uniqueness validation: duplicate (orderkey, linenumber) pairs
+    surfaced with their multiplicities (duplicates injected for every
+    100th order)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
+    corpus = li.unionByName(li.filter(F.col("l_orderkey") % 100 == 0))
+    return quality.duplicate_keys(corpus, ["l_orderkey", "l_linenumber"])
+
+
+@register(
+    "props_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+    FROM events
+    """,
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column (semi-structured
+    surface; the reference parses JSON driver-side only,
+    extraction_to_local.py:11)."""
+    events = load_table(spark, "events", sf_dir)
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@register(
+    "order_price_quantiles",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           quantile_cont(o.o_totalprice::DOUBLE, [0.25, 0.5, 0.75, 0.95]) AS price_quantiles
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles per segment (both engines use
+    the same (n-1)*q interpolation — verified bit-equal). At 100 TB use
+    percentile_approx (t-digest sketch, map-side combinable) instead;
+    exact percentile shuffles the value lists."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.percentile(
+                F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+            ).alias("price_quantiles")
+        )
+    )

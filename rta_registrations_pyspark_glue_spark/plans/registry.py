@@ -61,6 +61,7 @@ def _load_all() -> None:
     from rta_registrations_pyspark_glue_spark.plans import (  # noqa: F401
         queries_analytics,
         queries_etl,
+        queries_extended,
         queries_pipeline,
         queries_similarity,
         queries_star,
