@@ -47,9 +47,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     qs = registry.queries()
-    # Warm the JVM/session (codegen infra, parquet footer caches) so
-    # session startup is not attributed to the first timed query.
+    # Warm the JVM/session (codegen infra, parquet reader, decimal agg
+    # paths) so session startup is not attributed to the first timed query.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").selectExpr(
+        "sum(cast(r_regionkey as decimal(18,2)))"
+    ).collect()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -57,6 +57,17 @@ def read_csv(
     return reader.csv(path)
 
 
+def reconcile_union(dfs: list[DataFrame]) -> DataFrame:
+    """Schema-drift-tolerant union (SURVEY.md §1.3): monthly drops gain or
+    lose columns over time; unionByName(allowMissingColumns=True) aligns
+    by name and nulls the gaps — the pattern the reference itself uses for
+    its exact/fuzzy merge (etl2_advclean_and_dimcreatin.py:243)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def estimate_plan_bytes(df: DataFrame) -> int:
     """Single-pass replacement for the reference's boto3 S3 size probe
     (etl2_advclean_and_dimcreatin.py:67-88): ask Catalyst for the optimized

@@ -67,11 +67,13 @@ def run_etl2(spark: SparkSession, input_path: str, output_root: str) -> dict[str
         "dim_vehicle": f"{root}/gold_dim_vehicle",
         "dim_manufacturer": f"{root}/gold_dim_manufacturer",
         "dim_rta": f"{root}/gold_dim_rta",
+        "dim_date": f"{root}/gold_dim_date",
         "fact_registrations": f"{root}/gold_fact_registrations",
     }
     io.write_parquet(out.dim_vehicle, paths["dim_vehicle"])
     io.write_parquet(out.dim_manufacturer, paths["dim_manufacturer"])
     io.write_parquet(out.dim_rta, paths["dim_rta"])
+    io.write_parquet(out.dim_date, paths["dim_date"])
     io.write_parquet(out.fact, paths["fact_registrations"], partition_by=["REGISTRATION_YEAR"])
     return paths
 

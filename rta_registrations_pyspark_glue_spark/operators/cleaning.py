@@ -38,28 +38,18 @@ def repair_office_code_misalignment(
     date column are moved back; stray TS/TG state codes are nulled; a
     still-missing office code falls back to the (non-office-shaped)
     date-column value."""
+    # The three sequential repair steps are composed as nested expressions
+    # and applied in ONE withColumns call: every eager withColumn
+    # re-analyzes the whole (growing) plan, which made deep cleaning
+    # chains pay O(n²) driver time. Semantics identical to the stepwise
+    # reference code.
     date_is_office = F.col(date_col).cast("string").rlike(OFFICE_CODE_RE)
-    df = df.withColumn(
-        office_col,
-        F.when(date_is_office & F.col(office_col).isNull(), F.col(date_col)).otherwise(
-            F.col(office_col)
-        ),
-    ).withColumn(
-        date_col,
-        F.when(date_is_office, F.lit(None).cast("string")).otherwise(F.col(date_col)),
-    )
-    df = df.withColumn(
-        office_col,
-        F.when(F.col(office_col).rlike("(?i)^(TS|TG)$"), F.lit(None)).otherwise(
-            F.col(office_col)
-        ),
-    )
-    return df.withColumn(
-        office_col,
-        F.when(
-            F.col(office_col).isNull() & F.col(date_col).isNotNull(), F.col(date_col)
-        ).otherwise(F.col(office_col)),
-    )
+    office0 = F.col(office_col)
+    date1 = F.when(date_is_office, F.lit(None).cast("string")).otherwise(F.col(date_col))
+    office1 = F.when(date_is_office & office0.isNull(), F.col(date_col)).otherwise(office0)
+    office2 = F.when(office1.rlike("(?i)^(TS|TG)$"), F.lit(None)).otherwise(office1)
+    office3 = F.when(office2.isNull() & date1.isNotNull(), date1).otherwise(office2)
+    return df.withColumns({office_col: office3, date_col: date1})
 
 
 def derive_model_variant(df: DataFrame, col: str = "modelDesc") -> DataFrame:
@@ -67,33 +57,34 @@ def derive_model_variant(df: DataFrame, col: str = "modelDesc") -> DataFrame:
     modelName (first token, or full text for trailers), variant (remaining
     tokens, or a fixed class for trailers; UNKNOWN when empty)
     (etl1:100-109)."""
-    df = df.withColumn("modelDescClean", clean_symbols(col))
-    df = df.withColumn("isTrailer", F.lower(F.col("modelDescClean")).rlike(TRAILER_RE))
-    df = df.withColumn("isElectric", F.lower(F.col("modelDescClean")).rlike(ELECTRIC_RE))
-    df = df.withColumn("modelWords", tokenize_words("modelDescClean"))
-    df = df.withColumn(
-        "modelName",
-        F.upper(
-            F.when(F.col("isTrailer"), F.col("modelDescClean")).otherwise(
-                F.col("modelWords")[0]
-            )
-        ),
+    # Composed as shared expression objects → two withColumns batches
+    # (the second depends on columns created by the first); runtime
+    # subexpression elimination dedups the repeated subtrees.
+    clean = clean_symbols(col)
+    df = df.withColumns(
+        {
+            "modelDescClean": clean,
+            "isTrailer": F.lower(clean).rlike(TRAILER_RE),
+            "isElectric": F.lower(clean).rlike(ELECTRIC_RE),
+        }
     )
-    variant_words = F.slice(F.col("modelWords"), 2, F.size("modelWords") - 1)
-    df = df.withColumn(
-        "variant",
-        F.upper(
-            F.when(F.col("isTrailer"), F.lit("TRAILER/TIPPER/TRACTOR/TANKER")).otherwise(
-                F.trim(F.concat_ws(" ", variant_words))
-            )
-        ),
+    words = tokenize_words("modelDescClean")
+    variant_words = F.slice(words, 2, F.size(words) - 1)
+    variant_raw = F.upper(
+        F.when(F.col("isTrailer"), F.lit("TRAILER/TIPPER/TRACTOR/TANKER")).otherwise(
+            F.trim(F.concat_ws(" ", variant_words))
+        )
     )
-    return df.withColumn(
-        "variant",
-        F.when((F.col("variant") == "") | F.col("variant").isNull(), "UNKNOWN").otherwise(
-            F.col("variant")
-        ),
-    ).drop("modelWords")
+    return df.withColumns(
+        {
+            "modelName": F.upper(
+                F.when(F.col("isTrailer"), F.col("modelDescClean")).otherwise(words[0])
+            ),
+            "variant": F.when(
+                (variant_raw == "") | variant_raw.isNull(), "UNKNOWN"
+            ).otherwise(variant_raw),
+        }
+    )
 
 
 def normalize_fuel(df: DataFrame, col: str = "fuel", out: str = "fuel_clean") -> DataFrame:
@@ -130,9 +121,7 @@ def backfill_make_year(
 def parse_date_columns(df: DataFrame, cols: tuple[str, str] = ("fromdate", "todate")) -> DataFrame:
     """Multi-format date parse of both date columns → *_parsed DateType
     (etl1:32-53)."""
-    for c in cols:
-        df = df.withColumn(f"{c}_parsed", parse_multiformat_date(c))
-    return df
+    return df.withColumns({f"{c}_parsed": parse_multiformat_date(c) for c in cols})
 
 
 def fix_two_digit_year(df: DataFrame, col: str = "makeYear", out: str = "makeYear_clean") -> DataFrame:

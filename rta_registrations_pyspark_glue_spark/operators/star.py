@@ -15,15 +15,17 @@ from rta_registrations_pyspark_glue_spark.functions.hashing import surrogate_key
 def add_surrogate_keys(df: DataFrame) -> DataFrame:
     """VEHICLE_ID / MANUFACTURER_ID / RTA_ID content-hash keys over
     normalized natural keys (etl2:156-162)."""
-    df = df.withColumn(
-        "MAKE_YEAR_KEY",
-        F.when(F.col("makeYear_clean").isNull(), "UNKNOWN").otherwise(F.col("makeYear_clean")),
+    make_year_key = F.when(F.col("makeYear_clean").isNull(), "UNKNOWN").otherwise(
+        F.col("makeYear_clean")
     )
-    df = df.withColumn(
-        "VEHICLE_ID", surrogate_key("modelName", "variant", "MAKE_YEAR_KEY")
+    return df.withColumns(
+        {
+            "MAKE_YEAR_KEY": make_year_key,
+            "VEHICLE_ID": surrogate_key("modelName", "variant", make_year_key),
+            "MANUFACTURER_ID": surrogate_key("makerName"),
+            "RTA_ID": surrogate_key("OfficeCd"),
+        }
     )
-    df = df.withColumn("MANUFACTURER_ID", surrogate_key("makerName"))
-    return df.withColumn("RTA_ID", surrogate_key("OfficeCd"))
 
 
 def build_dim_vehicle(df: DataFrame) -> DataFrame:

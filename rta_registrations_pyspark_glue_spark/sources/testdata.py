@@ -29,6 +29,10 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The driver may call queries() on a session we didn't build (its own
+    # timezone). Results must be oracle-comparable (DuckDB timestamps are
+    # naive/UTC), so pin the session timezone on every load.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) which the Spark parquet reader
         # rejects; read nanos as long and rebuild a microsecond timestamp.

@@ -48,3 +48,12 @@ def test_partitioned_write_roundtrip(spark, sf_dir):
 def test_estimate_plan_bytes_positive(spark, sf_dir):
     df = load_table(spark, "lineitem", sf_dir)
     assert io.estimate_plan_bytes(df) > 0
+
+
+def test_reconcile_union_tolerates_drift(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, col_a string")
+    b = spark.createDataFrame([(2, "y")], "id int, col_b string")  # drifted
+    out = io.reconcile_union([a, b])
+    assert sorted(out.columns) == ["col_a", "col_b", "id"]
+    rows = {r.id: (r.col_a, r.col_b) for r in out.collect()}
+    assert rows[1] == ("x", None) and rows[2] == (None, "y")

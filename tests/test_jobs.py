@@ -38,6 +38,14 @@ def test_etl1_etl2_end_to_end(spark, sf_dir):
     assert glob.glob(f"{ROOT}/out/gold_fact_registrations/REGISTRATION_YEAR=*")
     # Issue-date NOT NULL invariant (DDL starschema_dw.txt:59).
     assert fact.filter(F.col("REGISTRATION_ISSUE_DATE_ID").isNull()).count() == 0
+    # Date-key FK closure into the written dim_date spine.
+    dim_date = spark.read.parquet(f"{ROOT}/out/gold_dim_date")
+    dangling = fact.join(
+        dim_date.select(F.col("DATE_ID").alias("REGISTRATION_ISSUE_DATE_ID")),
+        on="REGISTRATION_ISSUE_DATE_ID",
+        how="left_anti",
+    ).count()
+    assert dangling == 0
     shutil.rmtree(ROOT, ignore_errors=True)
 
 
