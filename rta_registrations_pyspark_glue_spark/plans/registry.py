@@ -67,6 +67,7 @@ def _load_all() -> None:
         queries_star,
         queries_streaming,
         queries_text,
+        queries_upsert,
     )
 
     _LOADED = True

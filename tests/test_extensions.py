@@ -77,6 +77,44 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
+def test_fast_ann_matches_fold_pairs(spark, sf_dir):
+    """BLAS top-k returns the same neighbor pairs as the oracle-exact
+    sequential-fold variant (scores may differ in the last ulp)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    exact = {(r.qid, r.cid) for r in similarity.brute_force_topk(q, c, k=5).collect()}
+    fast = {(r.qid, r.cid) for r in similarity.brute_force_topk_fast(q, c, k=5).collect()}
+    assert exact == fast
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = {
+        r.l_returnflag: (r.parts, r.orders)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_orders)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .collect()
+    }
+    for flag, (p, o) in exact.items():
+        ap, ao = approx[flag]
+        assert abs(ap - p) / p < 0.1 and abs(ao - o) / o < 0.1
+
+
 def test_multimodal_meta_and_features(spark, docs):
     bin_docs = multimodal.synthesize_binary_docs(
         docs.withColumn("n_chars", F.length("text"))
