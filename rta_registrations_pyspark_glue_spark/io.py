@@ -100,17 +100,19 @@ def write_parquet(
     """Partitioned parquet sink with single-pass adaptive file sizing
     (S3-S6).  Instead of the reference's write → S3 size probe → coalesce →
     rewrite (etl2_advclean_and_dimcreatin.py:285-315, two full passes over
-    the fact table), we estimate bytes from plan statistics and bound file
-    size with ``maxRecordsPerFile`` — one pass, still ~target_mb files.
-    At cluster scale the double write is the difference between 1x and 2x
-    the job's I/O."""
+    the fact table), we estimate bytes from the optimizer's plan statistics
+    and coalesce the final stage to the target file count — one pass,
+    still ~target_mb files. At cluster scale the double write is the
+    difference between 1x and 2x the job's I/O. (coalesce narrows only the
+    post-shuffle stage; upstream stages keep their parallelism.)"""
     total_bytes = estimate_plan_bytes(df)
     n_files = target_file_count(total_bytes, target_mb) if total_bytes > 0 else 1
-    current = df.rdd.getNumPartitions()
-    if n_files < current:
-        # coalesce is shuffle-free: it merges task outputs, bounding the
-        # file count without the reference's second write pass.
-        df = df.coalesce(n_files)
+    # coalesce is shuffle-free and a no-op when the plan already has fewer
+    # partitions, so it can be applied unconditionally. Deliberately NOT
+    # consulting df.rdd.getNumPartitions(): under AQE that call
+    # materializes every upstream stage — a full extra execution of the
+    # plan, the very double-pass this writer exists to avoid.
+    df = df.coalesce(n_files)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

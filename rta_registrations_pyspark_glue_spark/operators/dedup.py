@@ -61,6 +61,19 @@ def keep_latest_agg(
     return agg.select(*[F.col(f"__row.{c}").alias(c) for c in payload])
 
 
+def dedup_deterministic(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One row per key with *deterministically* chosen attribute values:
+    the lexicographically smallest struct of the non-key columns. Use when
+    non-key columns are NOT functionally determined by the key —
+    dropDuplicates would pick an arbitrary (partitioning-dependent) row.
+    Same cost shape as dropDuplicates: one map-side-combined aggregate."""
+    others = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.min(F.struct(*[F.col(c) for c in others])).alias("__row")
+    )
+    return agg.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in others])
+
+
 def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """Exact dedup (A2/A3): ``dropDuplicates`` keeps an *arbitrary* row per
     key — fine for dimension building where all non-key columns are

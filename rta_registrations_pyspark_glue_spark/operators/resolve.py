@@ -85,8 +85,16 @@ def resolve_exact_fuzzy(
         "__probe_key", "__probe_text", *[f"__pro_x{i}" for i in range(len(extra))],
         F.col("__cat_id").alias("__exact_id"),
     )
-    resolved_exact = joined.filter(F.col("__exact_id").isNotNull()).select(
-        "__probe_key", F.col("__exact_id").alias("RESOLVED_ID")
+    # Distinct catalog ids can share normalized text (case/whitespace
+    # variants hash to different ids but normalize equal); without a
+    # tiebreak the exact stage would emit multiple rows per probe key and
+    # break the one-row-per-probe contract (and the fact grain downstream).
+    # Deterministic rule: lowest catalog id wins — mirroring the fuzzy
+    # stage's (distance, id) order (etl2:236).
+    resolved_exact = (
+        joined.filter(F.col("__exact_id").isNotNull())
+        .groupBy("__probe_key")
+        .agg(F.min("__exact_id").alias("RESOLVED_ID"))
     )
 
     # 2) anti staging: only unresolved keys go fuzzy (J2, etl2:216-220)

@@ -120,10 +120,15 @@ def brute_force_topk_fast(
                 continue
             cos = (mat @ c_mat.T) / np.outer(norms, c_norm)  # (Q, C)
             local_k = min(k + 1, cos.shape[1])  # +1: self may be present
-            idx = np.argpartition(-cos, local_k - 1, axis=1)[:, :local_k]
+            # Keep everything >= the k-th best score (not argpartition's
+            # arbitrary k): boundary TIES must all survive to the final
+            # window, whose (cosine desc, cid asc) order resolves them the
+            # same way the fold baseline does. Duplicate vectors (common
+            # in dedup corpora) make such ties real.
+            kth = -np.partition(-cos, local_k - 1, axis=1)[:, local_k - 1]
             rows = {query_id: [], corpus_id: [], "cosine": []}
             for qi in range(len(ids)):
-                for ci in idx[qi]:
+                for ci in np.nonzero(cos[qi] >= kth[qi])[0]:
                     if c_ids[ci] == ids[qi]:
                         continue
                     rows[query_id].append(ids[qi])

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.functions.dates import date_key
 from rta_registrations_pyspark_glue_spark.functions.hashing import surrogate_key
+from rta_registrations_pyspark_glue_spark.operators import dedup
 
 
 def add_surrogate_keys(df: DataFrame) -> DataFrame:
@@ -29,33 +30,45 @@ def add_surrogate_keys(df: DataFrame) -> DataFrame:
 
 
 def build_dim_vehicle(df: DataFrame) -> DataFrame:
-    """dim_vehicle (etl2:173-180; DDL starschema_dw.txt:9-21)."""
-    return df.select(
-        "VEHICLE_ID",
-        F.col("modelName").alias("MODEL_NAME"),
-        F.col("variant").alias("VARIANT"),
-        F.col("emissionStandard").alias("EMISSION_STANDARD"),
-        F.col("fuel_clean").alias("FUEL"),
-        F.coalesce(F.col("colour"), F.lit("UNKNOWN")).alias("COLOUR"),
-        F.coalesce(F.col("vehicleClass"), F.lit("UNKNOWN")).alias("VEHICLE_CLASS"),
-        F.col("makeYear_clean").alias("MAKE_YEAR"),
-        F.coalesce(F.col("seatCapacity").cast("int"), F.lit(0)).alias("SEAT_CAPACITY"),
-        F.col("isElectric").alias("IS_ELECTRIC"),
-    ).dropDuplicates(["VEHICLE_ID"])
+    """dim_vehicle (etl2:173-180; DDL starschema_dw.txt:9-21).
+
+    The reference dropDuplicates on VEHICLE_ID (etl2:180), but FUEL /
+    COLOUR / EMISSION / SEATS are not functions of the key (the key hashes
+    model+variant+year only) — an arbitrary pick would make dim contents
+    partitioning-dependent. We pick deterministically instead."""
+    return dedup.dedup_deterministic(
+        df.select(
+            "VEHICLE_ID",
+            F.col("modelName").alias("MODEL_NAME"),
+            F.col("variant").alias("VARIANT"),
+            F.col("emissionStandard").alias("EMISSION_STANDARD"),
+            F.col("fuel_clean").alias("FUEL"),
+            F.coalesce(F.col("colour"), F.lit("UNKNOWN")).alias("COLOUR"),
+            F.coalesce(F.col("vehicleClass"), F.lit("UNKNOWN")).alias("VEHICLE_CLASS"),
+            F.col("makeYear_clean").alias("MAKE_YEAR"),
+            F.coalesce(F.col("seatCapacity").cast("int"), F.lit(0)).alias("SEAT_CAPACITY"),
+            F.col("isElectric").alias("IS_ELECTRIC"),
+        ),
+        keys=["VEHICLE_ID"],
+    )
 
 
 def build_dim_manufacturer(df: DataFrame) -> DataFrame:
-    """dim_manufacturer (etl2:182)."""
-    return df.select("MANUFACTURER_ID", F.col("makerName").alias("MAKER_NAME")).dropDuplicates(
-        ["MANUFACTURER_ID"]
+    """dim_manufacturer (etl2:182); deterministic pick of the name casing
+    retained for a given normalized-name hash."""
+    return dedup.dedup_deterministic(
+        df.select("MANUFACTURER_ID", F.col("makerName").alias("MAKER_NAME")),
+        keys=["MANUFACTURER_ID"],
     )
 
 
 def build_dim_rta(df: DataFrame) -> DataFrame:
     """dim_rta with placeholder geo columns (etl2:183-186; DDL :30-41)."""
     return (
-        df.select("RTA_ID", F.col("OfficeCd").alias("RTA_OFFICE_CODE"))
-        .dropDuplicates(["RTA_ID"])
+        dedup.dedup_deterministic(
+            df.select("RTA_ID", F.col("OfficeCd").alias("RTA_OFFICE_CODE")),
+            keys=["RTA_ID"],
+        )
         .withColumn("RTA_REGION", F.lit(None).cast("string"))
         .withColumn("RTA_STATE", F.lit(None).cast("string"))
         .withColumn("RTA_CITY", F.lit(None).cast("string"))

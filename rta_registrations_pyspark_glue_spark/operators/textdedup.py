@@ -24,7 +24,7 @@ is what lets the DuckDB oracle verify the operator bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.operators.text import normalize_text, word_shingles
@@ -47,20 +47,6 @@ def exact_duplicates(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
-
-
-def _seeded_md5(prefix: str):
-    # Single-arg lambda: a two-arg lambda would make PySpark bind the
-    # element *index* to the second parameter.
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-
-def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> list[Column]:
-    """num_hashes MinHash components: min over md5('<i>:' || shingle)."""
-    return [
-        F.array_min(F.transform(shingles, _seeded_md5(f"{i}:"))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
 
 
 def minhash_lsh_candidates(
@@ -110,7 +96,10 @@ def minhash_lsh_candidates(
     # Persist the bucket index: both sides of the self-join read it, and
     # without it the whole shingle→signature pipeline executes twice.
     # (num_bands small rows per doc — this is the LSH "index" any real
-    # deployment materializes.)
+    # deployment materializes.) Lifecycle: session-cached, default
+    # MEMORY_AND_DISK → LRU-evictable under pressure; long-lived sessions
+    # that are done with the candidates may unpersist via the returned
+    # plan's lineage or spark.catalog.clearCache().
     buckets = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
     ).persist()

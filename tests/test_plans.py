@@ -1,0 +1,54 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale must stay visible in the plan, not just hold by luck —
+pushdown to the parquet scan, pruned read schemas, broadcast joins for
+dimensions, partial aggregation before the shuffle."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from rta_registrations_pyspark_glue_spark.plans import registry
+
+
+def _formatted_plan(spark, name, sf_dir) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(spark, "pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: only the 7 referenced columns reach the scan.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    # Partial aggregation before the exchange (map-side combine).
+    assert "HashAggregate" in plan and "Exchange" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _formatted_plan(spark, "star_revenue_by_region_year", sf_dir)
+    # 3 BHJ tree nodes (formatted mode lists each node twice: tree+detail).
+    assert len(re.findall(r"BroadcastHashJoin \w+ BuildRight \(\d+\)", plan)) == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_resolution_broadcasts_catalog(spark, sf_dir):
+    plan = _formatted_plan(spark, "fuzzy_resolution_parts", sf_dir)
+    # Exact stage + blocked candidate stage both broadcast the catalog.
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _formatted_plan(spark, "top_customers_by_revenue", sf_dir)
+    # Global top-k must not materialize a full sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_keep_latest_event", "running_customer_spend"])
+def test_window_queries_single_shuffle(spark, sf_dir, name):
+    plan = _formatted_plan(spark, name, sf_dir)
+    # Exactly one (non-broadcast) exchange: the window-key shuffle.
+    assert len(re.findall(r"\+- Exchange \(\d+\)", plan)) == 1
