@@ -1,0 +1,71 @@
+"""Incremental ETL1 ingestion test: two bronze micro-batches streamed
+through foreachBatch + merge; the later batch's re-registration must win."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import Row, functions as F
+
+from rta_registrations_pyspark_glue_spark.jobs import BRONZE_COLUMNS
+from rta_registrations_pyspark_glue_spark.streaming.ingest import stream_clean_and_stage
+
+ROOT = "/root/repo/.tmp/stream_ingest"
+
+
+def _bronze_row(reg, fromdate, slno, model="SWIFT VDI 2019"):
+    base = {c: None for c in BRONZE_COLUMNS}
+    base.update(
+        slno=slno,
+        tempRegistrationNumber=reg,
+        fromdate=fromdate,
+        todate="01/01/2030",
+        OfficeCd="RTA HYDERABAD",
+        makerName="MARUTI",
+        modelDesc=model,
+        fuel="PETROL",
+        makeYear="2019",
+        colour="WHITE",
+        vehicleClass="MOTOR CAR",
+        seatCapacity="5",
+    )
+    return Row(**{c: base[c] for c in BRONZE_COLUMNS})
+
+
+def test_incremental_ingest_latest_wins(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    schema = ", ".join(f"{c} string" for c in BRONZE_COLUMNS)
+    batch1 = spark.createDataFrame(
+        [
+            _bronze_row("TR001", "10/01/2023", "1"),
+            _bronze_row("TR002", "11/01/2023", "2"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            _bronze_row("TR001", "15/06/2023", "3", model="SWIFT ZDI 2020"),
+            _bronze_row("TR003", "16/06/2023", "4"),
+        ],
+        schema,
+    )
+    # Two CSV files → two micro-batches (maxFilesPerTrigger=1).
+    batch1.coalesce(1).write.option("header", True).csv(f"{ROOT}/in/b1")
+    batch2.coalesce(1).write.option("header", True).csv(f"{ROOT}/in/b2")
+    # File source needs a flat glob of csv files:
+    q = stream_clean_and_stage(
+        spark,
+        input_dir=f"{ROOT}/in/*/",
+        stage_path=f"{ROOT}/stage",
+        checkpoint_dir=f"{ROOT}/ckpt",
+    )
+    q.awaitTermination(120)
+
+    stage = spark.read.parquet(f"{ROOT}/stage")
+    rows = {r.tempRegistrationNumber: r for r in stage.collect()}
+    assert set(rows) == {"TR001", "TR002", "TR003"}
+    # TR001's June re-registration (batch 2) replaced the January row.
+    assert rows["TR001"].fromdate_parsed.isoformat() == "2023-06-15"
+    assert rows["TR001"].modelName == "SWIFT"
+    assert rows["TR001"].variant == "ZDI 2020"
+    shutil.rmtree(ROOT, ignore_errors=True)
