@@ -65,6 +65,55 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_orders_year_status",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (order_year, o_orderstatus)
+    """,
+)
+def cube_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping-set combinations in one aggregate pass
+    (completes the rollup/cube surface from SURVEY.md §2.4 A5)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube(
+        F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus")
+    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+
+
+@register(
+    "mktsegment_multiset_ops",
+    oracle="""
+    SELECT 'except_all' AS tag, c_mktsegment FROM (
+        SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+        EXCEPT ALL
+        SELECT c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS tag, c_mktsegment FROM (
+        SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+        INTERSECT ALL
+        SELECT c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+    )
+    """,
+)
+def mktsegment_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL (multiset semantics — duplicates carry
+    multiplicity, unlike the distinct set ops in nation_set_ops)."""
+    customer = load_table(spark, "customer", sf_dir)
+    evens = customer.filter(F.col("c_custkey") % 2 == 0).select("c_mktsegment")
+    thirds = customer.filter(F.col("c_custkey") % 3 == 0).select("c_mktsegment")
+    exc = evens.exceptAll(thirds).select(F.lit("except_all").alias("tag"), "c_mktsegment")
+    inter = evens.intersectAll(thirds).select(
+        F.lit("intersect_all").alias("tag"), "c_mktsegment"
+    )
+    return exc.unionByName(inter)
+
+
+@register(
     "nation_set_ops",
     oracle="""
     SELECT 'both' AS tag, n_nationkey FROM (
