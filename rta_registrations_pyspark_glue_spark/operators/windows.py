@@ -62,6 +62,64 @@ def running_aggregate(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    tiebreak: str,
+) -> DataFrame:
+    """As-of join: for each left row, attach the payload of the most
+    recent right row with the same keys and right_ts <= left_ts.
+
+    Spark has no native as-of join; this composes one from a tagged
+    union and a running last-non-null window — ONE shuffle on the keys,
+    versus the naive range-join's quadratic candidate explosion. The
+    pattern is order-of-magnitude cheaper than `left join ... on ts <=
+    ts` + top-1 because the window never materializes candidate pairs.
+
+    ``tiebreak`` must totally order rows sharing (keys, ts); right rows
+    sort before left rows at equal timestamps (<= semantics).
+    """
+    lcols = left.columns
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    tagged_left = left.select(
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(f"__p_{c}") for c in right_payload],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(tiebreak).cast("string").alias("__tb"),
+    )
+    tagged_right = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(ltypes[c])).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(f"__p_{c}") for c in right_payload],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).cast("string").alias("__tb"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attached = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_payload
+        ],
+    )
+    return attached.filter(F.col("__side") == 1).drop("__side")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",

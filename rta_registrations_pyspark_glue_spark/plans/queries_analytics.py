@@ -194,6 +194,92 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice,
+           CAST(rn AS INT) AS rn
+    FROM (
+        SELECT p_brand, p_partkey, p_name, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic top-k-per-group operator (generalized J5/W2,
+    operators/windows.top_k_per_group): 3 priciest parts per brand."""
+    part = load_table(spark, "part", sf_dir).select(
+        "p_brand", "p_partkey", "p_name", "p_retailprice"
+    )
+    return windows.top_k_per_group(
+        part,
+        keys=["p_brand"],
+        order_by=[F.col("p_retailprice").desc(), F.col("p_partkey")],
+        k=3,
+        keep_rank=True,
+    )
+
+
+@register(
+    "events_last_signup_asof",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS BIGINT) AS p_id,
+               CAST(ts AS TIMESTAMP) AS o_ts, 1 AS side,
+               CAST(event_id AS VARCHAR) AS tb
+        FROM events
+        UNION ALL
+        SELECT NULL, user_id, NULL, NULL,
+               CAST(ts AS TIMESTAMP), event_id,
+               CAST(ts AS TIMESTAMP), 0, CAST(event_id AS VARCHAR)
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT event_id, user_id, ts, event_type,
+           asof_ts, asof_event_id
+    FROM (
+        SELECT event_id, user_id, ts, event_type, side,
+               last_value(p_ts IGNORE NULLS) OVER w AS asof_ts,
+               last_value(p_id IGNORE NULLS) OVER w AS asof_event_id
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY o_ts, side, tb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) WHERE side = 1
+    """,
+)
+def events_last_signup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/windows.asof_join): each event gets the most
+    recent signup (ts and id) of the same user at-or-before its time —
+    composed as tagged-union + running last-non-null, one shuffle, no
+    candidate-pair explosion. Spark has no native as-of join; this is the
+    scalable formulation."""
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    out = windows.asof_join(
+        events,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "event_id"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("asof_ts"),
+        F.col("asof_event_id"),
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH flagged AS (
