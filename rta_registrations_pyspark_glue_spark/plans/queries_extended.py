@@ -220,6 +220,60 @@ def pk_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_arrays",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS orderkeys,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: per-customer sorted order-key array and an
+    order-key-ordered status string. collect_list has NO deterministic
+    order under parallel execution — sort_array / ordered reconstruction
+    is mandatory for reproducible collection aggregates."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("o_orderkey", "o_orderstatus"))
+                ),
+                lambda s: s.o_orderstatus,
+            ),
+            ",",
+        ).alias("statuses"),
+    )
+
+
+@register(
+    "document_token_positions",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           CAST(u.i - 1 AS INT) AS pos,
+           t[u.i] AS token
+    FROM toks, (SELECT unnest(range(1, 2000)) AS i) u
+    WHERE u.i <= len(t)
+    """,
+)
+def document_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream with 0-based positions (the
+    lateral-flatten shape; every 50th doc to keep the gate light)."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 50 == 0)
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    return toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int"), "token")
+
+
+@register(
     "props_json_extract",
     oracle="""
     SELECT event_id, event_type,

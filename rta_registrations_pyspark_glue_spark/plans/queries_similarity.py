@@ -117,6 +117,43 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+               AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= 0.35
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the vector-space dedup
+    mode): all pairs with cosine >= 0.35 (the synthetic vectors are near-orthogonal; the max pairwise cosine is ~0.51, so the threshold sits at the ~99.9th percentile). Exact all-pairs here (the gate's
+    corpus is small); at scale the IVF cell assignment (cosine_topk_ivf)
+    becomes the blocking structure — compare within cells only, the same
+    candidate-bounding idea as LSH banding."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        F.col("vec_id"), similarity.as_double("embedding").alias("e")
+    ).withColumn("n", similarity.dot("e", "e")).filter(F.col("n") > 0)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = similarity.dot("ea", "eb") / (F.sqrt("na") * F.sqrt("nb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.35
+    )
+
+
+@register(
     "multimodal_meta",
     oracle="""
     SELECT doc_id,
