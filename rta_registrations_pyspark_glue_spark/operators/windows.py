@@ -82,23 +82,35 @@ def asof_join(
 
     ``tiebreak`` must totally order rows sharing (keys, ts); right rows
     sort before left rows at equal timestamps (<= semantics).
+
+    NULL semantics match the SQL-join equivalent: right rows with a NULL
+    timestamp or NULL key never match (filtered — under Spark's
+    NULLS-FIRST ascending sort they would otherwise sort before
+    everything and match every left row). The payload travels as ONE
+    struct so the latest right row wins atomically — per-column
+    last-non-null would back-fill a NULL field of the newest row from an
+    older row, fabricating a row that never existed.
     """
     lcols = left.columns
     ltypes = dict(left.dtypes)
     rtypes = dict(right.dtypes)
+    payload_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_payload) + ">"
+    right_clean = right.filter(F.col(right_ts).isNotNull())
+    for key in on:
+        right_clean = right_clean.filter(F.col(key).isNotNull())
     tagged_left = left.select(
         *lcols,
-        *[F.lit(None).cast(rtypes[c]).alias(f"__p_{c}") for c in right_payload],
+        F.lit(None).cast(payload_ddl).alias("__p"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.col(tiebreak).cast("string").alias("__tb"),
     )
-    tagged_right = right.select(
+    tagged_right = right_clean.select(
         *[
             (F.col(c) if c in on else F.lit(None).cast(ltypes[c])).alias(c)
             for c in lcols
         ],
-        *[F.col(c).alias(f"__p_{c}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("__p"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(tiebreak).cast("string").alias("__tb"),
@@ -112,12 +124,12 @@ def asof_join(
     attached = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_payload
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__p_last"),
     )
-    return attached.filter(F.col("__side") == 1).drop("__side")
+    return attached.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col(f"__p_last.{c}").alias(f"asof_{c}") for c in right_payload],
+    )
 
 
 def sessionize(

@@ -257,10 +257,14 @@ def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id % 50 = 0
     )
     SELECT doc_id,
-           CAST(u.i - 1 AS INT) AS pos,
-           t[u.i] AS token
-    FROM toks, (SELECT unnest(range(1, 2000)) AS i) u
-    WHERE u.i <= len(t)
+           CAST(p.i - 1 AS INT) AS pos,
+           p.tok AS token
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                                     i -> {'i': i, 'tok': t[i]})) AS p
+        FROM toks
+    )
     """,
 )
 def document_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,10 +33,14 @@ def stream_clean_and_stage(
     stage_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    available_now: bool = True,
 ):
-    """Start the incremental ETL1 stream. Returns the StreamingQuery;
-    callers drive it (processAllAvailable for batch-style catch-up, or
-    leave running for continuous ingestion)."""
+    """Start the incremental ETL1 stream. Returns the StreamingQuery.
+
+    ``available_now=True`` (default) drains the currently-available files
+    and terminates — batch-style catch-up. Pass ``available_now=False``
+    for a continuously-running micro-batch query that picks up files as
+    they arrive."""
     bronze_stream = (
         spark.readStream.schema(io.bronze_string_schema(BRONZE_COLUMNS))
         .option("header", True)
@@ -44,7 +48,15 @@ def stream_clean_and_stage(
         .csv(input_dir)
     )
 
+    tmp_path = stage_path + ".__tmp__"
+    old_path = stage_path + ".__old__"
+
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Crash recovery: a previous run that died mid-swap left the stage
+        # renamed aside — restore it before merging, or batches ingested
+        # before the crash would be silently dropped.
+        if not os.path.exists(stage_path) and os.path.exists(old_path):
+            os.rename(old_path, stage_path)
         staged_new = clean_and_stage(batch_df)
         if os.path.exists(stage_path):
             current = spark.read.parquet(stage_path)
@@ -56,19 +68,23 @@ def stream_clean_and_stage(
             )
         else:
             merged = staged_new
-        # Write-then-swap: the merge reads the current stage while writing
-        # a sibling directory, then the swap is a metadata rename — no
-        # read-overwrite conflict, crash leaves either old or new intact.
-        # (Delta/Iceberg replace this whole dance with MERGE INTO.)
-        tmp_path = stage_path + ".__tmp__"
+        # Write-then-swap with an aside rename (never rmtree the only
+        # copy): write tmp → move stage aside → move tmp in → drop aside.
+        # A crash at any point leaves either the old stage (possibly under
+        # the aside name, restored above) or the new one — never neither.
+        # (Delta/Iceberg replace this dance with MERGE INTO.)
         merged.write.mode("overwrite").parquet(tmp_path)
+        if os.path.exists(old_path):
+            shutil.rmtree(old_path)
         if os.path.exists(stage_path):
-            shutil.rmtree(stage_path)
+            os.rename(stage_path, old_path)
         os.rename(tmp_path, stage_path)
+        if os.path.exists(old_path):
+            shutil.rmtree(old_path)
 
-    return (
-        bronze_stream.writeStream.foreachBatch(upsert_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = bronze_stream.writeStream.foreachBatch(upsert_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

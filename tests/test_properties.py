@@ -8,7 +8,6 @@ import datetime
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.functions.dates import parse_multiformat_date
 from rta_registrations_pyspark_glue_spark.functions.hashing import surrogate_key

@@ -37,6 +37,36 @@ def test_dedup_deterministic_stable_across_partitioning(spark):
     assert a[0]["v"] == "val0"  # lexicographic min struct
 
 
+def test_asof_join_atomic_payload_and_null_handling(spark):
+    """The newest right row wins ATOMICALLY: its NULL payload field must
+    not be back-filled from an older row; NULL-ts right rows never match."""
+    from rta_registrations_pyspark_glue_spark.operators import windows
+
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=1, a=100, b=200, tb=10),
+            Row(k=1, rts=2, a=None, b=300, tb=11),  # newest: a genuinely NULL
+            Row(k=1, rts=None, a=999, b=999, tb=12),  # NULL ts: never matches
+        ],
+        "k int, rts int, a int, b int, tb int",
+    )
+    left = spark.createDataFrame(
+        [Row(k=1, lts=3, lid=1, tb=1), Row(k=1, lts=0, lid=2, tb=2)],
+        "k int, lts int, lid int, tb int",
+    )
+    out = {
+        r.lid: (r.asof_a, r.asof_b)
+        for r in windows.asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_payload=["a", "b"], tiebreak="tb",
+        ).collect()
+    }
+    # lid=1 (ts=3): newest right row is rts=2 → (None, 300), NOT (100, 300).
+    assert out[1] == (None, 300)
+    # lid=2 (ts=0): nothing at-or-before, and the NULL-ts row is excluded.
+    assert out[2] == (None, None)
+
+
 def test_fuzzy_path_unaffected_by_collision_fix(spark):
     """A probe that misses exactly still fuzzy-matches within threshold."""
     catalog = spark.createDataFrame([Row(cid=1, text="swift vdi")])

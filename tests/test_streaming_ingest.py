@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import shutil
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row
 
 from rta_registrations_pyspark_glue_spark.jobs import BRONZE_COLUMNS
 from rta_registrations_pyspark_glue_spark.streaming.ingest import stream_clean_and_stage
@@ -59,7 +59,7 @@ def test_incremental_ingest_latest_wins(spark):
         stage_path=f"{ROOT}/stage",
         checkpoint_dir=f"{ROOT}/ckpt",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
 
     stage = spark.read.parquet(f"{ROOT}/stage")
     rows = {r.tempRegistrationNumber: r for r in stage.collect()}
