@@ -2,9 +2,9 @@
 
 - ``parse_multiformat_date``: the reference's three-branch regex-dispatch
   parser (etl1_clean_and_stage.py:36-49) — normalize separators, then
-  choose the format by shape, else NULL. Requires the session's LEGACY
-  time-parser policy (session.py) so dd/MM/yy two-digit years resolve to
-  the recent century.
+  choose the format by shape, else NULL. Two-digit years are expanded
+  in-string with the POSIX %y pivot, so the result does not depend on
+  ``spark.sql.legacy.timeParserPolicy`` (hermetic under any session).
 - ``date_key``: yyyyMMdd integer smart key
   (etl2_advclean_and_dimcreatin.py:263-267, starschema_dw.txt:44-50).
 - ``date_spine``: Spark-native replacement for the warehouse's
@@ -27,13 +27,30 @@ def clean_date_string(col: Column | str) -> Column:
     return F.regexp_replace(cleaned, r"[\.-]", "/")
 
 
+def _expand_two_digit_year(cleaned: Column) -> Column:
+    """Rewrite dd/MM/yy -> dd/MM/yyyy in-string with the POSIX %y pivot
+    (00-68 -> 20yy, 69-99 -> 19yy). Century-explicit rewriting makes the
+    parse independent of ``spark.sql.legacy.timeParserPolicy`` — the
+    reference relies on a per-job LEGACY conf (etl1_clean_and_stage.py:23)
+    whose SimpleDateFormat pivot floats with wall-clock time; a fixed
+    pivot is deterministic across sessions and engines."""
+    yy = F.substring(cleaned, 7, 2).cast("int")
+    century = F.when(yy <= 68, F.lit("20")).otherwise(F.lit("19"))
+    return F.concat(F.substring(cleaned, 1, 6), century, F.substring(cleaned, 7, 2))
+
+
 def parse_multiformat_date(col: Column | str) -> Column:
     """Regex-shape dispatch over dd/MM/yyyy, dd/MM/yy, yyyy/MM/dd; any
-    other shape parses to NULL (etl1_clean_and_stage.py:40-49)."""
+    other shape parses to NULL (etl1_clean_and_stage.py:40-49). Two-digit
+    years are expanded in-string (POSIX pivot) so no parser-policy session
+    conf is required."""
     cleaned = clean_date_string(col)
     return (
         F.when(cleaned.rlike(r"^\d{2}/\d{2}/\d{4}$"), F.to_date(cleaned, "dd/MM/yyyy"))
-        .when(cleaned.rlike(r"^\d{2}/\d{2}/\d{2}$"), F.to_date(cleaned, "dd/MM/yy"))
+        .when(
+            cleaned.rlike(r"^\d{2}/\d{2}/\d{2}$"),
+            F.to_date(_expand_two_digit_year(cleaned), "dd/MM/yyyy"),
+        )
         .when(cleaned.rlike(r"^\d{4}/\d{2}/\d{2}$"), F.to_date(cleaned, "yyyy/MM/dd"))
         .otherwise(F.lit(None).cast("date"))
     )

@@ -223,7 +223,7 @@ def pk_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_order_arrays",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS orderkeys,
+           CAST(to_json(list_sort(list(o_orderkey))) AS VARCHAR) AS orderkeys,
            string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
     FROM orders
     GROUP BY o_custkey
@@ -233,10 +233,13 @@ def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: per-customer sorted order-key array and an
     order-key-ordered status string. collect_list has NO deterministic
     order under parallel execution — sort_array / ordered reconstruction
-    is mandatory for reproducible collection aggregates."""
+    is mandatory for reproducible collection aggregates. The array is
+    emitted as JSON text: the driver gate canonicalizes results with
+    pandas, which cannot hash raw list cells — scalar (string) columns
+    are the portable contract for collection-valued output."""
     orders = load_table(spark, "orders", sf_dir)
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.to_json(F.sort_array(F.collect_list("o_orderkey"))).alias("orderkeys"),
         F.array_join(
             F.transform(
                 F.sort_array(
@@ -301,24 +304,35 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_price_quantiles",
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
-           quantile_cont(o.o_totalprice::DOUBLE, [0.25, 0.5, 0.75, 0.95]) AS price_quantiles
+           quantile_cont(o.o_totalprice::DOUBLE, 0.25) AS p25,
+           quantile_cont(o.o_totalprice::DOUBLE, 0.50) AS p50,
+           quantile_cont(o.o_totalprice::DOUBLE, 0.75) AS p75,
+           quantile_cont(o.o_totalprice::DOUBLE, 0.95) AS p95
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,
 )
 def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated quantiles per segment (both engines use
-    the same (n-1)*q interpolation — verified bit-equal). At 100 TB use
+    the same (n-1)*q interpolation — verified bit-equal), flattened to
+    scalar columns so the driver gate's pandas canonicalizer can hash
+    them (raw array cells are unhashable there). At 100 TB use
     percentile_approx (t-digest sketch, map-side combinable) instead;
     exact percentile shuffles the value lists."""
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
+    q = F.percentile(
+        F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    )
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
-        .agg(
-            F.percentile(
-                F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
-            ).alias("price_quantiles")
+        .agg(q.alias("q"))
+        .select(
+            "mktsegment",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            F.col("q")[3].alias("p95"),
         )
     )

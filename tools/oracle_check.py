@@ -82,6 +82,18 @@ def run(sf_dir: str, only: list[str]) -> int:
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
+            # The external driver canonicalizes with pandas, which cannot
+            # hash list/struct/map cells (round-1 gate: TypeError
+            # unhashable type). Complex output types are a gate bug even
+            # when this replica (which canonicalizes them) passes.
+            complex_cols = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(f"[{name}] GATE-UNSAFE complex columns {complex_cols} — "
+                      "serialize to JSON/scalars")
+                failures += 1
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"[{name}] SPARK ERROR\n{traceback.format_exc()}")
