@@ -51,6 +51,35 @@ class StarOutput:
     dim_rta: DataFrame
     dim_date: DataFrame
     fact: DataFrame
+    keyed: DataFrame | None = None  # persisted pruned stage; unpersist() when done
+
+
+# Columns of the keyed (post-surrogate) frame that downstream consumers
+# (dims, probe, manufacturer map, fact) actually read. The full keyed
+# frame is ~60 columns of bronze/cleaning intermediates; persisting THAT
+# blocked column pruning and measured 2.4x slower than recompute. The
+# pruned 19-column projection is what a stage layer would durably hold.
+_KEYED_COLS = (
+    "slno",
+    "tempRegistrationNumber",
+    "fromdate_parsed",
+    "todate_parsed",
+    "OfficeCd",
+    "makerName",
+    "modelName",
+    "variant",
+    "colour",
+    "vehicleClass",
+    "seatCapacity",
+    "fuel_clean",
+    "makeYear_clean",
+    "emissionStandard",
+    "isElectric",
+    "MAKE_YEAR_KEY",
+    "VEHICLE_ID",
+    "MANUFACTURER_ID",
+    "RTA_ID",
+)
 
 
 def build_star(staged: DataFrame) -> StarOutput:
@@ -68,12 +97,14 @@ def build_star(staged: DataFrame) -> StarOutput:
     df = cleaning.derive_emission_standard(df)
     df = cleaning.coerce_is_electric(df)
     df = star.add_surrogate_keys(df)
-    # Deliberately NOT persisted: the keyed frame is ~60 columns wide and
-    # each of its six consumers (dims, probe, manufacturer map, fact)
-    # prunes to a small subset. A persist materializes every column and
-    # blocks pruning — measured 2.4x slower than recomputing the pruned
-    # branches. Durable pipelines cut recompute by writing the stage
-    # layer to parquet between jobs (jobs.py does exactly that).
+    # Persist a PRUNED projection, not the raw keyed frame: the full frame
+    # is ~60 columns of cleaning intermediates, and persisting it blocked
+    # column pruning across the six consumers (measured 2.4x slower than
+    # recompute). The 19 columns below are exactly what dims, probe, and
+    # fact read — one codegen'd pass computes them, every consumer reuses
+    # the cached narrow rows. Durable pipelines write this same projection
+    # to parquet as the stage layer (jobs.py).
+    df = df.select(*_KEYED_COLS).persist()
 
     dim_vehicle = star.build_dim_vehicle(df)
     dim_manufacturer = star.build_dim_manufacturer(df)
@@ -106,7 +137,7 @@ def build_star(staged: DataFrame) -> StarOutput:
     # Spine range covers the synthesized bronze dates (1995-2002), unlike
     # the reference's 2010..today (its feed is modern-only).
     dim_date = date_spine(staged.sparkSession, start="1990-01-01")
-    return StarOutput(dim_vehicle, dim_manufacturer, dim_rta, dim_date, fact)
+    return StarOutput(dim_vehicle, dim_manufacturer, dim_rta, dim_date, fact, keyed=df)
 
 
 def run_pipeline(df_raw: DataFrame) -> StarOutput:
