@@ -1,0 +1,52 @@
+"""Session-cache lifecycle for operator-internal persists.
+
+Several operators persist an internal DataFrame because multiple plan
+branches consume it (the LSH bucket index, the near-dup corpus, the
+pipeline's pruned stage projection). ``persist`` alone is LRU-evictable
+but never *released*, so a long-lived session that invokes those
+operators repeatedly (the two-pass bench loop, the driver gate, a
+notebook) accumulates cached plans until memory pressure.
+
+``tracked_persist`` is a drop-in ``df.persist()`` that records the frame;
+``release_tracked`` unpersists everything recorded, plus any registered
+cleanup hooks (e.g. the pipeline memo). Call it when a batch of query
+invocations is done — bench.py does so after every full pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+_HOOKS: list[Callable[[], None]] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() the frame and register it for ``release_tracked``."""
+    df = df.persist()
+    _LIVE.append(df)
+    return df
+
+
+def register_release_hook(hook: Callable[[], None]) -> None:
+    """Register extra cleanup to run on ``release_tracked`` (idempotent
+    hooks only — they run on every release)."""
+    _HOOKS.append(hook)
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked frame and run release hooks. Returns the
+    number of frames released. Safe to call with active consumers — the
+    frames recompute from lineage if used again."""
+    n = len(_LIVE)
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    for hook in _HOOKS:
+        hook()
+    return n

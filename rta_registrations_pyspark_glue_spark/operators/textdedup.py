@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rta_registrations_pyspark_glue_spark.caching import tracked_persist
+
 from rta_registrations_pyspark_glue_spark.operators.text import normalize_text, word_shingles
 
 DEFAULT_NUM_HASHES = 8
@@ -96,13 +98,11 @@ def minhash_lsh_candidates(
     # Persist the bucket index: both sides of the self-join read it, and
     # without it the whole shingle→signature pipeline executes twice.
     # (num_bands small rows per doc — this is the LSH "index" any real
-    # deployment materializes.) Lifecycle: session-cached, default
-    # MEMORY_AND_DISK → LRU-evictable under pressure; long-lived sessions
-    # that are done with the candidates may unpersist via the returned
-    # plan's lineage or spark.catalog.clearCache().
-    buckets = sig.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
-    ).persist()
+    # deployment materializes.) Lifecycle: tracked — callers done with a
+    # batch of invocations release it via caching.release_tracked().
+    buckets = tracked_persist(
+        sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key"))
+    )
     a = buckets.select(
         F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")
     )

@@ -81,7 +81,11 @@ def asof_join(
     ts` + top-1 because the window never materializes candidate pairs.
 
     ``tiebreak`` must totally order rows sharing (keys, ts); right rows
-    sort before left rows at equal timestamps (<= semantics).
+    sort before left rows at equal timestamps (<= semantics). Tie rule:
+    among right rows sharing (keys, ts), the one with the GREATEST
+    tiebreak (in its native type's order — numeric for numeric columns)
+    supplies the payload. If the two sides' tiebreak dtypes differ, both
+    are cast to string and the order becomes lexicographic.
 
     NULL semantics match the SQL-join equivalent: right rows with a NULL
     timestamp or NULL key never match (filtered — under Spark's
@@ -94,6 +98,9 @@ def asof_join(
     lcols = left.columns
     ltypes = dict(left.dtypes)
     rtypes = dict(right.dtypes)
+    # Order the tiebreak in its native type so numeric columns tie-break
+    # numerically ('10' > '2'); only mismatched dtypes fall back to string.
+    tb_type = ltypes[tiebreak] if ltypes[tiebreak] == rtypes[tiebreak] else "string"
     payload_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_payload) + ">"
     right_clean = right.filter(F.col(right_ts).isNotNull())
     for key in on:
@@ -103,7 +110,7 @@ def asof_join(
         F.lit(None).cast(payload_ddl).alias("__p"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.col(tiebreak).cast("string").alias("__tb"),
+        F.col(tiebreak).cast(tb_type).alias("__tb"),
     )
     tagged_right = right_clean.select(
         *[
@@ -113,7 +120,7 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_payload]).alias("__p"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(tiebreak).cast("string").alias("__tb"),
+        F.col(tiebreak).cast(tb_type).alias("__tb"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (

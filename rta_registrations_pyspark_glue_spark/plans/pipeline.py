@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rta_registrations_pyspark_glue_spark.caching import tracked_persist
 from rta_registrations_pyspark_glue_spark.functions.dates import date_spine
 from rta_registrations_pyspark_glue_spark.operators import cleaning, dedup, resolve, star
 
@@ -104,7 +105,7 @@ def build_star(staged: DataFrame) -> StarOutput:
     # fact read — one codegen'd pass computes them, every consumer reuses
     # the cached narrow rows. Durable pipelines write this same projection
     # to parquet as the stage layer (jobs.py).
-    df = df.select(*_KEYED_COLS).persist()
+    df = tracked_persist(df.select(*_KEYED_COLS))
 
     dim_vehicle = star.build_dim_vehicle(df)
     dim_manufacturer = star.build_dim_manufacturer(df)

@@ -228,12 +228,12 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, ts, event_type,
                CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS BIGINT) AS p_id,
                CAST(ts AS TIMESTAMP) AS o_ts, 1 AS side,
-               CAST(event_id AS VARCHAR) AS tb
+               event_id AS tb
         FROM events
         UNION ALL
         SELECT NULL, user_id, NULL, NULL,
                CAST(ts AS TIMESTAMP), event_id,
-               CAST(ts AS TIMESTAMP), 0, CAST(event_id AS VARCHAR)
+               CAST(ts AS TIMESTAMP), 0, event_id
         FROM events WHERE event_type = 'signup'
     )
     SELECT event_id, user_id, ts, event_type,

@@ -21,11 +21,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rta_registrations_pyspark_glue_spark.caching import register_release_hook
 from rta_registrations_pyspark_glue_spark.plans.pipeline import StarOutput, run_pipeline
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.bronze import synthesize_bronze
 
 _MEMO: dict[tuple[str, str], StarOutput] = {}
+# The memo pins the persisted stage projection; drop it when caches are
+# released so the next invocation rebuilds (and re-persists) cleanly.
+register_release_hook(_MEMO.clear)
 
 
 def _pipeline(spark: SparkSession, sf_dir: str) -> StarOutput:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rta_registrations_pyspark_glue_spark.caching import tracked_persist
 from rta_registrations_pyspark_glue_spark.operators import text, textdedup
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
@@ -236,7 +237,7 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (generalizing the reference's blocked fuzzy join, SURVEY.md §4)."""
     # Three plan branches read the corpus (signature build + both sides
     # of the verification join) — persist it once.
-    corpus = _near_dup_corpus(spark, sf_dir).persist()
+    corpus = tracked_persist(_near_dup_corpus(spark, sf_dir))
     cands = textdedup.minhash_lsh_candidates(corpus)
     return textdedup.jaccard_verify(cands, corpus, threshold=0.35)
 

@@ -30,9 +30,13 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     # The driver may call queries() on a session we didn't build (its own
-    # timezone). Results must be oracle-comparable (DuckDB timestamps are
-    # naive/UTC), so pin the session timezone on every load.
+    # timezone / parser policy). Results must be oracle-comparable (DuckDB
+    # timestamps are naive/UTC; LEGACY two-digit-year pivot matches %y in
+    # 1946-2046), so pin both runtime confs on every load. Date parsing is
+    # also policy-independent by construction (dates.py expands yy->yyyy),
+    # but the pin keeps any future to_date/unix_timestamp use hermetic.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) which the Spark parquet reader
         # rejects; read nanos as long and rebuild a microsecond timestamp.

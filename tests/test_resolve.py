@@ -78,3 +78,35 @@ def test_fuzzy_path_unaffected_by_collision_fix(spark):
     assert len(out) == 1
     assert out[0]["RESOLVED_ID"] == 1 and out[0]["IS_FUZZY_MATCH"] is True
     assert out[0]["LEV_DIST"] == 2
+
+
+def test_asof_join_numeric_tiebreak_orders_natively(spark):
+    """At equal (key, ts) the max-tiebreak right row wins in NATIVE
+    numeric order: tb=10 must beat tb=2 even though '10' < '2'."""
+    from rta_registrations_pyspark_glue_spark.operators import windows
+
+    right = spark.createDataFrame(
+        [Row(k=1, rts=1, a=2, tb=2), Row(k=1, rts=1, a=10, tb=10)],
+        "k int, rts int, a int, tb int",
+    )
+    left = spark.createDataFrame([Row(k=1, lts=1, tb=1)], "k int, lts int, tb int")
+    out = windows.asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["a"], tiebreak="tb",
+    ).collect()
+    assert out[0]["asof_a"] == 10
+
+
+def test_release_tracked_unpersists_and_clears_memo(spark):
+    """caching.release_tracked drops every tracked persist and runs the
+    registered hooks (pipeline memo)."""
+    from rta_registrations_pyspark_glue_spark import caching
+    from rta_registrations_pyspark_glue_spark.plans import queries_pipeline
+
+    df = caching.tracked_persist(spark.range(10))
+    df.count()
+    assert df.storageLevel.useMemory
+    queries_pipeline._MEMO[("app", "dir")] = object()
+    caching.release_tracked()
+    assert not df.storageLevel.useMemory
+    assert queries_pipeline._MEMO == {}
