@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from py4j.protocol import Py4JError
+from pyspark.errors import IllegalArgumentException
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
@@ -45,8 +47,11 @@ def release_tracked() -> int:
         df = _LIVE.pop()
         try:
             df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+        except (Py4JError, IllegalArgumentException):
+            # Session already stopped (dead JVM gateway) — nothing left to
+            # release. Anything else propagates: a failing unpersist on a
+            # live session is a cache-lifecycle bug, not cleanup noise.
+            pass
     for hook in _HOOKS:
         hook()
     return n

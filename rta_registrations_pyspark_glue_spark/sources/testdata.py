@@ -31,12 +31,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     path = os.path.join(sf_dir, f"{name}.parquet")
     # The driver may call queries() on a session we didn't build (its own
     # timezone / parser policy). Results must be oracle-comparable (DuckDB
-    # timestamps are naive/UTC; LEGACY two-digit-year pivot matches %y in
-    # 1946-2046), so pin both runtime confs on every load. Date parsing is
-    # also policy-independent by construction (dates.py expands yy->yyyy),
-    # but the pin keeps any future to_date/unix_timestamp use hermetic.
+    # timestamps are naive/UTC), so pin both runtime confs on every load.
+    # CORRECTED, not LEGACY: parse failures become NULL, matching the
+    # oracles' try_strptime — LEGACY would silently roll shaped-but-invalid
+    # dates like '31/02/20' over to a real date while DuckDB yields NULL.
+    # Date parsing itself is policy-independent by construction (dates.py
+    # expands yy->yyyy in-string with a fixed pivot).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) which the Spark parquet reader
         # rejects; read nanos as long and rebuild a microsecond timestamp.
