@@ -153,6 +153,77 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_near_dup_oracle(
+    threshold: float = 0.35, bits_per_band: int = 4, n_bands: int = 24, dim: int = 64
+) -> str:
+    """DuckDB mirror of hyperplane_lsh_candidates + cosine_verify: the
+    same fixed Rademacher plane bank as SQL literals, the same band-key
+    arithmetic, bucket join, and exact-cosine verification. Both engines
+    fold the dot product sequentially, so the >= 0 sign bits agree
+    bit-for-bit at the boundary."""
+    from rta_registrations_pyspark_glue_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(bits_per_band * n_bands, dim)
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in p) + "]"
+
+    key_cols = []
+    for t in range(n_bands):
+        terms = [
+            f"(CASE WHEN list_dot_product(e, {arr(planes[t * bits_per_band + i])}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(bits_per_band)
+        ]
+        key_cols.append("(" + " + ".join(terms) + f") AS k{t}")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {t} AS band, k{t} AS bkey FROM keys" for t in range(n_bands)
+    )
+    keys_sql = ",\n               ".join(key_cols)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), keys AS (
+        SELECT vec_id,
+               {keys_sql}
+        FROM v
+    ), buckets AS (
+        {unions}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT c.ia AS id_a, c.ib AS id_b,
+           list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+               AS cosine
+    FROM cand c
+    JOIN v x ON x.vec_id = c.ia
+    JOIN v y ON y.vec_id = c.ib
+    WHERE list_dot_product(x.e, y.e)
+              / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+          >= {threshold}
+    """
+
+
+@register("embedding_near_dup_bucketed", oracle=_bucketed_near_dup_oracle())
+def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-LSH banding blocks the
+    corpus into (band, key) buckets, candidates are pairs sharing any
+    bucket, and exact cosine verifies candidates only — no all-pairs
+    theta join anywhere in the plan (the scale fix for
+    embedding_near_dup_pairs, which stays as the recall baseline).
+    Recall vs the all-pairs truth set is 0.98 at sf0.01 with the loose
+    (4 bits, 24 bands) bank this low-similarity corpus needs; see
+    hyperplane_lsh_candidates for dedup-grade parameter guidance."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cands = similarity.hyperplane_lsh_candidates(emb)
+    return similarity.cosine_verify(cands, emb, threshold=0.35)
+
+
 @register(
     "multimodal_meta",
     oracle="""

@@ -90,6 +90,66 @@ def test_fast_ann_matches_fold_pairs(spark, sf_dir):
     assert exact == fast
 
 
+def test_hyperplane_near_dup_recall_and_plan(spark, sf_dir):
+    """The bucketed embedding near-dup must (a) recover nearly all
+    all-pairs truth pairs, (b) emit only true pairs (exact verification),
+    and (c) contain no nested-loop/cartesian join anywhere in the plan —
+    the property that makes it the 100 TB path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", similarity.as_double("embedding").alias("e")).withColumn(
+        "n", similarity.dot("e", "e")
+    ).filter(F.col("n") > 0)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+    cos = similarity.dot("ea", "eb") / (F.sqrt("na") * F.sqrt("nb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .collect()
+    }
+    cands = similarity.hyperplane_lsh_candidates(emb)
+    found_df = similarity.cosine_verify(cands, emb, threshold=0.35)
+    found = {(r.id_a, r.id_b) for r in found_df.collect()}
+    assert found <= truth  # exact verification: no false positives
+    recall = len(found) / len(truth)
+    assert recall >= 0.95, f"bucketed recall too low: {recall:.3f}"
+    plan = found_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hyperplane_lsh_prunes_at_dedup_threshold(spark):
+    """At dedup-grade similarity (cosine >= 0.9) the production band
+    parameters (8 bits x 16 bands) keep full recall while pruning the
+    candidate space hard — the scaling claim in the docstring, measured."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:  # plant a near-duplicate: tiny perturbation
+            dup = v + 0.05 * rng.standard_normal(64)
+            rows.append((i + 10000, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = len(rows)
+    cands = similarity.hyperplane_lsh_candidates(
+        df, bits_per_band=8, n_bands=16
+    )
+    n_cands = cands.count()
+    found = similarity.cosine_verify(cands, df, threshold=0.9)
+    planted = {(i, i + 10000) for i in range(0, 120, 4)}
+    got = {(r.id_a, r.id_b) for r in found.collect()}
+    assert planted <= got, f"missed planted near-dups: {planted - got}"
+    all_pairs = n * (n - 1) // 2
+    assert n_cands < 0.15 * all_pairs, (
+        f"candidate set not pruned: {n_cands}/{all_pairs}"
+    )
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     exact = {
