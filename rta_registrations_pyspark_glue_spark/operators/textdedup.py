@@ -147,33 +147,40 @@ def jaccard_verify(
     )
 
 
+SIMHASH_BITS = 64
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """16-bit SimHash over whitespace tokens of normalized text.
+    """64-bit SimHash over whitespace tokens of normalized text.
 
-    Each token hashes to 16 bits (first 4 hex chars of md5); fingerprint
-    bit b is 1 iff the majority of token-hash bits b are 1 (sum of ±1
-    votes > 0). Computed explode-side — one md5 per token, 16 partial-
-    aggregated vote sums — rather than 16 array-lambda passes, which
-    projection collapse would each inline into a full re-tokenization.
-    16 bits keeps the oracle cheap; production would use 64 unchanged."""
+    Each token hashes to 64 bits (first 16 hex chars of md5);
+    fingerprint bit b is 1 iff the majority of token-hash bits b are 1
+    (sum of ±1 votes > 0). Computed explode-side — one md5 per token, 64
+    partial-aggregated vote sums — rather than 64 array-lambda passes,
+    which projection collapse would each inline into a full
+    re-tokenization. The fingerprint is a signed LONG: bit 63 is the
+    two's-complement sign term, recomposed as ``-2^63`` so neither
+    engine ever overflows (bits 0-62 sum to at most 2^63-1, then the
+    one possibly-negative term lands last)."""
     df = df.withColumn("__norm", normalize_text(text_col))
     hashed = df.select(
         F.col(id_col), F.explode(F.split(F.trim("__norm"), r"\s+")).alias("__t")
     ).select(F.col(id_col), F.md5("__t").alias("__m"))
     votes = []
-    for b in range(16):
+    for b in range(SIMHASH_BITS):
         j, k = divmod(b, 4)  # hex char j, bit k within it (LSB-first)
         nib = F.expr(f"instr('0123456789abcdef', substring(__m, {j + 1}, 1)) - 1")
         bit = F.shiftright(nib, k).bitwiseAND(F.lit(1))
         votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__b{b}"))
     bits = hashed.groupBy(id_col).agg(*votes)
     value = None
-    for b in range(16):
-        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(SIMHASH_BITS):
+        weight = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        term = F.when(F.col(f"__b{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
         value = term if value is None else value + term
-    return bits.select(F.col(id_col), value.cast("int").alias("simhash"))
+    return bits.select(F.col(id_col), value.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -181,26 +188,52 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 4,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, bucketed on the top
-    ``prefix_bits`` bits so the self-join is per-bucket, not all-pairs.
-    (Bucketing trades recall for cost exactly like the reference's 2-char
-    blocking; a production variant unions several bit-range buckets.)"""
-    fp = simhash_fingerprints(df, text_col, id_col)
-    bucket = F.shiftright(F.col("simhash"), 16 - prefix_bits)
-    fp = fp.withColumn("__bucket", bucket)
-    a = fp.select(F.col("__bucket"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = fp.select(
-        F.col("__bucket").alias("__bucket_b"),
+    """Near-dup pairs by SimHash Hamming distance with EXACT multi-band
+    bucketing (Manku et al.'s permuted-table idea in band form): the 64
+    bits split into ``n_bands`` contiguous slices; two fingerprints
+    within Hamming distance ``n_bands - 1`` must agree on at least one
+    whole slice (pigeonhole), so joining per (band, slice) loses nothing
+    at ``max_hamming <= n_bands - 1`` — unlike a single prefix bucket,
+    which trades recall silently. Candidate count is bounded by slice-
+    collision rates (2^-16 per band for unrelated 64-bit fingerprints),
+    not corpus size²."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"exact banding needs n_bands >= max_hamming + 1 "
+            f"(got n_bands={n_bands}, max_hamming={max_hamming})"
+        )
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    fp = tracked_persist(simhash_fingerprints(df, text_col, id_col))
+    # (x >> s) & mask is shift-fill-agnostic, so arithmetic shift on the
+    # signed long slices identically in Spark and the DuckDB oracle.
+    slices = F.array(
+        *[
+            F.shiftright(F.col("simhash"), t * band_bits).bitwiseAND(F.lit(mask))
+            for t in range(n_bands)
+        ]
+    )
+    buckets = fp.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(slices).alias("band", "bkey")
+    )
+    a = buckets.select(
+        "band", "bkey", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = buckets.select(
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
         F.col(id_col).alias("id_b"),
         F.col("simhash").alias("sh_b"),
     )
     pairs = a.join(
         b,
-        (F.col("__bucket") == F.col("__bucket_b")) & (F.col("id_a") < F.col("id_b")),
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bkey") == F.col("bkey_b"))
+        & (F.col("id_a") < F.col("id_b")),
         "inner",
-    )
+    ).select("id_a", "id_b", "sh_a", "sh_b").distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

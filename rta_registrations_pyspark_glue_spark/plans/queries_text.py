@@ -292,19 +292,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", jac.alias("jaccard"))
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """64-bit SimHash in DuckDB, bit-for-bit the Spark operator: same
+    md5-hex nibble extraction, same ±1 majority votes, same signed-long
+    recomposition (bit 63 lands last as -2^63 so no partial sum ever
+    leaves BIGINT range)."""
     votes = []
-    for b in range(16):
+    for b in range(64):
         j, k = divmod(b, 4)
         nib = f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1)"
         votes.append(
             f"SUM(CASE WHEN (({nib} >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
         )
     sums = ",\n               ".join(votes)
-    recompose = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    terms = [
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)" for b in range(63)
+    ]
+    terms.append("(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0::BIGINT END)")
+    recompose = " + ".join(terms)
     return f"""
-    WITH normed AS (
-        SELECT doc_id, {SQL_NORM} AS norm FROM documents
+    WITH corpus AS (
+        {corpus_sql}
+    ), normed AS (
+        SELECT doc_id, {SQL_NORM} AS norm FROM corpus
     ), tok AS (
         SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS t FROM normed
     ), h AS (
@@ -314,27 +324,44 @@ def _simhash_sql() -> str:
                {sums}
         FROM h GROUP BY doc_id
     )
-    SELECT doc_id, CAST({recompose} AS INT) AS simhash FROM bits
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
     """
 
 
 @register("simhash_fingerprints", oracle=_simhash_sql())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (majority vote over token-hash bits)."""
+    """64-bit SimHash fingerprints (majority vote over token-hash bits)."""
     return textdedup.simhash_fingerprints(load_table(spark, "documents", sf_dir))
 
 
-@register(
-    "simhash_near_pairs",
-    oracle=f"""
-    WITH fp AS ({_simhash_sql()})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
-    FROM fp a
-    JOIN fp b ON (a.simhash >> 12) = (b.simhash >> 12) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
-    """,
-)
+def _simhash_pairs_sql(n_bands: int = 4, max_hamming: int = 3) -> str:
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, simhash, {t} AS band, (simhash >> {t * band_bits}) & {mask} AS bkey FROM fp"
+        for t in range(n_bands)
+    )
+    return f"""
+    WITH fp AS ({_simhash_sql(SQL_NEAR_CORPUS)}
+    ), buckets AS (
+        {bands}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+@register("simhash_near_pairs", oracle=_simhash_pairs_sql())
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming ≤ 3 within 4-bit-prefix buckets."""
-    return textdedup.simhash_near_pairs(load_table(spark, "documents", sf_dir))
+    """SimHash near-dup pairs over the injected near-dup corpus: Hamming
+    ≤ 3 with exact 4-band bucketing (any pair within distance 3 shares a
+    full 16-bit slice by pigeonhole — no recall loss, unlike the single
+    prefix bucket this replaces)."""
+    return textdedup.simhash_near_pairs(_near_dup_corpus(spark, sf_dir))

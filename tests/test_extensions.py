@@ -53,8 +53,54 @@ def test_simhash_duplicate_invariance(spark, docs):
     fp = textdedup.simhash_fingerprints(docs)
     fp2 = textdedup.simhash_fingerprints(docs.withColumn("text", F.col("text")))
     assert fp.exceptAll(fp2).count() == 0
-    vals = fp.agg(F.min("simhash"), F.max("simhash")).collect()[0]
-    assert 0 <= vals[0] and vals[1] < 65536
+    # 64-bit signed fingerprints should use the full bit width: some
+    # fingerprint must set a high bit (i.e. go negative or exceed 2^32).
+    vals = [r.simhash for r in fp.collect()]
+    assert any(v < 0 or v >= 2**32 for v in vals)
+
+
+def test_simhash_banding_is_exact_at_max_hamming(spark, docs):
+    """Pigeonhole exactness: banded candidate generation must find every
+    pair within max_hamming — compare against the unblocked all-pairs
+    result on the fingerprints, and bound per-bucket candidate counts."""
+    corpus = _near_corpus(docs)
+    fp = textdedup.simhash_fingerprints(corpus)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in textdedup.simhash_near_pairs(corpus, max_hamming=3, n_bands=4).collect()
+    }
+    assert got == truth  # exact: banding loses nothing at ham <= n_bands-1
+    with pytest.raises(ValueError):
+        textdedup.simhash_near_pairs(corpus, max_hamming=4, n_bands=4)
+    # Candidate volume is bucket-bounded, far below the pair space.
+    n = corpus.count()
+    band_bits = textdedup.SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col("simhash"), t * band_bits).bitwiseAND(F.lit(mask))
+            for t in range(4)
+        ]
+    )
+    buckets = fp.select(F.posexplode(slices).alias("band", "bkey"))
+    biggest = (
+        buckets.groupBy("band", "bkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    n_cands = buckets.groupBy("band", "bkey").count().select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)
+    ).collect()[0][0]
+    assert n_cands < 0.05 * (n * (n - 1) / 2), (n_cands, n)
+    assert biggest < 0.2 * n, biggest
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
