@@ -272,22 +272,99 @@ def cosine_verify(
     return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_pivots: int = 8,
+    iters: int = 2,
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Deterministic spherical k-means for the IVF coarse quantizer:
+    init = the ``n_pivots`` lowest-id vectors, then ``iters`` Lloyd
+    updates (assign by max fold-cosine, centroid = element mean).
+
+    Cross-engine determinism is built in so a SQL oracle can reproduce
+    training exactly: elements are quantized to integers with
+    ``floor(x * quant_scale + 0.5)`` (floor is unambiguous in every
+    engine, unlike round()), and each centroid component is the exact
+    integer sum divided by the member count — one IEEE division of two
+    integers, identical everywhere, independent of aggregation order.
+    Centroids are not normalized: cosine assignment is scale-invariant,
+    so the un-normalized mean assigns identically and saves a pass.
+    Empty cells simply vanish (their rows drop out of the group-by) in
+    both engines alike.
+
+    Scale: per iteration — one broadcast of k centroid arrays, one
+    explode to (cell, dim) rows, one map-side-combinable integer-sum
+    shuffle over k*dim groups. Production systems train the quantizer
+    on a sample; pass a sampled corpus for that.
+
+    Returns (cell, cv): cell = the init pivot's id, cv array<double>."""
+    v = (
+        corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv"))
+        .withColumn("__cn", dot("__cv", "__cv"))
+        .filter(F.col("__cn") > 0)
+    )
+    quant = F.transform(
+        F.col("__cv"), lambda x: F.floor(x * quant_scale + F.lit(0.5)).cast("long")
+    )
+    v = v.withColumn("__q", quant)
+    cents = (
+        v.orderBy(F.col(corpus_id))
+        .limit(n_pivots)
+        .select(F.col(corpus_id).cast("long").alias("cell"), F.col("__cv").alias("cv"))
+    )
+    for _ in range(iters):
+        c = cents.select(
+            F.col("cell").alias("__pid"), F.col("cv").alias("__pv")
+        ).withColumn("__pn", dot("__pv", "__pv"))
+        scores = v.crossJoin(F.broadcast(c)).withColumn(
+            "__acos", dot("__cv", "__pv") / (F.sqrt("__cn") * F.sqrt("__pn"))
+        )
+        w = Window.partitionBy(corpus_id).orderBy(F.col("__acos").desc(), F.col("__pid"))
+        assigned = (
+            scores.withColumn("__arn", F.row_number().over(w))
+            .filter(F.col("__arn") == 1)
+            .select(F.col("__pid").alias("__cell"), "__q")
+        )
+        per_dim = (
+            assigned.select(F.col("__cell"), F.posexplode("__q").alias("__d", "__qv"))
+            .groupBy("__cell", "__d")
+            .agg(F.sum("__qv").alias("__s"), F.count(F.lit(1)).alias("__cnt"))
+            .withColumn("__v", F.col("__s").cast("double") / F.col("__cnt").cast("double"))
+        )
+        cents = (
+            per_dim.groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("__d", "__v"))).alias("__dv"))
+            .select(
+                F.col("__cell").alias("cell"),
+                F.transform(F.col("__dv"), lambda s: s["__v"]).alias("cv"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     nprobe: int = 2,
     n_pivots: int = 8,
+    train_iters: int = 0,
     query_id: str = "qid",
     query_vec: str = "qv",
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
 ) -> DataFrame:
     """IVF two-stage ANN. Index build: every corpus vector is assigned to
-    its nearest pivot by cosine (the coarse quantizer — pivots are the
-    ``n_pivots`` lowest-id vectors; swapping in trained k-means centroids
-    changes nothing downstream). Search: each query probes its ``nprobe``
-    nearest pivots and runs exact top-k within those cells only.
+    its nearest pivot by cosine (the coarse quantizer). With
+    ``train_iters=0`` pivots are the ``n_pivots`` lowest-id vectors;
+    with ``train_iters>0`` they are deterministic spherical-k-means
+    centroids (train_ivf_centroids), which makes recall a property of
+    the clustering rather than luck of the id order. Search: each query
+    probes its ``nprobe`` nearest pivots and runs exact top-k within
+    those cells only.
 
     Output: (qid, cid, rank, cosine) — approximate (recall < 1) by design.
 
@@ -296,13 +373,29 @@ def ivf_topk(
     scans ~nprobe/n_pivots of the corpus per query. In production the
     assignment is computed once and persisted partitioned by cell id, so
     queries prune cells via partition pruning."""
-    pivots = (
-        corpus.orderBy(F.col(corpus_id))
-        .limit(n_pivots)
-        .select(F.col(corpus_id).alias("__pid"), as_double(corpus_vec).alias("__pv"))
-        .withColumn("__pn", dot("__pv", "__pv"))
-        .filter(F.col("__pn") > 0)
-    )
+    if train_iters > 0:
+        cents = tracked_persist(
+            train_ivf_centroids(
+                corpus,
+                n_pivots=n_pivots,
+                iters=train_iters,
+                corpus_id=corpus_id,
+                corpus_vec=corpus_vec,
+            )
+        )
+        pivots = (
+            cents.select(F.col("cell").alias("__pid"), F.col("cv").alias("__pv"))
+            .withColumn("__pn", dot("__pv", "__pv"))
+            .filter(F.col("__pn") > 0)
+        )
+    else:
+        pivots = (
+            corpus.orderBy(F.col(corpus_id))
+            .limit(n_pivots)
+            .select(F.col(corpus_id).alias("__pid"), as_double(corpus_vec).alias("__pv"))
+            .withColumn("__pn", dot("__pv", "__pv"))
+            .filter(F.col("__pn") > 0)
+        )
 
     c = corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv")).withColumn(
         "__cn", dot("__cv", "__cv")

@@ -56,13 +56,50 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(q, c.drop("label"), k=5)
 
 
-@register(
-    "cosine_topk_ivf",
-    oracle="""
-    WITH piv AS (
-        SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
-        FROM embeddings ORDER BY vec_id LIMIT 8
-    ), c AS (
+def _ivf_trained_oracle(n_pivots: int = 8, iters: int = 2, quant_scale: int = 1000) -> str:
+    """DuckDB mirror of train_ivf_centroids + ivf_topk: training is
+    reproducible across engines because quantization uses floor (never
+    round), centroid components are exact integer sums divided once, and
+    assignment uses the bit-exact fold cosine with (cos DESC, cell)
+    total order — see train_ivf_centroids."""
+    itercte = []
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        itercte.append(f"""
+    assign{i} AS (
+        SELECT cid, q, cell FROM (
+            SELECT v.cid, v.q, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.cid
+                       ORDER BY list_dot_product(v.cv, c.cv)
+                                / (sqrt(list_dot_product(v.cv, v.cv))
+                                   * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                c.cell) AS rn
+            FROM v, {prev} c
+        ) WHERE rn = 1
+    ), expl{i} AS (
+        SELECT cell, unnest(q) AS qe, generate_subscripts(q, 1) AS d FROM assign{i}
+    ), sums{i} AS (
+        SELECT cell, d, SUM(qe) AS s, COUNT(*) AS cnt FROM expl{i} GROUP BY cell, d
+    ), cents{i} AS (
+        SELECT cell, list(s::DOUBLE / cnt::DOUBLE ORDER BY d) AS cv
+        FROM sums{i} GROUP BY cell
+    )""")
+        prev = f"cents{i}"
+    iter_sql = ",".join(itercte)
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {quant_scale} + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), cents0 AS (
+        SELECT cid::BIGINT AS cell, cv FROM v ORDER BY cid LIMIT {n_pivots}
+    ),{iter_sql}, piv AS (
+        SELECT cell AS pid, cv AS pv FROM {prev}
+        WHERE list_dot_product(cv, cv) > 0
+    ), cc AS (
         SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ), assigned AS (
@@ -74,7 +111,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / (sqrt(list_dot_product(c.cv, c.cv))
                                    * sqrt(list_dot_product(p.pv, p.pv))) DESC,
                                 p.pid) AS arn
-            FROM c, piv p
+            FROM cc c, piv p
         ) WHERE arn = 1
     ), q AS (
         SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -105,15 +142,19 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY cosine DESC, cid) AS rank
         FROM cands
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("cosine_topk_ivf", oracle=_ivf_trained_oracle())
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: corpus vectors assigned to their nearest of 8 pivots
-    (coarse quantizer); each query probes its 4 nearest pivots and runs
-    exact top-5 within those cells — the scale path (scans nprobe/n_pivots
-    of the corpus per query)."""
+    """IVF ANN with a trained coarse quantizer: deterministic spherical
+    k-means (2 Lloyd iterations from min-id init) gives the 8 cells;
+    each query probes its 4 nearest centroids and runs exact top-5
+    within those cells — recall is a property of the clustering, not of
+    the id order (the round-2 min-id pivots are still available via
+    train_iters=0)."""
     q, c = _queries_corpus(spark, sf_dir)
-    return similarity.ivf_topk(q, c.drop("label"), k=5, nprobe=4, n_pivots=8)
+    return similarity.ivf_topk(q, c.drop("label"), k=5, nprobe=4, n_pivots=8, train_iters=2)
 
 
 @register(
