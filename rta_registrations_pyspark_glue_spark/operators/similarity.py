@@ -107,6 +107,7 @@ def brute_force_topk_fast(
     query_vec: str = "qv",
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """BLAS-accelerated exact cosine top-k: the query matrix is broadcast
     to every partition; each Arrow batch of corpus vectors does ONE numpy
@@ -114,12 +115,27 @@ def brute_force_topk_fast(
     merges partials. Same pairs as ``brute_force_topk`` (scores differ in
     the last ulp — numpy sums pairwise, the JVM fold sums sequentially),
     ~10x faster per pair. This is the production path; the fold variant
-    stays as the oracle-exact baseline."""
+    stays as the oracle-exact baseline.
+
+    Id columns keep their input types (string ids work — the output
+    schema is derived from the input schemas, and ids ride through numpy
+    as objects). The query set is collected to the driver and broadcast
+    — that is the design (queries are the small side); ``max_queries``
+    bounds it explicitly and raises instead of silently OOMing the
+    driver when a caller passes a corpus-sized frame."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
+    n_queries = queries.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"brute_force_topk_fast broadcasts the query set to the driver: "
+            f"{n_queries} rows exceeds max_queries={max_queries}. Swap sides "
+            f"or raise max_queries if the driver has memory for it."
+        )
     q_rows = queries.select(query_id, query_vec).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in q_rows])  # natural dtype: ints or objects
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
     keep = q_norm > 0
@@ -127,12 +143,18 @@ def brute_force_topk_fast(
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_norm))
 
-    out_schema = f"{query_id} long, {corpus_id} long, cosine double"
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(corpus_id, corpus.schema[corpus_id].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
 
     def op(batches):
         ids, mat, norms = bq.value
         for pdf in batches:
-            c_ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            c_ids = pdf[corpus_id].to_numpy()
             c_mat = np.stack(pdf[corpus_vec].map(np.asarray)).astype(np.float64)
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
             ok = c_norm > 0

@@ -147,6 +147,29 @@ def test_fast_ann_matches_fold_pairs(spark, sf_dir):
     assert exact == fast
 
 
+def test_fast_ann_string_ids_and_query_bound(spark, sf_dir):
+    """The BLAS path must honor non-integer id types (schema derived
+    from inputs) and refuse an over-sized query set instead of
+    collecting it."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("qid"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.concat(F.lit("c-"), F.col("vec_id")).alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    fast = similarity.brute_force_topk_fast(q, c, k=3)
+    assert dict(fast.dtypes)["qid"] == "string" and dict(fast.dtypes)["cid"] == "string"
+    rows = fast.collect()
+    assert rows and all(r.qid.startswith("q-") and r.cid.startswith("c-") for r in rows)
+    exact = {(r.qid, r.cid) for r in similarity.brute_force_topk(q, c, k=3).collect()}
+    assert {(r.qid, r.cid) for r in rows} == exact
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.brute_force_topk_fast(q, c, k=3, max_queries=2)
+
+
 def test_hyperplane_near_dup_recall_and_plan(spark, sf_dir):
     """The bucketed embedding near-dup must (a) recover nearly all
     all-pairs truth pairs, (b) emit only true pairs (exact verification),
