@@ -18,6 +18,12 @@ from rta_registrations_pyspark_glue_spark.caching import tracked_persist
 from rta_registrations_pyspark_glue_spark.functions.dates import date_spine
 from rta_registrations_pyspark_glue_spark.operators import cleaning, dedup, resolve, star
 
+# A vehicle spelling becomes "canonical" (eligible as a resolution
+# target) once this many registrations carry it. Typo'd spellings are
+# rare by nature, so they fall below the bar and get fuzzy-resolved to a
+# canonical entry instead of matching themselves.
+MIN_CATALOG_SUPPORT = 3
+
 
 def clean_and_stage(df_raw: DataFrame) -> DataFrame:
     """ETL1: bronze registrations (all-string) → typed, deduplicated,
@@ -112,16 +118,27 @@ def build_star(staged: DataFrame) -> StarOutput:
     dim_rta = star.build_dim_rta(df)
 
     # Vehicle resolution: probe = one row per registration with its
-    # normalized (model+variant) text; catalog = dim_vehicle (etl2:195-244).
+    # normalized (model+variant) text; catalog = the CANONICAL subset of
+    # dim_vehicle — entries backed by at least MIN_CATALOG_SUPPORT
+    # registrations (etl2:195-244). Rare spellings (typos — see
+    # sources/bronze.py %53==17) stay out of the catalog, fail the exact
+    # stage, and resolve fuzzily to the canonical spelling; dim_vehicle
+    # itself keeps every entry, so an unresolved probe's fallback to its
+    # own VEHICLE_ID still lands on a dim row.
     probe = df.select(
         "tempRegistrationNumber",
         F.concat_ws(" ", F.col("modelName"), F.col("variant")).alias("probe_text"),
         "MAKE_YEAR_KEY",
     )
-    catalog = dim_vehicle.select(
-        "VEHICLE_ID",
-        F.concat_ws(" ", F.col("MODEL_NAME"), F.col("VARIANT")).alias("cat_text"),
-        F.col("MAKE_YEAR").cast("string").alias("cat_year"),
+    support = df.groupBy("VEHICLE_ID").agg(F.count(F.lit(1)).alias("__support"))
+    catalog = (
+        dim_vehicle.join(support, "VEHICLE_ID")
+        .filter(F.col("__support") >= MIN_CATALOG_SUPPORT)
+        .select(
+            "VEHICLE_ID",
+            F.concat_ws(" ", F.col("MODEL_NAME"), F.col("VARIANT")).alias("cat_text"),
+            F.col("MAKE_YEAR").cast("string").alias("cat_year"),
+        )
     )
     resolution = resolve.resolve_exact_fuzzy(
         probe,

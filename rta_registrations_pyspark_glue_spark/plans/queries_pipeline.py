@@ -7,9 +7,12 @@ etl2_advclean_and_dimcreatin.py:105-290).
 
 Every stage of the oracle mirrors one Spark operator; the synthesized
 bronze is deterministic modular arithmetic over orders x part, so both
-engines see identical input. Within the synthesized corpus every probe
-resolves exactly (the fuzzy path is oracle-verified separately as
-fuzzy_resolution_parts), so IS_FUZZY_MATCH is uniformly false here.
+engines see identical input. The %53==17 model typos (sources/bronze.py)
+fall below the canonical-catalog support threshold, so their probes miss
+the exact stage and take the blocked-Levenshtein path — IS_FUZZY_MATCH
+is true for a known nonzero subset, hash-verified end-to-end (and the
+fuzzy operator is additionally verified in isolation as
+fuzzy_resolution_parts).
 
 The two registry entries share ONE pipeline run per (session, sf_dir):
 run_pipeline persists a pruned 19-column stage projection, and the memo
@@ -42,8 +45,13 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> StarOutput:
 # DuckDB oracle: the full bronze->stage->star chain as CTEs. Stage names
 # mirror the Spark operators they reproduce.
 _PIPELINE_CTES = r"""
-WITH base AS (  -- sources/bronze.py: orders x part (p_partkey <= 200)
-    SELECT o.o_orderkey AS k, o.o_orderdate AS d, p.p_name, p.p_brand
+WITH base AS (  -- sources/bronze.py: orders x part (p_partkey <= 200),
+                -- with the %53==17 deterministic model typo (3rd char -> 'q')
+    SELECT o.o_orderkey AS k, o.o_orderdate AS d,
+           CASE WHEN o.o_orderkey % 53 = 17
+                THEN substr(p.p_name, 1, 2) || 'q' || substr(p.p_name, 4)
+                ELSE p.p_name END AS p_name,
+           p.p_brand
     FROM orders o
     JOIN part p ON (o.o_orderkey % 200 + 1) = p.p_partkey
     WHERE p.p_partkey <= 200
@@ -162,11 +170,15 @@ WITH base AS (  -- sources/bronze.py: orders x part (p_partkey <= 200)
              ELSE upper(regexp_replace(em, '\s', '', 'g')) END AS emissionStandard,
         CASE WHEN makeYear_clean IS NULL THEN 'UNKNOWN'
              ELSE makeYear_clean END AS MAKE_YEAR_KEY,
-        sha256(concat_ws('|', lower(trim(modelName)), lower(trim(variant)),
+        -- coalesce to '' mirrors Spark's concat_ws NULL-skipping: a NULL
+        -- key part must hash like the empty string, not poison the hash
+        -- (functions/hashing.py surrogate_key).
+        sha256(concat_ws('|', coalesce(lower(trim(modelName)), ''),
+                         coalesce(lower(trim(variant)), ''),
                          lower(trim(CASE WHEN makeYear_clean IS NULL THEN 'UNKNOWN'
                                          ELSE makeYear_clean END)))) AS VEHICLE_ID,
-        sha256(lower(trim(makerName))) AS MANUFACTURER_ID,
-        sha256(lower(trim(OfficeCd))) AS RTA_ID
+        sha256(coalesce(lower(trim(makerName)), '')) AS MANUFACTURER_ID,
+        sha256(coalesce(lower(trim(OfficeCd)), '')) AS RTA_ID
     FROM (SELECT slno, trn, fromdate_parsed, todate_parsed, colour,
                  vehicleClass, seatCapacity, fuel_clean, isTrailer, isElectric,
                  mdc,
@@ -197,18 +209,41 @@ WITH base AS (  -- sources/bronze.py: orders x part (p_partkey <= 200)
     QUALIFY row_number() OVER (PARTITION BY VEHICLE_ID
         ORDER BY MODEL_NAME, VARIANT, EMISSION_STANDARD, FUEL, COLOUR,
                  VEHICLE_CLASS, MAKE_YEAR, SEAT_CAPACITY, IS_ELECTRIC) = 1
-), resolution AS (  -- resolve.resolve_exact_fuzzy: every probe hits exact;
-                    -- ties (distinct ids, equal normalized text+year) -> min id
+), support AS (  -- plans/pipeline.py MIN_CATALOG_SUPPORT: canonical =
+                 -- spelling carried by >= 3 registrations
+    SELECT VEHICLE_ID, COUNT(*) AS cnt FROM keyed GROUP BY VEHICLE_ID
+), cat AS (
+    SELECT d.VEHICLE_ID,
+           lower(trim(d.MODEL_NAME || ' ' || d.VARIANT)) AS ctext,
+           lower(trim(d.MAKE_YEAR)) AS cyear
+    FROM dimv d JOIN support s ON s.VEHICLE_ID = d.VEHICLE_ID AND s.cnt >= 3
+), probes AS (
+    SELECT trn, lower(trim(modelName || ' ' || variant)) AS ptext,
+           lower(trim(MAKE_YEAR_KEY)) AS pyear
+    FROM keyed
+), exact AS (  -- resolve.resolve_exact_fuzzy stage 1: ties -> min id
     SELECT p.trn, min(c.VEHICLE_ID) AS RESOLVED_ID
-    FROM (SELECT trn, lower(trim(modelName || ' ' || variant)) AS ptext,
-                 lower(trim(MAKE_YEAR_KEY)) AS pyear
-          FROM keyed) p
-    JOIN (SELECT VEHICLE_ID,
-                 lower(trim(MODEL_NAME || ' ' || VARIANT)) AS ctext,
-                 lower(trim(MAKE_YEAR)) AS cyear
-          FROM dimv) c
-      ON p.ptext = c.ctext AND p.pyear = c.cyear
+    FROM probes p
+    JOIN cat c ON p.ptext = c.ctext AND p.pyear = c.cyear
     GROUP BY p.trn
+), fuzzy AS (  -- stages 2-4: anti-staged, 2-char-blocked Levenshtein,
+               -- deterministic (distance, id) best match
+    SELECT trn, RESOLVED_ID, LEV_DIST FROM (
+        SELECT p.trn, c.VEHICLE_ID AS RESOLVED_ID,
+               levenshtein(p.ptext, c.ctext) AS LEV_DIST,
+               ROW_NUMBER() OVER (PARTITION BY p.trn
+                   ORDER BY levenshtein(p.ptext, c.ctext), c.VEHICLE_ID) AS rn
+        FROM probes p
+        JOIN cat c ON substr(p.ptext, 1, 2) = substr(c.ctext, 1, 2)
+                  AND p.pyear = c.cyear
+        WHERE p.trn NOT IN (SELECT trn FROM exact)
+          AND length(p.ptext) >= 2 AND length(c.ctext) >= 2
+          AND levenshtein(p.ptext, c.ctext) <= 3
+    ) WHERE rn = 1
+), resolution AS (  -- stage 5: union; LEV_DIST NULL marks exact
+    SELECT trn, RESOLVED_ID, NULL AS LEV_DIST FROM exact
+    UNION ALL
+    SELECT trn, RESOLVED_ID, LEV_DIST FROM fuzzy
 )
 """
 
@@ -226,7 +261,7 @@ SELECT
     s.vehicleClass AS TRANSPORT_TYPE,
     s.trn AS TEMP_REGISTRATION_NUMBER,
     s.slno AS SLNO,
-    (r.RESOLVED_ID IS NOT NULL AND FALSE) AS IS_FUZZY_MATCH,
+    (r.RESOLVED_ID IS NOT NULL AND r.LEV_DIST IS NOT NULL) AS IS_FUZZY_MATCH,
     s.colour AS COLOUR,
     s.fuel_clean AS FUEL_TYPE,
     s.modelName AS MODEL_NAME

@@ -282,9 +282,34 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_meta(multimodal.synthesize_binary_docs(docs))
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS nb,
+               list_transform(
+                   range(1, octet_length(encode(text)) + 1),
+                   i -> 16 * (strpos('0123456789ABCDEF',
+                                     substr(hex(encode(text)), 2*i - 1, 1)) - 1)
+                        + (strpos('0123456789ABCDEF',
+                                  substr(hex(encode(text)), 2*i, 1)) - 1)
+               ) AS bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nb AS INT) AS n_bytes,
+           CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS byte_sum,
+           CAST(CASE WHEN nb = 0 THEN 0 ELSE list_min(bytes) END AS INT) AS byte_min,
+           CAST(CASE WHEN nb = 0 THEN 0 ELSE list_max(bytes) END AS INT) AS byte_max,
+           CAST((nb + 1023) // 1024 AS INT) AS n_frames
+    FROM b
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-level feature extraction + frame chunking via mapInPandas
-    (rows-only: the decode stand-in is Spark-side by design)."""
+    """Byte-level feature extraction + frame chunking via mapInPandas.
+    The byte features are deterministic functions of the utf-8 payload,
+    so DuckDB can verify the whole binary→Arrow→pandas round trip
+    (hex-nibble byte recovery on the oracle side)."""
     docs = load_table(spark, "documents", sf_dir)
     return multimodal.extract_features(multimodal.synthesize_binary_docs(docs))

@@ -28,6 +28,11 @@ def synthesize_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
       %8==0  modelDesc carries 'TRAILER'    %8==4  carries 'EV'
       %9 selects makeYear dirt: 2-digit / '' / 'UNKNOWN' / NULL
       %10==0 duplicate row with older fromdate (keep-latest dedup path)
+      %53==17 model-name typo: 3rd char of p_name becomes 'q' — a
+             1-edit misspelling that exercises the blocked-Levenshtein
+             fuzzy path end-to-end (typo'd vehicles stay below the
+             canonical-catalog support threshold, so their probes must
+             resolve fuzzily; see plans/pipeline.py MIN_CATALOG_SUPPORT)
     """
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"
@@ -44,6 +49,19 @@ def synthesize_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(part.filter(F.col("p_partkey") <= 200)),
         (k % 200 + 1).cast("bigint") == F.col("p_partkey"),
         "inner",
+    )
+    # Deterministic 1-edit typo in the model source text. Position 3 keeps
+    # the 2-char fuzzy block key intact, so the typo is recoverable by the
+    # blocked-Levenshtein stage (editing inside the block would make the
+    # row unresolvable by design choice, not by data).
+    base = base.withColumn(
+        "p_name",
+        F.when(
+            k % 53 == 17,
+            F.concat(
+                F.substring("p_name", 1, 2), F.lit("q"), F.expr("substring(p_name, 4)")
+            ),
+        ).otherwise(F.col("p_name")),
     )
 
     d = F.col("o_orderdate")
