@@ -35,14 +35,14 @@ HEADLINE = [
     "events_last_signup_asof",
     "multiformat_date_parse",
     "fuzzy_resolution_parts",
-    "rta_pipeline_fact",
+    "rta_pipeline_star",
     "exact_dedup_documents",
     "minhash_lsh_near_dups",
     "cosine_topk_bruteforce",
     "cosine_topk_bruteforce_fast",
     "cosine_topk_ivf",
     "merge_upsert_orders",
-    "events_tumbling_hourly",
+    "events_windowed_hourly",
     "text_token_stats",
 ]
 

@@ -309,39 +309,37 @@ def make_year_harden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_without_orders",
+    "customer_order_activity",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT 'no_orders' AS activity, c_custkey, c_name, c_mktsegment
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join as set-minus on keys (J2/U2, etl2:216-218)."""
-    customer = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-@register(
-    "customers_with_open_orders",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'open_orders' AS activity, c_custkey, c_name, c_mktsegment
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
     """,
 )
-def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS) — completes the reference's join surface
-    (it uses anti only; SURVEY.md §2.3)."""
+def customer_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS — J2/U2, etl2:216-218) and LEFT SEMI
+    (EXISTS) joins in one union-tagged result: 'no_orders' rows come
+    from the anti join, 'open_orders' rows from the semi join —
+    completing the reference's join surface under one gate slot."""
     customer = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
+    orders = load_table(spark, "orders", sf_dir)
+    without = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        F.lit("no_orders").alias("activity"), "c_custkey", "c_name", "c_mktsegment"
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    with_open = customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select(
+        F.lit("open_orders").alias("activity"), "c_custkey", "c_name", "c_mktsegment"
+    )
+    return without.unionByName(with_open)
 
 
 @register(

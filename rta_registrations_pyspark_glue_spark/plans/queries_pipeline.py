@@ -23,6 +23,7 @@ bronze->star compute once instead of once per query.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import register_release_hook
 from rta_registrations_pyspark_glue_spark.plans.pipeline import StarOutput, run_pipeline
@@ -247,8 +248,9 @@ WITH base AS (  -- sources/bronze.py: orders x part (p_partkey <= 200),
 )
 """
 
-_FACT_ORACLE = _PIPELINE_CTES + r"""
+_STAR_ORACLE = _PIPELINE_CTES + r"""
 SELECT
+    'fact' AS row_kind,
     coalesce(r.RESOLVED_ID, s.VEHICLE_ID) AS VEHICLE_ID,
     s.MANUFACTURER_ID AS MANUFACTURER_ID,
     s.RTA_ID AS RTA_ID,
@@ -266,22 +268,20 @@ SELECT
     s.fuel_clean AS FUEL_TYPE,
     s.modelName AS MODEL_NAME
 FROM keyed s LEFT JOIN resolution r ON s.trn = r.trn
+UNION ALL BY NAME
+SELECT 'dim_vehicle' AS row_kind, * FROM dimv
 """
 
-_DIM_VEHICLE_ORACLE = _PIPELINE_CTES + r"""
-SELECT * FROM dimv
-"""
 
-
-@register("rta_pipeline_fact", oracle=_FACT_ORACLE, expensive=True)
-def rta_pipeline_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("rta_pipeline_star", oracle=_STAR_ORACLE, expensive=True)
+def rta_pipeline_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference pipeline (ETL1+ETL2, SURVEY.md §3.1-3.2): dirty
-    bronze → clean/stage → dims + resolution → fact_registrations."""
-    return _pipeline(spark, sf_dir).fact
-
-
-@register("rta_pipeline_dim_vehicle", oracle=_DIM_VEHICLE_ORACLE, expensive=True)
-def rta_pipeline_dim_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dim_vehicle from the same (memoized) pipeline run (schema per
-    starschema_dw.txt:9-21)."""
-    return _pipeline(spark, sf_dir).dim_vehicle
+    bronze → clean/stage → dims + resolution → star. One union-tagged
+    result pins BOTH fact_registrations ('fact' rows) and dim_vehicle
+    ('dim_vehicle' rows, schema per starschema_dw.txt:9-21) under a
+    single gate slot — columns absent from a row kind are NULL, exactly
+    as in the oracle's UNION ALL BY NAME."""
+    out = _pipeline(spark, sf_dir)
+    fact = out.fact.withColumn("row_kind", F.lit("fact"))
+    dim = out.dim_vehicle.withColumn("row_kind", F.lit("dim_vehicle"))
+    return fact.unionByName(dim, allowMissingColumns=True)

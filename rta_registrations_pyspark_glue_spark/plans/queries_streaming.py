@@ -21,39 +21,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_tumbling_hourly",
+    "events_windowed_hourly",
     oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+    SELECT 'tumbling' AS kind,
+           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY 1, 2
-    """,
-)
-def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows (batch semantics of
-    streaming/windows.tumbling_counts)."""
-    return (
-        _events(spark, sf_dir)
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-
-
-@register(
-    "events_sliding_hourly",
-    oracle="""
-    WITH expanded AS (
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, event_type,
+           COUNT(*) AS n_events, NULL AS total_value
+    FROM (
         SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
                event_type
         FROM events
@@ -63,17 +43,39 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type
         FROM events
     )
-    SELECT window_start, event_type, COUNT(*) AS n_events
-    FROM expanded
-    GROUP BY 1, 2
+    GROUP BY 2, 3
     """,
 )
-def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1h/30m windows: every event belongs to exactly two
-    windows (width/slide = 2), which the oracle expands explicitly."""
-    return (
-        _events(spark, sf_dir)
-        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+def events_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour and sliding 1h/30m event-time windows in one
+    union-tagged result (batch semantics of streaming/windows). Every
+    event belongs to exactly two sliding windows (width/slide = 2),
+    which the oracle expands explicitly; total_value is tumbling-only
+    (NULL on 'sliding' rows)."""
+    ev = _events(spark, sf_dir)
+    tumbling = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.lit("tumbling").alias("kind"),
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
+    sliding = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("sliding").alias("kind"),
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
+    return tumbling.unionByName(sliding)

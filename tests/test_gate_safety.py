@@ -49,3 +49,20 @@ def test_every_oracle_has_a_query():
     qs = entrymod.queries()
     missing = [n for n in entrymod.oracle_sql() if n not in qs]
     assert not missing
+
+
+def test_oracle_backed_fits_gate_cap():
+    """The external gate records at most 50 rows. Every oracle-backed
+    query must fit under that cap or one of them is permanently
+    unverified — consolidate (union-tag) or retire before adding."""
+    assert len(entrymod.oracle_sql()) <= 50
+
+
+def test_rows_only_queries_execute(spark, sf_dir):
+    """Rows-only queries sort after the cap and are never run by the
+    gate — execute them here so runtime regressions still get caught."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in qs:
+        if name not in oracles:
+            assert qs[name](spark, sf_dir).count() > 0, name
