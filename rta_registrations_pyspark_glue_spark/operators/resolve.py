@@ -46,6 +46,8 @@ def resolve_exact_fuzzy(
     threshold: int = FUZZY_THRESHOLD,
     block_len: int = BLOCK_PREFIX_LEN,
     broadcast_catalog: bool = True,
+    probe_key_unique: bool = False,
+    catalog_id_unique: bool = False,
 ) -> DataFrame:
     """Resolve each probe row to a catalog id, exactly when possible and
     by bounded edit distance otherwise.
@@ -57,6 +59,12 @@ def resolve_exact_fuzzy(
 
     ``extra_exact_keys``: (probe_col, catalog_col) pairs that must match
     exactly in both stages (the reference uses make-year, etl2:210,231).
+
+    ``probe_key_unique`` / ``catalog_id_unique``: set True when the caller
+    guarantees one row per key (a deduplicated stage, a dimension) to skip
+    the defensive dropDuplicates — each skip removes a full shuffle of
+    that side, which at fact scale is one of the two big exchanges in the
+    whole resolution subgraph.
     """
     extra = extra_exact_keys or []
     cat = catalog.select(
@@ -64,14 +72,17 @@ def resolve_exact_fuzzy(
         norm(catalog_text).alias("__cat_text"),
         *[norm(c).alias(f"__cat_x{i}") for i, (_, c) in enumerate(extra)],
     )
-    cat = cat.dropDuplicates(["__cat_id"])
+    if not catalog_id_unique:
+        cat = cat.dropDuplicates(["__cat_id"])
     maybe_bc = F.broadcast(cat) if broadcast_catalog else cat
 
     pro = probe.select(
         F.col(probe_key).alias("__probe_key"),
         norm(probe_text).alias("__probe_text"),
         *[norm(p).alias(f"__pro_x{i}") for i, (p, _) in enumerate(extra)],
-    ).dropDuplicates(["__probe_key"])
+    )
+    if not probe_key_unique:
+        pro = pro.dropDuplicates(["__probe_key"])
 
     # Conditions reference columns by (unique) name, not by parent
     # DataFrame, so Spark's ambiguous-self-join detection never trips even

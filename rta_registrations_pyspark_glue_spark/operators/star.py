@@ -81,20 +81,20 @@ def assemble_fact(df: DataFrame, resolution: DataFrame) -> DataFrame:
     (DDL NOT NULL, starschema_dw.txt:59).
 
     ``resolution`` carries (tempRegistrationNumber, RESOLVED_ID, LEV_DIST,
-    IS_FUZZY_MATCH) from operators.resolve. The manufacturer map is taken
-    from ``df`` itself keyed by registration number (etl2:246,258)."""
-    man_res = df.select("tempRegistrationNumber", "MANUFACTURER_ID").dropDuplicates(
-        ["tempRegistrationNumber"]
-    )
+    IS_FUZZY_MATCH) from operators.resolve. The reference routes the
+    manufacturer id through a separate trn-keyed staging map (etl2:246,258);
+    here ``df`` IS that map — one row per registration number (the
+    keep-latest dedup contract, pipeline.clean_and_stage) with
+    MANUFACTURER_ID already attached — so the reference's map join would be
+    an identity self-join on the unique key: two shuffles that cannot
+    change a single value. We read the column directly instead."""
     s = df.alias("s")
     r = resolution.alias("r")
-    m = man_res.alias("m")
     return (
         s.join(r, on="tempRegistrationNumber", how="left")
-        .join(m, on="tempRegistrationNumber", how="left")
         .select(
             F.coalesce(F.col("r.RESOLVED_ID"), F.col("s.VEHICLE_ID")).alias("VEHICLE_ID"),
-            F.col("m.MANUFACTURER_ID").alias("MANUFACTURER_ID"),
+            F.col("s.MANUFACTURER_ID").alias("MANUFACTURER_ID"),
             F.col("s.RTA_ID").alias("RTA_ID"),
             date_key(F.col("s.fromdate_parsed")).alias("REGISTRATION_ISSUE_DATE_ID"),
             date_key(F.col("s.todate_parsed")).alias("REGISTRATION_EXPIRY_DATE_ID"),

@@ -148,6 +148,10 @@ def build_star(staged: DataFrame) -> StarOutput:
         catalog_id="VEHICLE_ID",
         catalog_text="cat_text",
         extra_exact_keys=[("MAKE_YEAR_KEY", "cat_year")],
+        # trn is unique post keep-latest dedup and dim_vehicle is keyed by
+        # VEHICLE_ID — skip the defensive dedup shuffles on both sides.
+        probe_key_unique=True,
+        catalog_id_unique=True,
     )
     fact = star.assemble_fact(df, resolution)
     # dim_date: Spark-native spine replacing the warehouse recursive CTE

@@ -122,7 +122,29 @@ def synthesize_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Older duplicate for every 10th registration → keep-latest must win.
-    dups = bronze.filter(F.col("slno").cast("bigint") % 10 == 0).withColumn(
-        "fromdate", F.lit("01/01/1990")
-    ).withColumn("slno", F.concat(F.col("slno"), F.lit("_dup")))
-    return bronze.unionByName(dups)
+    # Emitted via explode instead of union-of-filtered-branch: a union
+    # re-executes the whole scan+join+synthesis subtree once per branch,
+    # which doubled the most expensive stage of every pipeline
+    # materialization; explode produces the same row set in one pass.
+    variants = F.when(
+        F.col("slno").cast("bigint") % 10 == 0, F.array(F.lit("orig"), F.lit("dup"))
+    ).otherwise(F.array(F.lit("orig")))
+    exploded = bronze.select("*", F.explode(variants).alias("__variant"))
+    return exploded.select(
+        F.when(F.col("__variant") == "dup", F.concat(F.col("slno"), F.lit("_dup")))
+        .otherwise(F.col("slno"))
+        .alias("slno"),
+        "tempRegistrationNumber",
+        F.when(F.col("__variant") == "dup", F.lit("01/01/1990"))
+        .otherwise(F.col("fromdate"))
+        .alias("fromdate"),
+        "todate",
+        "OfficeCd",
+        "makerName",
+        "modelDesc",
+        "fuel",
+        "makeYear",
+        "colour",
+        "vehicleClass",
+        "seatCapacity",
+    )
