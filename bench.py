@@ -43,7 +43,8 @@ HEADLINE = [
     "cosine_topk_ivf",
     "merge_upsert_orders",
     "events_windowed_hourly",
-    "text_token_stats",
+    "text_metrics",
+    "near_dup_clusters",
 ]
 
 

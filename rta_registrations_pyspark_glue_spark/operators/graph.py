@@ -1,0 +1,125 @@
+"""Distributed connected components — the clustering step that turns
+near-duplicate PAIRS (minhash_lsh / simhash / embedding near-dup output)
+into dedup CLUSTERS a training-data pipeline can act on: every document
+gets a cluster id, each cluster elects one canonical survivor, the rest
+are dropped from the corpus.
+
+Algorithm: iterative min-label propagation on the undirected pair graph.
+Each round every node adopts the minimum label among itself and its
+neighbors; at fixpoint every node carries the minimum id of its
+component — a deterministic, partitioning-independent labeling. Rounds
+needed = graph diameter, which for near-dup clusters is tiny (duplicate
+groups are near-cliques: LSH emits most intra-group pairs directly), so
+the loop converges in 2-4 rounds in practice and is hard-capped.
+
+Scale notes (100 TB lens): each round is one shuffle of the edge list
+joined to the (node, label) frame plus a map-side-combinable min — the
+same cost profile as one groupBy over the pair set. Labels are persisted
+per round and the previous round released, so lineage never grows beyond
+one round and a failed round recomputes only itself. For adversarial
+graphs with large diameters (long chains — not a near-dup shape) switch
+to the large-star/small-star formulation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) which converges in
+O(log n) rounds with the same per-round shuffle; the operator contract
+(deterministic min-id labels) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.caching import tracked_persist
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the minimum
+    node id reachable from it (its component id).
+
+    Returns (node, component). Only nodes appearing in ``edges`` are
+    labeled — callers left-join and coalesce to the node's own id to make
+    isolated rows singleton clusters.
+
+    Raises RuntimeError if the labeling has not reached fixpoint after
+    ``max_rounds`` (diameter > max_rounds — not a near-dup-shaped graph).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_rounds):
+            # Each node's new label: min over (its own label, neighbors'
+            # labels). The agg is map-side combinable; the only shuffle is
+            # the edge-label equi-join + the groupBy exchange.
+            neighbor_labels = sym.join(
+                labels, F.col("b") == F.col("node"), "inner"
+            ).select(F.col("a").alias("node"), "component")
+            # tracked: the final round's frame escapes to the caller and is
+            # released by caching.release_tracked; intermediate rounds are
+            # unpersisted eagerly below (unpersist is idempotent).
+            new_labels = tracked_persist(
+                labels.unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node", how="inner")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            "(graph diameter too large for min-label propagation; use the "
+            "large-star/small-star variant)"
+        )
+    finally:
+        sym.unpersist()
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Cluster verdict per document: (id_col, cluster_id, cluster_size,
+    is_canonical). Documents in no near-dup pair are singleton clusters of
+    themselves; the canonical survivor of every cluster is its minimum id
+    (deterministic). Downstream dedup = ``filter(is_canonical)``."""
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    labeled = (
+        ids.select(id_col)
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, on="cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )

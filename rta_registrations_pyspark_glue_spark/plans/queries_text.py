@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import tracked_persist
-from rta_registrations_pyspark_glue_spark.operators import text, textdedup
+from rta_registrations_pyspark_glue_spark.operators import graph, sampling, text, textdedup
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -54,85 +54,80 @@ SQL_NEAR_CORPUS = r"""
 
 
 @register(
-    "text_token_stats",
-    oracle=r"""
-    WITH toks AS (
-        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
-        FROM documents
-    )
-    SELECT doc_id,
-           length(text)::INT AS n_chars,
-           len(t)::INT AS n_tokens,
-           len(list_distinct(t))::INT AS n_unique_tokens,
-           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_ratio,
-           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
-           CAST(len(list_filter(t, x -> lower(x) IN
-                ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-               / len(t) AS stopword_ratio
-    FROM toks
-    """,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics (quality-scoring signals)."""
-    return text.token_stats(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "text_quality_score",
+    "text_metrics",
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
         FROM documents
     ), stats AS (
         SELECT doc_id,
-               len(t) AS n_tokens,
+               length(text)::INT AS n_chars,
+               len(t)::INT AS n_tokens,
+               len(list_distinct(t))::INT AS n_unique_tokens,
                CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_ratio,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
                CAST(len(list_filter(t, x -> lower(x) IN
                     ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
                    / len(t) AS stopword_ratio
         FROM toks
+    ), lang_scores AS (
+        SELECT doc_id,
+               len(list_filter(lt, x -> x IN ('the','and','of','a','to')))::INT AS score_en,
+               len(list_filter(lt, x -> x IN ('el','la','de','los','que')))::INT AS score_es,
+               len(list_filter(lt, x -> x IN ('der','die','und','das','ist')))::INT AS score_de,
+               len(list_filter(lt, x -> x IN ('le','la','et','les','des')))::INT AS score_fr
+        FROM (SELECT doc_id, list_transform(t, x -> lower(x)) AS lt FROM toks)
     )
-    SELECT doc_id,
+    SELECT 'stats' AS kind, doc_id, n_chars, n_tokens, n_unique_tokens,
+           unique_ratio, avg_token_len, stopword_ratio
+    FROM stats
+    UNION ALL BY NAME
+    SELECT 'quality' AS kind, doc_id,
            (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
             + least(stopword_ratio * 3, 0.3)
             + least(unique_ratio, 0.3)) AS quality_score
     FROM stats
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite heuristic quality score per document."""
-    return text.quality_score(load_table(spark, "documents", sf_dir)).select(
-        "doc_id", "quality_score"
-    )
-
-
-@register(
-    "text_language_id",
-    oracle=r"""
-    WITH toks AS (
-        SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
-                                      x -> lower(x)) AS t
-        FROM documents
-    ), scores AS (
-        SELECT doc_id,
-               len(list_filter(t, x -> x IN ('the','and','of','a','to')))::INT AS score_en,
-               len(list_filter(t, x -> x IN ('el','la','de','los','que')))::INT AS score_es,
-               len(list_filter(t, x -> x IN ('der','die','und','das','ist')))::INT AS score_de,
-               len(list_filter(t, x -> x IN ('le','la','et','les','des')))::INT AS score_fr
-        FROM toks
-    )
-    SELECT doc_id, score_en, score_es, score_de, score_fr,
+    UNION ALL BY NAME
+    SELECT 'lang' AS kind, doc_id, score_en, score_es, score_de, score_fr,
            CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
                 WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
                 WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
                 WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
                 ELSE 'fr' END AS predicted_lang
-    FROM scores
+    FROM lang_scores
     """,
 )
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic with fixed tie precedence."""
-    return text.language_id(load_table(spark, "documents", sf_dir))
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics, composite quality score, and marker-word
+    language ID in one union-tagged result ('stats' / 'quality' / 'lang'
+    rows; columns absent from a row kind are NULL). One gate slot pins
+    all three row-local text-analysis operators."""
+    docs = load_table(spark, "documents", sf_dir)
+    stats = text.token_stats(docs).select(
+        F.lit("stats").alias("kind"),
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_unique_tokens",
+        "unique_ratio",
+        "avg_token_len",
+        "stopword_ratio",
+    )
+    quality = text.quality_score(docs).select(
+        F.lit("quality").alias("kind"), "doc_id", "quality_score"
+    )
+    lang = text.language_id(docs).select(
+        F.lit("lang").alias("kind"),
+        "doc_id",
+        "score_en",
+        "score_es",
+        "score_de",
+        "score_fr",
+        "predicted_lang",
+    )
+    return stats.unionByName(quality, allowMissingColumns=True).unionByName(
+        lang, allowMissingColumns=True
+    )
 
 
 @register(
@@ -191,10 +186,9 @@ def _minhash_sig_sql(num_hashes: int = 8) -> str:
 _MH_COMPS, _MH_BANDS = _minhash_sig_sql(8)
 
 
-@register(
-    "minhash_lsh_near_dups",
-    oracle=f"""
-    WITH corpus AS (
+# The full candidate-generation + verification CTE stack, shared by the
+# pair query and the clustering query built on top of it.
+_MINHASH_CTES = f"""corpus AS (
         {SQL_NEAR_CORPUS}
     ), normed AS (
         SELECT doc_id, {SQL_NORM} AS norm FROM corpus
@@ -227,7 +221,13 @@ _MH_COMPS, _MH_BANDS = _minhash_sig_sql(8)
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b
-    )
+    )"""
+
+
+@register(
+    "minhash_lsh_near_dups",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.35
     """,
 )
@@ -365,3 +365,63 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full 16-bit slice by pigeonhole — no recall loss, unlike the single
     prefix bucket this replaces)."""
     return textdedup.simhash_near_pairs(_near_dup_corpus(spark, sf_dir))
+
+
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES}, pairs AS (
+        SELECT id_a, id_b FROM verified WHERE jaccard >= 0.35
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ), comp AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+    expensive=True,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after pair detection that an actionable dedup needs:
+    MinHash-LSH near-dup pairs → connected components (min-label
+    propagation, operators/graph.py) → one cluster id per document,
+    cluster sizes, and a deterministic canonical survivor (minimum id)
+    per cluster. ``filter(is_canonical)`` IS the deduplicated corpus.
+    The oracle mirrors the fixpoint with a recursive transitive-closure
+    CTE over the identical verified pair set."""
+    corpus = tracked_persist(_near_dup_corpus(spark, sf_dir))
+    cands = textdedup.minhash_lsh_candidates(corpus)
+    pairs = textdedup.jaccard_verify(cands, corpus, threshold=0.35)
+    return graph.dedup_clusters(corpus.select("doc_id"), pairs)
+
+
+@register(
+    "dataset_split",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on md5(doc_id):
+    reproducible across engines and runs, stable under corpus growth,
+    zero-shuffle scan-side labeling (operators/sampling.py)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    out = sampling.hash_split(docs, "doc_id")
+    return out.withColumn(
+        "bucket", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    ).select("doc_id", "bucket", "split")

@@ -273,3 +273,71 @@ def test_multimodal_meta_and_features(spark, docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_connected_components_known_graph(spark):
+    from rta_registrations_pyspark_glue_spark.operators import graph
+
+    # Two components: {1,2,3,4} via a chain (diameter 3 — needs real
+    # propagation rounds, not just one hop) and {10,11}; 99 is isolated
+    # (absent from edges, so absent from the labeling).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
+    )
+    comp = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    from rta_registrations_pyspark_glue_spark.operators import graph
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 9)], "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    rows = {
+        r.doc_id: r
+        for r in graph.dedup_clusters(ids, pairs).collect()
+    }
+    assert rows[1].cluster_id == 1 and rows[1].is_canonical
+    assert rows[2].cluster_id == 1 and not rows[2].is_canonical
+    assert rows[3].cluster_size == 3
+    # docs in no pair are singleton clusters of themselves, canonical
+    assert rows[7].cluster_id == 7 and rows[7].is_canonical and rows[7].cluster_size == 1
+    assert rows[9].cluster_id == 9 and rows[9].is_canonical
+    # the deduplicated corpus = canonical rows only
+    keep = sorted(d for d, r in rows.items() if r.is_canonical)
+    assert keep == [1, 7, 9]
+
+
+def test_connected_components_diameter_cap(spark):
+    from rta_registrations_pyspark_glue_spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        graph.connected_components(chain, max_rounds=1)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from rta_registrations_pyspark_glue_spark.operators import sampling
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    out1 = sampling.hash_split(df, "k")
+    counts = {r["split"]: r["cnt"] for r in out1.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(counts.values())
+    assert n == 20000
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    assert abs(counts["test"] / n - 0.1) < 0.01
+    # determinism: same labels on re-computation and under corpus growth
+    sub = sampling.hash_split(df.filter(F.col("k") < 1000), "k")
+    full = {r.k: r["split"] for r in out1.filter(F.col("k") < 1000).collect()}
+    assert all(full[r.k] == r["split"] for r in sub.collect())
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from rta_registrations_pyspark_glue_spark.operators import sampling
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(df, "k", fractions={"a": 0.5, "b": 0.4})
