@@ -11,7 +11,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.operators import quality, skew
+from rta_registrations_pyspark_glue_spark.functions.dates import date_spine
 from rta_registrations_pyspark_glue_spark.operators.analytics import dsum
+from rta_registrations_pyspark_glue_spark.operators.rangejoin import range_join
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -335,4 +337,51 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q")[2].alias("p75"),
             F.col("q")[3].alias("p95"),
         )
+    )
+
+
+@register(
+    "active_orders_per_day",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM generate_series(DATE '1992-01-01', DATE '2003-12-31', INTERVAL 1 DAY) AS t(d)
+    )
+    SELECT s.day,
+           COUNT(*) AS active_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_value
+    FROM spine s
+    JOIN orders o
+      ON s.day >= CAST(o.o_orderdate AS DATE)
+     AND s.day < CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+    GROUP BY s.day
+    """,
+)
+def active_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join: count orders "active" (within 30 days of
+    placement) on each spine day. The oracle's BETWEEN predicate is the
+    theta join Spark can only plan as BroadcastNestedLoop; the Spark
+    side instead uses the bucketized range_join operator (one equi-join
+    shuffle on 30-day buckets + residual filter — plan-asserted
+    BNLJ-free in tests/test_extensions.py), then aggregates. The spine
+    window is fixed and generous so the query is deterministic and
+    sf-portable."""
+    spine = date_spine(spark, "1992-01-01", "2003-12-31").select(
+        F.col("FULL_DATE").alias("day"),
+        F.datediff("FULL_DATE", F.to_date(F.lit("1992-01-01"))).alias("day_num"),
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))).alias(
+                "start_day"
+            ),
+            "o_totalprice",
+        )
+        .withColumn("end_day", F.col("start_day") + F.lit(30))
+    )
+    joined = range_join(spine, orders, "day_num", "start_day", "end_day", bucket_width=30)
+    return joined.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_orders"),
+        dsum("o_totalprice", "open_value"),
     )

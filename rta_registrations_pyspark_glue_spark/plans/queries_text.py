@@ -328,10 +328,7 @@ def _simhash_sql(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """
 
 
-@register("simhash_fingerprints", oracle=_simhash_sql())
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (majority vote over token-hash bits)."""
-    return textdedup.simhash_fingerprints(load_table(spark, "documents", sf_dir))
+# (simhash_suite is registered below, after _simhash_pairs_sql.)
 
 
 def _simhash_pairs_sql(n_bands: int = 4, max_hamming: int = 3) -> str:
@@ -358,13 +355,29 @@ def _simhash_pairs_sql(n_bands: int = 4, max_hamming: int = 3) -> str:
     """
 
 
-@register("simhash_near_pairs", oracle=_simhash_pairs_sql())
-def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over the injected near-dup corpus: Hamming
-    ≤ 3 with exact 4-band bucketing (any pair within distance 3 shares a
-    full 16-bit slice by pigeonhole — no recall loss, unlike the single
-    prefix bucket this replaces)."""
-    return textdedup.simhash_near_pairs(_near_dup_corpus(spark, sf_dir))
+@register(
+    "simhash_suite",
+    oracle=f"""
+    SELECT 'fp' AS kind, doc_id, simhash FROM ({_simhash_sql()})
+    UNION ALL BY NAME
+    SELECT 'pair' AS kind, id_a, id_b, hamming FROM ({_simhash_pairs_sql()})
+    """,
+)
+def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints over the documents table ('fp' rows,
+    majority vote over token-hash bits) and Hamming-≤3 near-dup pairs
+    over the injected near-dup corpus ('pair' rows, exact 4-band
+    bucketing: any pair within distance 3 shares a full 16-bit slice by
+    pigeonhole — no recall loss) in one union-tagged result. One gate
+    slot pins both the fingerprint values and the banded pair
+    semantics."""
+    fp = textdedup.simhash_fingerprints(
+        load_table(spark, "documents", sf_dir)
+    ).select(F.lit("fp").alias("kind"), "doc_id", "simhash")
+    pairs = textdedup.simhash_near_pairs(_near_dup_corpus(spark, sf_dir)).select(
+        F.lit("pair").alias("kind"), "id_a", "id_b", "hamming"
+    )
+    return fp.unionByName(pairs, allowMissingColumns=True)
 
 
 @register(

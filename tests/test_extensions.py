@@ -341,3 +341,64 @@ def test_hash_split_rejects_bad_fractions(spark):
     df = spark.range(10).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="sum to 1"):
         sampling.hash_split(df, "k", fractions={"a": 0.5, "b": 0.4})
+
+
+def test_range_join_matches_theta_join(spark):
+    """Bucketized range join must equal the naive theta join on a frame
+    with empty, short, long, and boundary-touching intervals, and its
+    plan must contain no nested-loop/cartesian join."""
+    from rta_registrations_pyspark_glue_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(i, i) for i in range(0, 100)], "pid int, x int"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, 0, 10),    # short
+            (2, 5, 5),     # empty: matches nothing
+            (3, 9, 10),    # single unit
+            (4, 0, 100),   # long (spans many buckets)
+            (5, 95, 200),  # runs past the point domain
+            (6, 10, 20),   # exactly bucket-aligned
+            (7, -50, 3),   # starts before domain
+        ],
+        "iid int, s int, e int",
+    )
+    got = range_join(points, intervals, "x", "s", "e", bucket_width=10)
+    naive = (
+        points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.x") >= F.col("i.s")) & (F.col("p.x") < F.col("i.e")),
+        )
+        .select("pid", "x", "iid", "s", "e")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_left_outer_and_extra_keys(spark):
+    from rta_registrations_pyspark_glue_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, "u1", 5), (2, "u1", 50), (3, "u2", 5)], "pid int, puser string, x int"
+    )
+    intervals = spark.createDataFrame(
+        [(10, "u1", 0, 10), (11, "u2", 0, 10)], "iid int, iuser string, s int, e int"
+    )
+    got = range_join(
+        points,
+        intervals,
+        "x",
+        "s",
+        "e",
+        bucket_width=10,
+        extra_keys=[("puser", "iuser")],
+        how="left_outer",
+    )
+    rows = {r.pid: r.iid for r in got.collect()}
+    assert rows == {1: 10, 2: None, 3: 11}
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "x", "s", "e", 10, how="full_outer")
