@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -40,14 +41,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) which the Spark parquet reader
-        # rejects; read nanos as long and rebuild a microsecond timestamp.
-        # Integer DIV (not /) — ns epoch values exceed double's 2^53.
+        # events.ts has shipped as both TIMESTAMP(NANOS) — which the Spark
+        # parquet reader rejects — and TIMESTAMP(MICROS), depending on the
+        # generator version. Enable the nanos-as-long fallback, then adapt
+        # to whatever type actually came back: a long is a nanos epoch to
+        # rebuild (integer DIV, not / — ns values exceed double's 2^53); a
+        # timestamp is already correct.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        else:
+            # timestamp[us] parquet reads back as TIMESTAMP_NTZ; cast to
+            # TIMESTAMP (identity under the UTC session pin) so downstream
+            # comparisons against TIMESTAMP-typed columns keep resolving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
