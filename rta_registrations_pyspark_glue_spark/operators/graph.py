@@ -58,31 +58,39 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    prev_persisted = labels
     try:
         for _ in range(max_rounds):
             # Each node's new label: min over (its own label, neighbors'
             # labels). The agg is map-side combinable; the only shuffle is
-            # the edge-label equi-join + the groupBy exchange.
+            # the edge-label equi-join + the groupBy exchange. The node's
+            # OLD label rides through the same union tagged as the self
+            # row, so convergence detection below is a join-free filter
+            # over the already-persisted result — one job per round, not
+            # a second shuffle-join pass (every node has exactly one self
+            # row, so min-over-the-tag recovers its old label exactly).
             neighbor_labels = sym.join(
                 labels, F.col("b") == F.col("node"), "inner"
             ).select(F.col("a").alias("node"), "component")
             # tracked: the final round's frame escapes to the caller and is
             # released by caching.release_tracked; intermediate rounds are
             # unpersisted eagerly below (unpersist is idempotent).
-            new_labels = tracked_persist(
-                labels.unionByName(neighbor_labels)
+            new_full = tracked_persist(
+                labels.withColumn("__self", F.lit(True))
+                .unionByName(neighbor_labels.withColumn("__self", F.lit(False)))
                 .groupBy("node")
-                .agg(F.min("component").alias("component"))
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("__self"), F.col("component"))).alias("__old"),
+                )
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node", how="inner")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            # Materializes the persist AND answers convergence in the same
+            # action; the limit(1) short-circuits the scan on non-final
+            # rounds (any changed partition stops it).
+            changed = new_full.filter(F.col("component") != F.col("__old")).limit(1).count()
+            prev_persisted.unpersist()
+            prev_persisted = new_full
+            labels = new_full.select("node", "component")
             if changed == 0:
                 return labels
         raise RuntimeError(

@@ -7,20 +7,24 @@ Two paths, mirroring how ANN systems are actually deployed:
   per-pair dot product runs as a codegen'd sequential fold (zip_with +
   aggregate), which is deterministic (fixed accumulation order) and
   therefore oracle-checkable bit-for-bit.
-- ``ivf_topk``: IVF-style two-stage search — a coarse quantizer (one
-  pivot vector per partition/label) prunes the corpus to ``nprobe``
-  partitions per query, then exact cosine within the probed partitions.
-  At 100 TB this is the difference between scanning the corpus per query
-  and scanning ``nprobe/num_partitions`` of it. Pivots here are the
-  min-id member per label (deterministic, join-free to define); a
-  production variant would train k-means centroids the same way and
-  nothing else changes.
+- ``ivf_build`` / ``ivf_search``: IVF two-stage ANN with an explicit
+  build/search split. The build trains a deterministic spherical
+  k-means coarse quantizer on an id-sample, holds the k·dim centroids
+  driver-side (bounded, FAISS-style), and persists the corpus's cell
+  assignment — computed scan-side (best_cell_expr), no crossJoin and
+  no window. A search probes ``nprobe`` cells per query scan-side and
+  exact-scores only those cells. At 100 TB this is the difference
+  between scanning the corpus per query and scanning
+  ``nprobe/n_cells`` of it — and between paying training per query
+  (the round-3 anti-pattern) and paying it once per index.
 
 Top-k is row_number over (cosine desc, candidate id) — a total order, so
 ties break identically everywhere.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -294,6 +298,75 @@ def cosine_verify(
     return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip form
+    and string→double parsing is correctly rounded, so the executor sees
+    the bit-identical IEEE value the driver held."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side sequential fold — the SAME accumulation order as the
+    Spark ``dot`` fold and DuckDB's list_dot_product (all three are
+    strict left-to-right IEEE-double adds), so norms computed here are
+    bit-identical to norms either engine would compute."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _fold_dot_sql(vec_col: str, consts: list[float]) -> str:
+    """Sequential-fold dot of a vector column against a constant array,
+    as ONE SQL string (a py4j call per lambda Column costs ~10ms of
+    driver time each; see hyperplane_lsh_candidates)."""
+    arr = "array(" + ",".join(_dlit(x) for x in consts) + ")"
+    return f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _cell_score_entries(
+    centroids: list[tuple[int, list[float]]], vec_col: str, norm_col: str
+) -> list[str]:
+    """(negated-cosine, cell) struct SQL per centroid. array_min /
+    array_sort over these structs is exactly the (cosine DESC, cell ASC)
+    total order the oracle's ROW_NUMBER uses — negation preserves tie
+    structure because cosines are bit-identical across engines."""
+    import math
+
+    entries = []
+    for cell, cv in centroids:
+        sp = math.sqrt(_py_dot(cv, cv))
+        cos = f"({_fold_dot_sql(vec_col, cv)} / (SQRT({norm_col}) * {_dlit(sp)}))"
+        entries.append(
+            f"named_struct('negcos', -{cos}, 'cell', CAST({cell} AS BIGINT))"
+        )
+    return entries
+
+
+def best_cell_expr(
+    centroids: list[tuple[int, list[float]]], vec_col: str, norm_col: str
+) -> Column:
+    """Scan-side nearest-centroid assignment: max fold-cosine, ties to
+    the lowest cell id — no crossJoin, no window, zero shuffle."""
+    entries = _cell_score_entries(centroids, vec_col, norm_col)
+    return F.expr(f"array_min(array({','.join(entries)}))").getField("cell")
+
+
+def probe_cells_expr(
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    norm_col: str,
+    nprobe: int,
+) -> Column:
+    """Scan-side top-``nprobe`` cells for a query vector (same total
+    order as best_cell_expr), as an array<bigint> to explode."""
+    entries = _cell_score_entries(centroids, vec_col, norm_col)
+    sorted_arr = f"array_sort(array({','.join(entries)}))"
+    return F.expr(
+        f"transform(slice({sorted_arr}, 1, {int(nprobe)}), s -> s.cell)"
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_pivots: int = 8,
@@ -301,28 +374,34 @@ def train_ivf_centroids(
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
     quant_scale: int = 1000,
-) -> DataFrame:
+) -> list[tuple[int, list[float]]]:
     """Deterministic spherical k-means for the IVF coarse quantizer:
-    init = the ``n_pivots`` lowest-id vectors, then ``iters`` Lloyd
-    updates (assign by max fold-cosine, centroid = element mean).
+    init = the ``n_pivots`` lowest-id vectors of ``corpus`` (pass a
+    sampled frame to train on a sample — ivf_build does), then ``iters``
+    Lloyd updates (assign by max fold-cosine, centroid = element mean).
+
+    Centroids live driver-side as plain floats — k·dim doubles, bounded
+    by construction (8×64 here), the natural shape for a coarse
+    quantizer (FAISS holds IVF centroids in RAM the same way). That
+    buys a fundamentally better plan than keeping them distributed:
+    assignment becomes a scan-side expression (best_cell_expr) instead
+    of crossJoin + row_number window, so each Lloyd iteration is ONE
+    job — scan the persisted training frame, two map-side-combinable
+    groupBys (k·dim, then k groups), collect k tiny rows.
 
     Cross-engine determinism is built in so a SQL oracle can reproduce
     training exactly: elements are quantized to integers with
     ``floor(x * quant_scale + 0.5)`` (floor is unambiguous in every
     engine, unlike round()), and each centroid component is the exact
-    integer sum divided by the member count — one IEEE division of two
-    integers, identical everywhere, independent of aggregation order.
-    Centroids are not normalized: cosine assignment is scale-invariant,
-    so the un-normalized mean assigns identically and saves a pass.
-    Empty cells simply vanish (their rows drop out of the group-by) in
-    both engines alike.
+    integer sum divided by the member count — one IEEE division,
+    identical everywhere, independent of aggregation order. The
+    driver round-trip is exact: collected doubles re-enter plans via
+    repr() literals (_dlit). Centroids are not normalized: cosine
+    assignment is scale-invariant, so the un-normalized mean assigns
+    identically and saves a pass. Empty cells simply vanish (their rows
+    drop out of the group-by) in both engines alike.
 
-    Scale: per iteration — one broadcast of k centroid arrays, one
-    explode to (cell, dim) rows, one map-side-combinable integer-sum
-    shuffle over k*dim groups. Production systems train the quantizer
-    on a sample; pass a sampled corpus for that.
-
-    Returns (cell, cv): cell = the init pivot's id, cv array<double>."""
+    Returns [(cell, centroid)] sorted by cell; cell = init pivot's id."""
     v = (
         corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv"))
         .withColumn("__cn", dot("__cv", "__cv"))
@@ -331,40 +410,150 @@ def train_ivf_centroids(
     quant = F.transform(
         F.col("__cv"), lambda x: F.floor(x * quant_scale + F.lit(0.5)).cast("long")
     )
-    v = v.withColumn("__q", quant)
-    cents = (
+    v = tracked_persist(v.withColumn("__q", quant))
+    init = (
         v.orderBy(F.col(corpus_id))
         .limit(n_pivots)
         .select(F.col(corpus_id).cast("long").alias("cell"), F.col("__cv").alias("cv"))
+        .collect()
     )
+    cents = [(int(r["cell"]), [float(x) for x in r["cv"]]) for r in init]
     for _ in range(iters):
-        c = cents.select(
-            F.col("cell").alias("__pid"), F.col("cv").alias("__pv")
-        ).withColumn("__pn", dot("__pv", "__pv"))
-        scores = v.crossJoin(F.broadcast(c)).withColumn(
-            "__acos", dot("__cv", "__pv") / (F.sqrt("__cn") * F.sqrt("__pn"))
-        )
-        w = Window.partitionBy(corpus_id).orderBy(F.col("__acos").desc(), F.col("__pid"))
-        assigned = (
-            scores.withColumn("__arn", F.row_number().over(w))
-            .filter(F.col("__arn") == 1)
-            .select(F.col("__pid").alias("__cell"), "__q")
-        )
-        per_dim = (
-            assigned.select(F.col("__cell"), F.posexplode("__q").alias("__d", "__qv"))
+        cell = best_cell_expr(cents, "__cv", "__cn")
+        rows = (
+            v.select(cell.alias("__cell"), F.posexplode("__q").alias("__d", "__qv"))
             .groupBy("__cell", "__d")
             .agg(F.sum("__qv").alias("__s"), F.count(F.lit(1)).alias("__cnt"))
-            .withColumn("__v", F.col("__s").cast("double") / F.col("__cnt").cast("double"))
-        )
-        cents = (
-            per_dim.groupBy("__cell")
+            .withColumn(
+                "__v", F.col("__s").cast("double") / F.col("__cnt").cast("double")
+            )
+            .groupBy("__cell")
             .agg(F.array_sort(F.collect_list(F.struct("__d", "__v"))).alias("__dv"))
             .select(
                 F.col("__cell").alias("cell"),
                 F.transform(F.col("__dv"), lambda s: s["__v"]).alias("cv"),
             )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cell"]), [float(x) for x in r["cv"]]) for r in rows
         )
     return cents
+
+
+@dataclass
+class IvfIndex:
+    """A built IVF index: driver-held coarse-quantizer centroids plus the
+    persisted cell assignment of the corpus. Build once (ivf_build),
+    search many times (ivf_search) — searches never retrain or reassign.
+    A durable variant would write ``assignment`` partitioned by __cell so
+    searches prune cells via partition pruning; within a session the
+    tracked persist serves the same role."""
+
+    centroids: list[tuple[int, list[float]]]
+    assignment: DataFrame  # (corpus_id, __cv, __cn, __cell), persisted
+    corpus_id: str
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_pivots: int = 8,
+    train_iters: int = 0,
+    train_sample_mod: int = 1,
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+) -> IvfIndex:
+    """Build the IVF index: train the coarse quantizer, then assign every
+    corpus vector to its nearest centroid — scan-side, zero shuffle.
+
+    ``train_sample_mod=S`` trains on the deterministic ``id % S == 0``
+    sample (numeric ids) — production quantizers are always trained on a
+    sample; S bounds training cost to 1/S of the corpus while the full
+    corpus is still assigned exactly once. With ``train_iters=0`` the
+    centroids are the sample's ``n_pivots`` lowest-id vectors (the
+    pivot pick runs on the 1/S sample, not a full-corpus TakeOrdered).
+
+    Cost at 100 TB: training reads the sample ``iters+1`` times
+    (persisted); assignment is ONE full scan appending a column. Nothing
+    here is per-query — that was the round-3 anti-pattern this split
+    removes."""
+    train_src = (
+        corpus
+        if train_sample_mod <= 1
+        else corpus.filter(F.col(corpus_id) % train_sample_mod == 0)
+    )
+    if train_iters > 0:
+        cents = train_ivf_centroids(
+            train_src,
+            n_pivots=n_pivots,
+            iters=train_iters,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+        )
+    else:
+        init = (
+            train_src.select(
+                F.col(corpus_id), as_double(corpus_vec).alias("__cv")
+            )
+            .withColumn("__cn", dot("__cv", "__cv"))
+            .filter(F.col("__cn") > 0)
+            .orderBy(F.col(corpus_id))
+            .limit(n_pivots)
+            .collect()
+        )
+        cents = [(int(r[corpus_id]), [float(x) for x in r["__cv"]]) for r in init]
+    c = (
+        corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv"))
+        .withColumn("__cn", dot("__cv", "__cv"))
+        .filter(F.col("__cn") > 0)
+    )
+    assignment = tracked_persist(
+        c.withColumn("__cell", best_cell_expr(cents, "__cv", "__cn"))
+    )
+    return IvfIndex(centroids=cents, assignment=assignment, corpus_id=corpus_id)
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Search a built IVF index: each query picks its ``nprobe`` nearest
+    centroids scan-side (no crossJoin, no window), then exact top-k
+    within the probed cells only — the single shuffle is the cell
+    equi-join against the persisted assignment, scanning ~nprobe/k of
+    the corpus per query.
+
+    Output: (qid, cid, rank, cosine) — approximate (recall < 1) by
+    design."""
+    corpus_id = index.corpus_id
+    q = (
+        queries.select(F.col(query_id), as_double(query_vec).alias("__qv"))
+        .withColumn("__qn", dot("__qv", "__qv"))
+        .filter(F.col("__qn") > 0)
+    )
+    probed = q.select(
+        F.col(query_id),
+        "__qv",
+        "__qn",
+        F.explode(
+            probe_cells_expr(index.centroids, "__qv", "__qn", nprobe)
+        ).alias("__cell"),
+    )
+    cands = probed.join(
+        index.assignment.withColumnRenamed("__cell", "__ccell"),
+        (F.col("__cell") == F.col("__ccell")) & (F.col(query_id) != F.col(corpus_id)),
+        "inner",
+    ).withColumn("cosine", dot("__qv", "__cv") / (F.sqrt("__qn") * F.sqrt("__cn")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", "cosine")
+    )
 
 
 def ivf_topk(
@@ -374,88 +563,23 @@ def ivf_topk(
     nprobe: int = 2,
     n_pivots: int = 8,
     train_iters: int = 0,
+    train_sample_mod: int = 1,
     query_id: str = "qid",
     query_vec: str = "qv",
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
 ) -> DataFrame:
-    """IVF two-stage ANN. Index build: every corpus vector is assigned to
-    its nearest pivot by cosine (the coarse quantizer). With
-    ``train_iters=0`` pivots are the ``n_pivots`` lowest-id vectors;
-    with ``train_iters>0`` they are deterministic spherical-k-means
-    centroids (train_ivf_centroids), which makes recall a property of
-    the clustering rather than luck of the id order. Search: each query
-    probes its ``nprobe`` nearest pivots and runs exact top-k within
-    those cells only.
-
-    Output: (qid, cid, rank, cosine) — approximate (recall < 1) by design.
-
-    Scale: the build is one broadcast pass over the corpus (n_pivots dot
-    products per vector, no shuffle except the rank-1 window); a search
-    scans ~nprobe/n_pivots of the corpus per query. In production the
-    assignment is computed once and persisted partitioned by cell id, so
-    queries prune cells via partition pruning."""
-    if train_iters > 0:
-        cents = tracked_persist(
-            train_ivf_centroids(
-                corpus,
-                n_pivots=n_pivots,
-                iters=train_iters,
-                corpus_id=corpus_id,
-                corpus_vec=corpus_vec,
-            )
-        )
-        pivots = (
-            cents.select(F.col("cell").alias("__pid"), F.col("cv").alias("__pv"))
-            .withColumn("__pn", dot("__pv", "__pv"))
-            .filter(F.col("__pn") > 0)
-        )
-    else:
-        pivots = (
-            corpus.orderBy(F.col(corpus_id))
-            .limit(n_pivots)
-            .select(F.col(corpus_id).alias("__pid"), as_double(corpus_vec).alias("__pv"))
-            .withColumn("__pn", dot("__pv", "__pv"))
-            .filter(F.col("__pn") > 0)
-        )
-
-    c = corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv")).withColumn(
-        "__cn", dot("__cv", "__cv")
-    ).filter(F.col("__cn") > 0)
-
-    # Index build: nearest pivot per corpus vector.
-    assign_scores = c.crossJoin(F.broadcast(pivots)).withColumn(
-        "__acos", dot("__cv", "__pv") / (F.sqrt("__cn") * F.sqrt("__pn"))
+    """One-shot IVF ANN: ivf_build + ivf_search. Callers issuing repeated
+    searches should build once and reuse the index (queries_similarity
+    memoizes it per session)."""
+    index = ivf_build(
+        corpus,
+        n_pivots=n_pivots,
+        train_iters=train_iters,
+        train_sample_mod=train_sample_mod,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
     )
-    wassign = Window.partitionBy(corpus_id).orderBy(F.col("__acos").desc(), F.col("__pid"))
-    assigned = (
-        assign_scores.withColumn("__arn", F.row_number().over(wassign))
-        .filter(F.col("__arn") == 1)
-        .select(F.col(corpus_id), "__cv", "__cn", F.col("__pid").alias("__cell"))
-    )
-
-    q = queries.select(F.col(query_id), as_double(query_vec).alias("__qv")).withColumn(
-        "__qn", dot("__qv", "__qv")
-    ).filter(F.col("__qn") > 0)
-
-    probe_scores = q.crossJoin(F.broadcast(pivots)).withColumn(
-        "__pcos", dot("__qv", "__pv") / (F.sqrt("__qn") * F.sqrt("__pn"))
-    )
-    wprobe = Window.partitionBy(query_id).orderBy(F.col("__pcos").desc(), F.col("__pid"))
-    probed = (
-        probe_scores.withColumn("__prn", F.row_number().over(wprobe))
-        .filter(F.col("__prn") <= nprobe)
-        .select(query_id, "__qv", "__qn", F.col("__pid").alias("__cell"))
-    )
-
-    cands = probed.join(
-        assigned.withColumnRenamed("__cell", "__ccell"),
-        (F.col("__cell") == F.col("__ccell")) & (F.col(query_id) != F.col(corpus_id)),
-        "inner",
-    ).withColumn("cosine", dot("__qv", "__cv") / (F.sqrt("__qn") * F.sqrt("__cn")))
-    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "rank", "cosine")
+    return ivf_search(
+        index, queries, k=k, nprobe=nprobe, query_id=query_id, query_vec=query_vec
     )

@@ -11,9 +11,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rta_registrations_pyspark_glue_spark.caching import register_release_hook
 from rta_registrations_pyspark_glue_spark.operators import multimodal, similarity
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+#: Coarse-quantizer training sample: train on vec_id % 4 == 0 (1/4 of
+#: the corpus). Mirrored literally in the oracle's training CTE.
+IVF_TRAIN_SAMPLE_MOD = 4
+
+# Build-once / search-many: the IVF index (trained centroids + persisted
+# cell assignment) is built on first use and reused by every subsequent
+# search in the session — re-training per query was the round-3 perf
+# regression. release_tracked() drops the memo with the caches.
+_IVF_MEMO: dict[tuple[str, str], similarity.IvfIndex] = {}
+register_release_hook(_IVF_MEMO.clear)
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> similarity.IvfIndex:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_MEMO:
+        _, c = _queries_corpus(spark, sf_dir)
+        _IVF_MEMO[key] = similarity.ivf_build(
+            c.drop("label"),
+            n_pivots=8,
+            train_iters=2,
+            train_sample_mod=IVF_TRAIN_SAMPLE_MOD,
+        )
+    return _IVF_MEMO[key]
 
 
 def _queries_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -56,10 +81,17 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(q, c.drop("label"), k=5)
 
 
-def _ivf_trained_oracle(n_pivots: int = 8, iters: int = 2, quant_scale: int = 1000) -> str:
-    """DuckDB mirror of train_ivf_centroids + ivf_topk: training is
-    reproducible across engines because quantization uses floor (never
-    round), centroid components are exact integer sums divided once, and
+def _ivf_trained_oracle(
+    n_pivots: int = 8,
+    iters: int = 2,
+    quant_scale: int = 1000,
+    sample_mod: int = IVF_TRAIN_SAMPLE_MOD,
+) -> str:
+    """DuckDB mirror of ivf_build + ivf_search: training (on the
+    ``vec_id % sample_mod == 0`` sample, matching IVF_TRAIN_SAMPLE_MOD)
+    is reproducible across engines because quantization uses floor
+    (never round), centroid components are exact integer sums divided
+    once, the driver round-trip re-emits exact repr() literals, and
     assignment uses the bit-exact fold cosine with (cos DESC, cell)
     total order — see train_ivf_centroids."""
     itercte = []
@@ -88,12 +120,13 @@ def _ivf_trained_oracle(n_pivots: int = 8, iters: int = 2, quant_scale: int = 10
         prev = f"cents{i}"
     iter_sql = ",".join(itercte)
     return f"""
-    WITH v AS (
+    WITH v AS (  -- TRAINING corpus: the deterministic 1/{sample_mod} sample
         SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
                list_transform(embedding::DOUBLE[],
                               x -> CAST(floor(x * {quant_scale} + 0.5) AS BIGINT)) AS q
         FROM embeddings
         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+          AND vec_id % {sample_mod} = 0
     ), cents0 AS (
         SELECT cid::BIGINT AS cell, cv FROM v ORDER BY cid LIMIT {n_pivots}
     ),{iter_sql}, piv AS (
@@ -147,14 +180,16 @@ def _ivf_trained_oracle(n_pivots: int = 8, iters: int = 2, quant_scale: int = 10
 
 @register("cosine_topk_ivf", oracle=_ivf_trained_oracle())
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a trained coarse quantizer: deterministic spherical
-    k-means (2 Lloyd iterations from min-id init) gives the 8 cells;
-    each query probes its 4 nearest centroids and runs exact top-5
-    within those cells — recall is a property of the clustering, not of
-    the id order (the round-2 min-id pivots are still available via
-    train_iters=0)."""
-    q, c = _queries_corpus(spark, sf_dir)
-    return similarity.ivf_topk(q, c.drop("label"), k=5, nprobe=4, n_pivots=8, train_iters=2)
+    """IVF ANN, build-once/search-many: the coarse quantizer is a
+    deterministic spherical k-means (2 Lloyd iterations, min-id init)
+    trained on the 1/4 id-sample; the index (centroids + persisted cell
+    assignment) is memoized per session, so only the FIRST invocation
+    pays the build and repeated searches are pure probes — each query
+    picks its 4 nearest centroids scan-side and runs exact top-5 within
+    those cells (one equi-join shuffle, no crossJoin, no assignment
+    window)."""
+    q, _ = _queries_corpus(spark, sf_dir)
+    return similarity.ivf_search(_ivf_index(spark, sf_dir), q, k=5, nprobe=4)
 
 
 @register(

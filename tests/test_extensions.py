@@ -134,6 +134,31 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert trained_recall >= 0.65, f"trained IVF recall too low: {trained_recall:.2f}"
 
 
+def test_ivf_index_built_once_across_searches(spark, sf_dir, monkeypatch):
+    """Build-once/search-many contract: the second invocation of the
+    registered IVF query must reuse the session-memoized index — no
+    k-means training runs again (the round-3 per-query-retraining
+    regression, pinned here)."""
+    from rta_registrations_pyspark_glue_spark.plans import queries_similarity as qs
+
+    calls = {"n": 0}
+    orig = similarity.train_ivf_centroids
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(similarity, "train_ivf_centroids", counting)
+    qs._IVF_MEMO.clear()
+    try:
+        r1 = qs.cosine_topk_ivf(spark, sf_dir).count()
+        r2 = qs.cosine_topk_ivf(spark, sf_dir).count()
+    finally:
+        qs._IVF_MEMO.clear()
+    assert r1 == r2 and r1 > 0
+    assert calls["n"] == 1, f"index trained {calls['n']} times across two searches"
+
+
 def test_fast_ann_matches_fold_pairs(spark, sf_dir):
     """BLAS top-k returns the same neighbor pairs as the oracle-exact
     sequential-fold variant (scores may differ in the last ulp)."""
