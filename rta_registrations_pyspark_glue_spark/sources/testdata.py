@@ -47,15 +47,29 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # to whatever type actually came back: a long is a nanos epoch to
         # rebuild (integer DIV, not / — ns values exceed double's 2^53); a
         # timestamp is already correct.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
+            # Genuine NANOS file: the conf must stay set — the scan checks
+            # it again at action time, and this session evidently reads
+            # nanos-shipped data by design.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         else:
-            # timestamp[us] parquet reads back as TIMESTAMP_NTZ; cast to
-            # TIMESTAMP (identity under the UTC session pin) so downstream
-            # comparisons against TIMESTAMP-typed columns keep resolving.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # MICROS file: the fallback never engaged — restore the prior
+            # conf so a later read of a true NANOS column on this session
+            # still errors loudly instead of silently yielding LongType.
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            # timestamp[us] parquet reads back as TIMESTAMP_NTZ; interpret
+            # the wall-clock as UTC explicitly (to_utc_timestamp(ntz,'UTC')
+            # is timezone-INDEPENDENT — a bare cast to timestamp resolves
+            # with whatever session tz is in effect at action time, so a
+            # driver mutating spark.sql.session.timeZone between load and
+            # action would shift values).
+            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
         return df
     return spark.read.parquet(path)
 
