@@ -96,6 +96,7 @@ def write_parquet(
     partition_by: list[str] | None = None,
     target_mb: float = TARGET_FILE_SIZE_MB,
     mode: str = "overwrite",
+    dynamic_partitions: bool = False,
 ) -> None:
     """Partitioned parquet sink with single-pass adaptive file sizing
     (S3-S6).  Instead of the reference's write → S3 size probe → coalesce →
@@ -114,6 +115,86 @@ def write_parquet(
     # plan, the very double-pass this writer exists to avoid.
     df = df.coalesce(n_files)
     writer = df.write.mode(mode)
+    if dynamic_partitions:
+        # Dynamic partition overwrite, scoped to THIS write (a writer
+        # option, not a session conf): only partitions present in df are
+        # replaced; sibling partitions' files are left untouched. The
+        # incremental-run primitive (jobs.py --year/--month).
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    # Drop any stale leaf-file listing for this path from the session's
+    # shared FileStatusCache: a reader created after an overwrite must
+    # see the new files, not cached pre-overwrite names.
+    df.sparkSession.catalog.refreshByPath(path)
+
+
+def _partition_leaf_dirs(root: str, depth: int) -> list[str]:
+    """Absolute paths of the ``k1=v1/k2=v2/...`` leaf partition dirs
+    ``depth`` levels under ``root``."""
+    import os
+
+    paths = [root]
+    for _ in range(depth):
+        paths = [
+            os.path.join(p, d)
+            for p in paths
+            for d in sorted(os.listdir(p))
+            if "=" in d and os.path.isdir(os.path.join(p, d))
+        ]
+    return paths
+
+
+def replace_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    target_mb: float = TARGET_FILE_SIZE_MB,
+) -> None:
+    """Rewrite ONLY the partition directories present in ``df``, leaving
+    sibling partitions' files physically untouched — and, unlike a plain
+    dynamic-overwrite, safe when ``df``'s plan READS from ``path`` (the
+    merge-into-own-table shape Spark's file source refuses to overwrite):
+    the frame is fully materialized into a side directory first, then the
+    affected leaf dirs are swapped in.
+
+    This is the portable stand-in for a lakehouse MERGE INTO + snapshot
+    commit (Delta/Iceberg): on a cluster/object store the same shape is
+    an output-committer rename; swap this for MERGE INTO when a table
+    format is available and keep the call sites."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".__incoming__"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_parquet(df, staging, partition_by=partition_by, target_mb=target_mb)
+    try:
+        for leaf in _partition_leaf_dirs(staging, len(partition_by)):
+            rel = os.path.relpath(leaf, staging)
+            dest = os.path.join(path, rel)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(leaf, dest)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    df.sparkSession.catalog.refreshByPath(path)
+
+
+def replace_parquet(
+    df: DataFrame,
+    path: str,
+    target_mb: float = TARGET_FILE_SIZE_MB,
+) -> None:
+    """Full-table overwrite that is safe when ``df`` reads from ``path``
+    (e.g. merging new dim rows into the existing dim): materialize to a
+    side directory, then swap the directory in whole."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".__incoming__"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_parquet(df, staging, target_mb=target_mb)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(staging, path)
+    df.sparkSession.catalog.refreshByPath(path)

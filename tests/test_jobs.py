@@ -49,6 +49,86 @@ def test_etl1_etl2_end_to_end(spark, sf_dir):
     shutil.rmtree(ROOT, ignore_errors=True)
 
 
+def _fingerprint(root: str) -> dict[str, tuple[int, int]]:
+    """relpath -> (size, mtime_ns) for every data file under root."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_incremental_month_rerun_touches_only_scoped_partitions(spark, sf_dir):
+    """--year/--month reruns must rewrite ONLY the scoped partitions:
+    every other stage (year, month) partition and fact REGISTRATION_YEAR
+    partition keeps its exact files (size + mtime), the month-scoped fact
+    merge preserves the year partition's sibling-month rows, and dims are
+    merged (never shrunk)."""
+    root = "/root/repo/.tmp/jobs_incr_test"
+    shutil.rmtree(root, ignore_errors=True)
+    bronze = synthesize_bronze(spark, sf_dir)
+    bronze.coalesce(2).write.mode("overwrite").option("header", True).csv(f"{root}/bronze")
+    assert jobs.main(["etl1", "--input", f"{root}/bronze", "--output", f"{root}/out"]) == 0
+    stage_path = f"{root}/out/stage_clean_source"
+    assert jobs.main(["etl2", "--input", stage_path, "--output", f"{root}/out"]) == 0
+    fact_path = f"{root}/out/gold_fact_registrations"
+
+    # Pick a (year, month) that exists and shares its year with others.
+    stage = spark.read.parquet(stage_path)
+    year, month = stage.groupBy("year", "month").count().orderBy("year", "month").first()[:2]
+    stage_count = stage.count()
+    base_count = spark.read.parquet(fact_path).count()
+    dimv_count = spark.read.parquet(f"{root}/out/gold_dim_vehicle").count()
+    year_count = (
+        spark.read.parquet(fact_path).filter(F.col("REGISTRATION_YEAR") == year).count()
+    )
+    stage_fp = _fingerprint(stage_path)
+    fact_fp = _fingerprint(fact_path)
+
+    assert jobs.main(
+        ["etl1", "--input", f"{root}/bronze", "--output", f"{root}/out",
+         "--year", str(year), "--month", str(month)]
+    ) == 0
+    scoped = f"year={year}/month={month}/"
+    for rel, fp in _fingerprint(stage_path).items():
+        if not rel.startswith(scoped) and rel in stage_fp and not rel.startswith("_"):
+            assert stage_fp[rel] == fp, f"unscoped stage file rewritten: {rel}"
+    unscoped_before = {r for r in stage_fp if not r.startswith(scoped)}
+    unscoped_after = {
+        r for r in _fingerprint(stage_path) if not r.startswith(scoped)
+    }
+    assert unscoped_before == unscoped_after
+    # Same input re-staged -> same stage content.
+    assert spark.read.parquet(stage_path).count() == stage_count
+
+    assert jobs.main(
+        ["etl2", "--input", stage_path, "--output", f"{root}/out",
+         "--year", str(year), "--month", str(month)]
+    ) == 0
+    year_dir = f"REGISTRATION_YEAR={year}/"
+    for rel, fp in _fingerprint(fact_path).items():
+        if not rel.startswith(year_dir) and rel in fact_fp:
+            assert fact_fp[rel] == fp, f"unscoped fact file rewritten: {rel}"
+    assert {r for r in fact_fp if not r.startswith(year_dir)} == {
+        r for r in _fingerprint(fact_path) if not r.startswith(year_dir)
+    }
+    fact_after = spark.read.parquet(fact_path)
+    # The month-scoped merge kept the year's sibling months: same rows.
+    assert (
+        fact_after.filter(F.col("REGISTRATION_YEAR") == year).count() == year_count
+    )
+    assert fact_after.count() == base_count
+    # Dims merged, never shrunk; FK closure still holds.
+    dim_v = spark.read.parquet(f"{root}/out/gold_dim_vehicle")
+    assert dim_v.count() == dimv_count
+    assert fact_after.join(dim_v, on="VEHICLE_ID", how="left_anti").count() == 0
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_job_failure_exit_code(spark):
     assert jobs.main(["etl2", "--input", "/nonexistent/path", "--output", f"{ROOT}/x"]) == 1
 
