@@ -47,6 +47,11 @@ def connected_components(
 
     Raises RuntimeError if the labeling has not reached fixpoint after
     ``max_rounds`` (diameter > max_rounds — not a near-dup-shaped graph).
+    Note the per-round persists bound recompute but not the LOGICAL plan,
+    which grows ~3× per round — beyond ~8 rounds plan analysis itself
+    gets expensive; that regime is exactly where
+    connected_components_star (O(log²) rounds, lineage-truncated) is the
+    right operator anyway.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -100,6 +105,119 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the variant for HIGH-DIAMETER graphs, where
+    min-label propagation (connected_components) needs diameter rounds:
+    star operations contract paths doubly-exponentially in expectation,
+    converging in O(log² n) alternating rounds regardless of diameter.
+
+    Same contract as connected_components: (node, component) with
+    component = the minimum node id of the component, deterministic and
+    partitioning-independent. Keep min-label as the default for near-dup
+    pair graphs (cliques converge in 2-4 cheaper rounds); use this for
+    chain-shaped graphs (e.g. transitively-linked fuzzy matches).
+
+    Per round: large-star = one groupBy-min over the symmetric edge view
+    + one equi-join; small-star = the same over the directed (big→small)
+    view — all shuffles are map-side-combinable min aggregations or key
+    equi-joins, bounded by the current edge count, which only shrinks
+    (edges contract toward stars). Convergence detection is two cheap
+    aggregates (count + sum of 64-bit pair hashes) over frames that are
+    persisted anyway, confirmed by an exact set comparison only on hash
+    equality — so the common path adds no extra join."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # Directed big→small canonical form; self-loops drop out.
+    # localCheckpoint (not persist): each round's plan references the
+    # previous frame several times, so without lineage TRUNCATION the
+    # logical plan grows exponentially with rounds (the driver OOMs just
+    # printing it by ~round 10). Checkpointing per round keeps the plan
+    # constant-size — the standard shape for iterative graph algorithms
+    # (GraphFrames' CC does the same); a cluster deployment would use a
+    # reliable checkpoint dir or write each round to parquet instead.
+    prev = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-independent, never overflows (sum of
+        # xxhash64 values trips ANSI overflow), and duplicate-free input
+        # (distinct pairs) means no xor cancellation.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _signature(prev)
+    for _ in range(max_rounds):
+        # Large-star: every node x links its strictly-larger neighbors to
+        # m = min(neighbors ∪ x). Output keeps the big→small invariant
+        # (y > x >= m).
+        sym = prev.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            prev.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        lmin = sym.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("m"))
+        ls = (
+            sym.join(lmin, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        # Small-star: every node u links its (all-smaller) neighbors and
+        # itself to the minimum of that set.
+        smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smin, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(smin.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _signature(ss)
+        ls.unpersist()
+        if new_sig == sig:
+            # Hashes agree — confirm exactly once (anti-join both ways is
+            # overkill: equal counts + one empty EXCEPT imply set equality).
+            if ss.exceptAll(prev).limit(1).count() == 0:
+                prev.unpersist()
+                prev = ss
+                break
+        prev.unpersist()
+        prev, sig = ss, new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_rounds} rounds"
+        )
+    # Fixpoint edges form stars rooted at component minima: every
+    # non-root points straight at its root; roots have no outgoing edge.
+    labels = (
+        nodes.join(prev, nodes["node"] == prev["u"], "left")
+        .select("node", F.coalesce(F.col("v"), F.col("node")).alias("component"))
+    )
+    return labels
 
 
 def dedup_clusters(

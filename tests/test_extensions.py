@@ -333,6 +333,42 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     assert keep == [1, 7, 9]
 
 
+def test_connected_components_star_long_chain(spark):
+    """A diameter-50 chain — min-label propagation would need 50 rounds
+    (it raises at its default cap); the alternating star algorithm must
+    converge in O(log²) rounds to the same min-id labeling the oracle's
+    transitive closure would produce."""
+    from rta_registrations_pyspark_glue_spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src bigint, dst bigint"
+    )
+    # min-label needs diameter rounds — it gives up (capped low here;
+    # its default-cap behavior is covered by the diameter_cap test).
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        graph.connected_components(chain, max_rounds=4)
+    out = {
+        r.node: r.component
+        for r in graph.connected_components_star(chain, max_rounds=12).collect()
+    }
+    assert out == {i: 0 for i in range(51)}
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """On a clique-ish multi-component graph both algorithms must emit
+    identical (node, component) labelings — the operator contract."""
+    from rta_registrations_pyspark_glue_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 5), (20, 21), (22, 21), (40, 41), (2, 40)],
+        "src bigint, dst bigint",
+    )
+    a = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    b = {r.node: r.component for r in graph.connected_components_star(edges).collect()}
+    assert a == b
+    assert b[5] == 3 and b[22] == 20 and b[41] == 2
+
+
 def test_connected_components_diameter_cap(spark):
     from rta_registrations_pyspark_glue_spark.operators import graph
 
