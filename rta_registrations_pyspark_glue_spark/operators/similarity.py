@@ -324,23 +324,38 @@ def _fold_dot_sql(vec_col: str, consts: list[float]) -> str:
     return f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
 
-def _cell_score_entries(
+def _cell_scores_sql(
     centroids: list[tuple[int, list[float]]], vec_col: str, norm_col: str
-) -> list[str]:
-    """(negated-cosine, cell) struct SQL per centroid. array_min /
+) -> str:
+    """array<struct<negcos,cell>> of (negated-cosine, cell) per centroid,
+    via ONE transform lambda over a literal array-of-structs. array_min /
     array_sort over these structs is exactly the (cosine DESC, cell ASC)
     total order the oracle's ROW_NUMBER uses — negation preserves tie
-    structure because cosines are bit-identical across engines."""
+    structure because cosines are bit-identical across engines.
+
+    One lambda, not k unrolled fold expressions: unrolling specializes
+    the generated code per centroid, so codegen size (and Janino compile
+    time — ~2s per action measured at k=8) grows with k; the transform
+    form compiles one small fold loop no matter how many centroids, and
+    the centroid norms ride along as literals (driver sqrt is IEEE —
+    bit-identical to either engine's)."""
     import math
 
     entries = []
     for cell, cv in centroids:
-        sp = math.sqrt(_py_dot(cv, cv))
-        cos = f"({_fold_dot_sql(vec_col, cv)} / (SQRT({norm_col}) * {_dlit(sp)}))"
+        nrm = math.sqrt(_py_dot(cv, cv))
+        arr = "array(" + ",".join(_dlit(x) for x in cv) + ")"
         entries.append(
-            f"named_struct('negcos', -{cos}, 'cell', CAST({cell} AS BIGINT))"
+            f"named_struct('cell', CAST({cell} AS BIGINT), 'cv', {arr}, "
+            f"'nrm', {_dlit(nrm)})"
         )
-    return entries
+    cents = "array(" + ",".join(entries) + ")"
+    return (
+        f"transform({cents}, s -> named_struct("
+        f"'negcos', -(aggregate(zip_with({vec_col}, s.cv, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x) / (SQRT({norm_col}) * s.nrm)), "
+        f"'cell', s.cell))"
+    )
 
 
 def best_cell_expr(
@@ -348,8 +363,9 @@ def best_cell_expr(
 ) -> Column:
     """Scan-side nearest-centroid assignment: max fold-cosine, ties to
     the lowest cell id — no crossJoin, no window, zero shuffle."""
-    entries = _cell_score_entries(centroids, vec_col, norm_col)
-    return F.expr(f"array_min(array({','.join(entries)}))").getField("cell")
+    return F.expr(
+        f"array_min({_cell_scores_sql(centroids, vec_col, norm_col)})"
+    ).getField("cell")
 
 
 def probe_cells_expr(
@@ -360,10 +376,9 @@ def probe_cells_expr(
 ) -> Column:
     """Scan-side top-``nprobe`` cells for a query vector (same total
     order as best_cell_expr), as an array<bigint> to explode."""
-    entries = _cell_score_entries(centroids, vec_col, norm_col)
-    sorted_arr = f"array_sort(array({','.join(entries)}))"
+    scores = _cell_scores_sql(centroids, vec_col, norm_col)
     return F.expr(
-        f"transform(slice({sorted_arr}, 1, {int(nprobe)}), s -> s.cell)"
+        f"transform(slice(array_sort({scores}), 1, {int(nprobe)}), s -> s.cell)"
     )
 
 
@@ -374,69 +389,87 @@ def train_ivf_centroids(
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
     quant_scale: int = 1000,
+    max_train_rows: int = 200_000,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic spherical k-means for the IVF coarse quantizer:
     init = the ``n_pivots`` lowest-id vectors of ``corpus`` (pass a
     sampled frame to train on a sample — ivf_build does), then ``iters``
     Lloyd updates (assign by max fold-cosine, centroid = element mean).
 
-    Centroids live driver-side as plain floats — k·dim doubles, bounded
-    by construction (8×64 here), the natural shape for a coarse
-    quantizer (FAISS holds IVF centroids in RAM the same way). That
-    buys a fundamentally better plan than keeping them distributed:
-    assignment becomes a scan-side expression (best_cell_expr) instead
-    of crossJoin + row_number window, so each Lloyd iteration is ONE
-    job — scan the persisted training frame, two map-side-combinable
-    groupBys (k·dim, then k groups), collect k tiny rows.
+    Training runs DRIVER-SIDE on the collected sample — one Spark action
+    total, not one per Lloyd iteration. That is the production shape for
+    coarse-quantizer training (FAISS trains IVF on an in-RAM sample the
+    same way): the sample is bounded (``max_train_rows`` raises rather
+    than OOM the driver — count-checked before collecting, the same
+    guard as brute_force_topk_fast), k·dim centroids are trivially
+    RAM-sized, and each distributed Lloyd iteration would otherwise pay
+    a full job of fixed latency to aggregate a few thousand rows.
 
     Cross-engine determinism is built in so a SQL oracle can reproduce
-    training exactly: elements are quantized to integers with
-    ``floor(x * quant_scale + 0.5)`` (floor is unambiguous in every
-    engine, unlike round()), and each centroid component is the exact
-    integer sum divided by the member count — one IEEE division,
-    identical everywhere, independent of aggregation order. The
-    driver round-trip is exact: collected doubles re-enter plans via
-    repr() literals (_dlit). Centroids are not normalized: cosine
+    training exactly, even though it runs in Python here: elements are
+    quantized to integers with ``floor(x * quant_scale + 0.5)`` (floor
+    is unambiguous everywhere, unlike round()), centroid components are
+    exact integer sums (Python ints, overflow-free) divided once — one
+    IEEE division, identical in every engine, independent of
+    aggregation order — and assignment uses the strict left-to-right
+    fold cosine (_py_dot) with the (cos DESC, cell ASC) total order.
+    Collected doubles re-enter Spark plans via repr() literals (_dlit),
+    an exact round trip. Centroids are not normalized: cosine
     assignment is scale-invariant, so the un-normalized mean assigns
-    identically and saves a pass. Empty cells simply vanish (their rows
-    drop out of the group-by) in both engines alike.
+    identically and saves a pass. Empty cells simply vanish in both
+    engines alike.
 
     Returns [(cell, centroid)] sorted by cell; cell = init pivot's id."""
-    v = (
+    import math
+
+    n = corpus.count()
+    if n > max_train_rows:
+        raise ValueError(
+            f"train_ivf_centroids collects the training sample to the driver: "
+            f"{n} rows exceeds max_train_rows={max_train_rows}. Pass a smaller "
+            f"sample (ivf_build's train_sample_mod) or raise the bound."
+        )
+    rows = (
         corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv"))
         .withColumn("__cn", dot("__cv", "__cv"))
         .filter(F.col("__cn") > 0)
-    )
-    quant = F.transform(
-        F.col("__cv"), lambda x: F.floor(x * quant_scale + F.lit(0.5)).cast("long")
-    )
-    v = tracked_persist(v.withColumn("__q", quant))
-    init = (
-        v.orderBy(F.col(corpus_id))
-        .limit(n_pivots)
-        .select(F.col(corpus_id).cast("long").alias("cell"), F.col("__cv").alias("cv"))
         .collect()
     )
-    cents = [(int(r["cell"]), [float(x) for x in r["cv"]]) for r in init]
+    sample = sorted(
+        (int(r[corpus_id]), [float(x) for x in r["__cv"]], float(r["__cn"]))
+        for r in rows
+    )
+    cents = [(cid, cv) for cid, cv, _ in sample[:n_pivots]]
+    quant = [
+        (cv, math.sqrt(cn), [math.floor(x * quant_scale + 0.5) for x in cv])
+        for _cid, cv, cn in sample
+    ]
     for _ in range(iters):
-        cell = best_cell_expr(cents, "__cv", "__cn")
-        rows = (
-            v.select(cell.alias("__cell"), F.posexplode("__q").alias("__d", "__qv"))
-            .groupBy("__cell", "__d")
-            .agg(F.sum("__qv").alias("__s"), F.count(F.lit(1)).alias("__cnt"))
-            .withColumn(
-                "__v", F.col("__s").cast("double") / F.col("__cnt").cast("double")
-            )
-            .groupBy("__cell")
-            .agg(F.array_sort(F.collect_list(F.struct("__d", "__v"))).alias("__dv"))
-            .select(
-                F.col("__cell").alias("cell"),
-                F.transform(F.col("__dv"), lambda s: s["__v"]).alias("cv"),
-            )
-            .collect()
-        )
+        pivots = [
+            (cell, pv, math.sqrt(_py_dot(pv, pv))) for cell, pv in cents
+        ]
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for cv, sn, q in quant:
+            best_cell, best_cos = None, None
+            for cell, pv, pn in pivots:  # cells ascending: ties keep lowest
+                if pn == 0.0:
+                    continue
+                cos = _py_dot(cv, pv) / (sn * pn)
+                if best_cos is None or cos > best_cos:
+                    best_cell, best_cos = cell, cos
+            if best_cell is None:
+                continue
+            if best_cell in sums:
+                acc = sums[best_cell]
+                for d, qx in enumerate(q):
+                    acc[d] += qx
+                counts[best_cell] += 1
+            else:
+                sums[best_cell] = list(q)
+                counts[best_cell] = 1
         cents = sorted(
-            (int(r["cell"]), [float(x) for x in r["cv"]]) for r in rows
+            (cell, [s / counts[cell] for s in sums[cell]]) for cell in sums
         )
     return cents
 
@@ -462,6 +495,7 @@ def ivf_build(
     train_sample_mod: int = 1,
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> IvfIndex:
     """Build the IVF index: train the coarse quantizer, then assign every
     corpus vector to its nearest centroid — scan-side, zero shuffle.
@@ -473,16 +507,23 @@ def ivf_build(
     centroids are the sample's ``n_pivots`` lowest-id vectors (the
     pivot pick runs on the 1/S sample, not a full-corpus TakeOrdered).
 
-    Cost at 100 TB: training reads the sample ``iters+1`` times
-    (persisted); assignment is ONE full scan appending a column. Nothing
-    here is per-query — that was the round-3 anti-pattern this split
-    removes."""
+    Cost at 100 TB: training collects the bounded sample once and runs
+    driver-side; assignment is ONE full scan appending a column (lazy —
+    it materializes inside the first search job). Nothing here is
+    per-query — that was the round-3 anti-pattern this split removes.
+
+    ``centroids``: pass previously-trained centroids to skip training
+    entirely (they are a deterministic pure function of (corpus, params),
+    so reusing them across sessions/cache-releases is sound — the
+    assignment is rebuilt against them lazily)."""
     train_src = (
         corpus
         if train_sample_mod <= 1
         else corpus.filter(F.col(corpus_id) % train_sample_mod == 0)
     )
-    if train_iters > 0:
+    if centroids is not None:
+        cents = centroids
+    elif train_iters > 0:
         cents = train_ivf_centroids(
             train_src,
             n_pivots=n_pivots,

@@ -23,8 +23,15 @@ IVF_TRAIN_SAMPLE_MOD = 4
 # Build-once / search-many: the IVF index (trained centroids + persisted
 # cell assignment) is built on first use and reused by every subsequent
 # search in the session — re-training per query was the round-3 perf
-# regression. release_tracked() drops the memo with the caches.
+# regression. Two lifetimes, deliberately different:
+# - _IVF_MEMO (index w/ persisted assignment) drops on release_tracked,
+#   like every Spark cache; the next search lazily re-materializes the
+#   assignment inside its own job.
+# - _IVF_CENTROIDS survives releases: trained centroids are a
+#   deterministic pure FUNCTION of (sf_dir, params) — k·dim floats, the
+#   same standing as the fixed LSH plane bank, not a cache of data.
 _IVF_MEMO: dict[tuple[str, str], similarity.IvfIndex] = {}
+_IVF_CENTROIDS: dict[str, list[tuple[int, list[float]]]] = {}
 register_release_hook(_IVF_MEMO.clear)
 
 
@@ -37,7 +44,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> similarity.IvfIndex:
             n_pivots=8,
             train_iters=2,
             train_sample_mod=IVF_TRAIN_SAMPLE_MOD,
+            centroids=_IVF_CENTROIDS.get(sf_dir),
         )
+        _IVF_CENTROIDS[sf_dir] = _IVF_MEMO[key].centroids
     return _IVF_MEMO[key]
 
 

@@ -150,11 +150,13 @@ def test_ivf_index_built_once_across_searches(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(similarity, "train_ivf_centroids", counting)
     qs._IVF_MEMO.clear()
+    qs._IVF_CENTROIDS.clear()
     try:
         r1 = qs.cosine_topk_ivf(spark, sf_dir).count()
         r2 = qs.cosine_topk_ivf(spark, sf_dir).count()
     finally:
         qs._IVF_MEMO.clear()
+        qs._IVF_CENTROIDS.clear()
     assert r1 == r2 and r1 > 0
     assert calls["n"] == 1, f"index trained {calls['n']} times across two searches"
 
