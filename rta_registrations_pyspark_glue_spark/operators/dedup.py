@@ -61,17 +61,28 @@ def keep_latest_agg(
     return agg.select(*[F.col(f"__row.{c}").alias(c) for c in payload])
 
 
-def dedup_deterministic(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+def dedup_deterministic(
+    df: DataFrame, keys: Sequence[str], count_col: str | None = None
+) -> DataFrame:
     """One row per key with *deterministically* chosen attribute values:
     the lexicographically smallest struct of the non-key columns. Use when
     non-key columns are NOT functionally determined by the key —
     dropDuplicates would pick an arbitrary (partitioning-dependent) row.
-    Same cost shape as dropDuplicates: one map-side-combined aggregate."""
+    Same cost shape as dropDuplicates: one map-side-combined aggregate.
+
+    ``count_col``: also emit the pre-dedup row count per key under this
+    name, computed in the SAME aggregate — a consumer that needs both the
+    deduped rows and per-key support (the pipeline's canonical-catalog
+    threshold) would otherwise pay a second full shuffle plus a join."""
     others = [c for c in df.columns if c not in keys]
-    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
-        F.min(F.struct(*[F.col(c) for c in others])).alias("__row")
+    aggs = [F.min(F.struct(*[F.col(c) for c in others])).alias("__row")]
+    if count_col is not None:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    extra = [count_col] if count_col is not None else []
+    return agg.select(
+        *keys, *[F.col(f"__row.{c}").alias(c) for c in others], *extra
     )
-    return agg.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in others])
 
 
 def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:

@@ -29,13 +29,19 @@ def add_surrogate_keys(df: DataFrame) -> DataFrame:
     )
 
 
-def build_dim_vehicle(df: DataFrame) -> DataFrame:
+def build_dim_vehicle(df: DataFrame, support_col: str | None = None) -> DataFrame:
     """dim_vehicle (etl2:173-180; DDL starschema_dw.txt:9-21).
 
     The reference dropDuplicates on VEHICLE_ID (etl2:180), but FUEL /
     COLOUR / EMISSION / SEATS are not functions of the key (the key hashes
     model+variant+year only) — an arbitrary pick would make dim contents
-    partitioning-dependent. We pick deterministically instead."""
+    partitioning-dependent. We pick deterministically instead.
+
+    ``support_col``: additionally emit the registration count per
+    VEHICLE_ID, fused into the dedup aggregate — the pipeline's
+    canonical-catalog threshold (etl2:195-244) needs it, and computing
+    it here removes a second stage-wide shuffle and the dim×support
+    join from the hot path."""
     return dedup.dedup_deterministic(
         df.select(
             "VEHICLE_ID",
@@ -50,6 +56,7 @@ def build_dim_vehicle(df: DataFrame) -> DataFrame:
             F.col("isElectric").alias("IS_ELECTRIC"),
         ),
         keys=["VEHICLE_ID"],
+        count_col=support_col,
     )
 
 

@@ -113,7 +113,12 @@ def build_star(staged: DataFrame) -> StarOutput:
     # to parquet as the stage layer (jobs.py).
     df = tracked_persist(df.select(*_KEYED_COLS))
 
-    dim_vehicle = star.build_dim_vehicle(df)
+    # One VEHICLE_ID shuffle builds the dim AND its support counts
+    # (fused aggregate); persisted because three consumers read it —
+    # the gold dim, the canonical catalog below, and the fact's FK
+    # closure through resolution.
+    dim_vehicle_s = tracked_persist(star.build_dim_vehicle(df, support_col="__support"))
+    dim_vehicle = dim_vehicle_s.drop("__support")
     dim_manufacturer = star.build_dim_manufacturer(df)
     dim_rta = star.build_dim_rta(df)
 
@@ -130,9 +135,8 @@ def build_star(staged: DataFrame) -> StarOutput:
         F.concat_ws(" ", F.col("modelName"), F.col("variant")).alias("probe_text"),
         "MAKE_YEAR_KEY",
     )
-    support = df.groupBy("VEHICLE_ID").agg(F.count(F.lit(1)).alias("__support"))
     catalog = (
-        dim_vehicle.join(support, "VEHICLE_ID")
+        dim_vehicle_s
         .filter(F.col("__support") >= MIN_CATALOG_SUPPORT)
         .select(
             "VEHICLE_ID",
