@@ -16,7 +16,7 @@ expression). Resolution is 1/65,536 ≈ 0.0015%%, plenty for split work.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,3 +64,64 @@ def hash_split(
     never move a row between splits."""
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn(out_col, split_column(key_col, fractions))
+
+
+def cumulative_bounds(fractions: dict[str, float]) -> list[tuple[str, float]]:
+    """[(split_name, cumulative_fraction)] with the last split unbounded
+    (None). Cumulative sums are rounded to 12 decimals so 0.8+0.1 is the
+    clean literal 0.9 in BOTH engines (float accumulation would emit
+    0.9000000000000001, shifting quota boundaries for group sizes where
+    the product crosses an integer)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc = round(acc + fractions[name], 12)
+        out.append((name, acc))
+    out.append((names[-1], None))
+    return out
+
+
+def stratified_split(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT per-stratum split: within every ``group_col`` value, rows
+    are ranked by (md5(key), key) — a deterministic, engine-independent
+    total order — and quota'd so each split gets exactly
+    ``ceil(cum_fraction * group_size)`` rows cumulatively. Use when
+    per-class proportions must hold exactly (class-balanced train/val/
+    test); ``hash_split`` only converges to the fractions in
+    expectation, which under-represents small strata.
+
+    Cost: ONE shuffle on the group key (row_number and the group count
+    share the same window partitioning, so Spark evaluates both in one
+    exchange+sort). Quotas per group mean no global coordination — each
+    stratum is sized independently, so the operator scales with the
+    number of rows, not groups. Skew note: a single giant stratum lands
+    in one partition's sort — at 100 TB pre-aggregate group sizes and
+    assign ranks via a two-level (salted rank + offset) scheme instead;
+    for label-like strata (≤ millions of rows each) this direct window
+    is the right plan."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    key = F.col(key_col)
+    w = Window.partitionBy(group_col).orderBy(F.md5(key.cast("string")), key)
+    wg = Window.partitionBy(group_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wg)
+    expr: Column | None = None
+    last_name = None
+    for name, cum in cumulative_bounds(fractions):
+        if cum is None:
+            last_name = name
+            continue
+        cond = rn <= F.ceil(F.lit(cum) * n)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert last_name is not None
+    expr = expr.otherwise(last_name) if expr is not None else F.lit(last_name)
+    return df.withColumn(out_col, expr)

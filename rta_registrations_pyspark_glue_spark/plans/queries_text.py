@@ -421,20 +421,47 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dataset_split",
     oracle="""
-    SELECT doc_id,
+    SELECT 'hash' AS row_kind, doc_id,
            substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS split,
+           NULL AS lang
     FROM documents
+    UNION ALL BY NAME
+    SELECT 'stratified' AS row_kind, doc_id, NULL AS bucket, lang,
+           CASE WHEN rn <= CAST(ceil(0.8 * cnt) AS BIGINT) THEN 'train'
+                WHEN rn <= CAST(ceil(0.9 * cnt) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents
+    )
     """,
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 train/val/test split keyed on md5(doc_id):
-    reproducible across engines and runs, stable under corpus growth,
-    zero-shuffle scan-side labeling (operators/sampling.py)."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    out = sampling.hash_split(docs, "doc_id")
-    return out.withColumn(
-        "bucket", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    ).select("doc_id", "bucket", "split")
+    """Two dataset-split modes under one union-tagged slot:
+    - 'hash' rows: deterministic 80/10/10 train/val/test keyed on
+      md5(doc_id) — reproducible across engines and runs, stable under
+      corpus growth, zero-shuffle scan-side labeling.
+    - 'stratified' rows: EXACT per-language quotas — within each lang,
+      rows ranked by (md5, id) are cut at ceil(0.8·n)/ceil(0.9·n), so
+      every stratum hits its fractions exactly (hash_split only
+      converges in expectation, under-representing small strata). One
+      group-key shuffle (operators/sampling.py:stratified_split)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    h = (
+        sampling.hash_split(docs.select("doc_id"), "doc_id")
+        .withColumn("bucket", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4))
+        .withColumn("row_kind", F.lit("hash"))
+        .select("row_kind", "doc_id", "bucket", "split")
+    )
+    s = (
+        sampling.stratified_split(docs, "doc_id", "lang")
+        .withColumn("row_kind", F.lit("stratified"))
+        .select("row_kind", "doc_id", "lang", "split")
+    )
+    return h.unionByName(s, allowMissingColumns=True)

@@ -398,6 +398,36 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert all(full[r.k] == r["split"] for r in sub.collect())
 
 
+def test_stratified_split_exact_quotas(spark):
+    """Every stratum must hit its split fractions EXACTLY (ceil-quota
+    contract), deterministically across partitionings, including strata
+    too small for hash_split to represent."""
+    import math
+
+    from rta_registrations_pyspark_glue_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(1000)] + [(10_000 + i, "tiny") for i in range(7)]
+    df = spark.createDataFrame(rows, "k bigint, g string")
+    out = sampling.stratified_split(df, "k", "g").collect()
+    by_group: dict[str, dict[str, int]] = {}
+    for r in out:
+        by_group.setdefault(r.g, {}).setdefault(r["split"], 0)
+        by_group[r.g][r["split"]] += 1
+    for g, n in (("big", 1000), ("tiny", 7)):
+        c = by_group[g]
+        t_bound = math.ceil(0.8 * n)
+        v_bound = math.ceil(0.9 * n)
+        assert c.get("train", 0) == t_bound, (g, c)
+        assert c.get("val", 0) == v_bound - t_bound, (g, c)
+        assert c.get("test", 0) == n - v_bound, (g, c)
+    # determinism under different partitioning
+    again = {
+        (r.k, r.g): r["split"]
+        for r in sampling.stratified_split(df.repartition(7), "k", "g").collect()
+    }
+    assert all(again[(r.k, r.g)] == r["split"] for r in out)
+
+
 def test_hash_split_rejects_bad_fractions(spark):
     from rta_registrations_pyspark_glue_spark.operators import sampling
 
