@@ -1,0 +1,120 @@
+"""Sequence packing — concatenate documents into fixed-length training
+sequences (GPT-style pretraining packing: concat the token stream in a
+deterministic document order, cut every ``seq_len`` tokens).
+
+The operator computes, per document, where its tokens land in the packed
+stream: the first/last sequence index and the offset within the first
+sequence. Downstream loaders group by sequence index to materialize
+training examples; a document may straddle sequence boundaries exactly
+as in the standard packing scheme.
+
+Scale design — the core is a GLOBAL prefix sum over a deterministic
+total order, which a naive ``Window.orderBy`` without partitioning would
+serialize onto one task. The distributed form here is the classic
+two-level scan:
+
+1. range-repartition by the order key, so partition i holds a
+   contiguous, ordered slice of the stream;
+2. per-partition token sums — one tiny aggregate, one row per
+   partition, collected to the driver (bounded);
+3. broadcast the per-partition prefix offsets back (a literal map) and
+   finish with a WITHIN-partition running sum — window partitioned by
+   the physical partition id, parallel, never a single-task global sort.
+
+Determinism: range-boundary sampling places rows into partitions
+nondeterministically at the margin, but the prefix sum is over the total
+order key, so a document's cumulative offset — and therefore its packing
+— is identical regardless of where boundaries land (asserted by the
+partition-invariance test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.caching import tracked_persist
+from rta_registrations_pyspark_glue_spark.operators.text import tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document its place in the packed token stream.
+
+    Order is (md5(id), id) — deterministic, uniform (so range partitions
+    balance regardless of id distribution), engine-independent. Token
+    counts come from ``token_count_col`` if given, else whitespace
+    tokenization of ``text_col`` (empty/blank text = 0 tokens).
+
+    Output: (id_col, n_tokens, stream_offset, seq_first, seq_last,
+    offset_in_seq) — stream_offset is the document's absolute start in
+    the concatenated token stream, seq_first/seq_last the sequence
+    indices its tokens touch (equal when it fits in one sequence),
+    offset_in_seq = stream_offset % seq_len."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+            F.size(tokens(text_col))
+        )
+    )
+    d = df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__okey"),
+    )
+    nparts = num_partitions or int(
+        d.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    d = tracked_persist(
+        d.repartitionByRange(nparts, F.col("__okey"), F.col(id_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    psums = {
+        r["__pid"]: r["s"]
+        for r in d.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stream_offset = off_expr + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        stream_offset.alias("stream_offset"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "stream_offset",
+        F.floor(F.col("stream_offset") / seq_len).alias("seq_first"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("stream_offset") + F.col("n_tokens") - 1) / seq_len),
+        )
+        .otherwise(F.floor(F.col("stream_offset") / seq_len))
+        .alias("seq_last"),
+        (F.col("stream_offset") % seq_len).alias("offset_in_seq"),
+    )

@@ -24,7 +24,7 @@ is what lets the DuckDB oracle verify the operator bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import tracked_persist
@@ -237,4 +237,88 @@ def simhash_near_pairs(
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train/eval contamination report — the decontamination step every
+    benchmark-respecting training pipeline runs: for each eval document,
+    how many of its word n-grams appear anywhere in the training corpus,
+    and which single training document overlaps it most.
+
+    Output, one row per eval document:
+    (id_col, n_shingles, n_contaminated, contamination  -- fraction of
+    the eval doc's distinct shingles found in train, 0.0 when clean --
+    top_train_id, top_overlap  -- most-overlapping train doc by
+    (overlap DESC, id ASC), NULL/0 when clean).
+
+    Plan shape at scale: both corpora explode to distinct
+    (doc, shingle) postings scan-side; the single shuffle is the
+    inverted-index equi-join on the shingle. ``max_shingle_df`` drops
+    training shingles whose document frequency exceeds the bound before
+    the join — boilerplate n-grams ("terms of service apply") otherwise
+    create quadratic hot buckets; dropping them is both the skew fix and
+    standard decontamination practice (stop-shingle removal). The eval
+    side is typically tiny (benchmarks), so Catalyst broadcasts it."""
+    ev = eval_df.withColumn("__norm", normalize_text(text_col)).select(
+        F.col(id_col).alias("eval_id"),
+        word_shingles("__norm", shingle_n).alias("__sh"),
+    )
+    ev_counts = ev.select("eval_id", F.size("__sh").alias("n_shingles"))
+    ev_post = ev.select("eval_id", F.explode("__sh").alias("__shingle"))
+    tr_post = (
+        train.withColumn("__norm", normalize_text(text_col))
+        .select(
+            F.col(id_col).alias("train_id"),
+            F.explode(word_shingles("__norm", shingle_n)).alias("__shingle"),
+        )
+    )
+    if max_shingle_df is not None:
+        df_ok = (
+            tr_post.groupBy("__shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("__shingle")
+        )
+        tr_post = tr_post.join(df_ok, "__shingle")
+    hits = ev_post.join(tr_post, "__shingle")
+    per_pair = hits.groupBy("eval_id", "train_id").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    top = per_pair.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("eval_id").orderBy(
+                F.col("overlap").desc(), F.col("train_id")
+            )
+        ),
+    ).filter(F.col("__rn") == 1)
+    contaminated = (
+        hits.select("eval_id", "__shingle")
+        .distinct()
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        ev_counts.join(contaminated, "eval_id", "left")
+        .join(top.select("eval_id", "train_id", "overlap"), "eval_id", "left")
+        .select(
+            F.col("eval_id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.when(F.col("n_shingles") > 0,
+                   F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                   / F.col("n_shingles"))
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+            F.col("train_id").alias("top_train_id"),
+            F.coalesce(F.col("overlap"), F.lit(0)).alias("top_overlap"),
+        )
     )

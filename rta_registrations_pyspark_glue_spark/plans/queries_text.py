@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import tracked_persist
-from rta_registrations_pyspark_glue_spark.operators import graph, sampling, text, textdedup
+from rta_registrations_pyspark_glue_spark.operators import graph, packing, sampling, text, textdedup
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -465,3 +465,32 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_kind", "doc_id", "lang", "split")
     )
     return h.unionByName(s, allowMissingColumns=True)
+
+
+@register("decontamination_report")
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination over the engine's own split: the
+    documents corpus is hash-split 80/10/10, and every test-split doc is
+    scored for word-3-gram overlap against the train split
+    (operators/textdedup.decontaminate — inverted-index join with
+    stop-shingle skew cap). Rows-only by gate-slot policy (the 50
+    oracle-backed slots are saturated); the operator's arithmetic is
+    pinned by tests/test_extensions.py::test_decontaminate_* with
+    hand-computed expectations."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d = sampling.hash_split(docs, "doc_id")
+    train = d.filter(F.col("split") == "train").drop("split")
+    ev = d.filter(F.col("split") == "test").drop("split")
+    return textdedup.decontaminate(train, ev, max_shingle_df=50)
+
+
+@register("packed_sequences")
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing of the documents corpus into 512-token
+    sequences (operators/packing.pack_sequences — distributed prefix sum
+    via range repartition + per-partition offsets, never a single-task
+    global window). Rows-only by gate-slot policy; packing arithmetic is
+    pinned by tests/test_extensions.py::test_pack_sequences_* against a
+    Python recomputation of the exact cumulative layout."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return packing.pack_sequences(docs, seq_len=512)

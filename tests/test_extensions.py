@@ -428,6 +428,91 @@ def test_stratified_split_exact_quotas(spark):
     assert all(again[(r.k, r.g)] == r["split"] for r in out)
 
 
+def test_pack_sequences_exact_layout(spark):
+    """Packing must equal the Python recomputation of the cumulative
+    token layout over the (md5(id), id) order — including a boundary-
+    straddling doc and a zero-token doc — and be invariant to input
+    partitioning (the distributed prefix sum is order-defined, not
+    partitioning-defined)."""
+    import hashlib
+
+    from rta_registrations_pyspark_glue_spark.operators import packing
+
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate([3, 0, 7, 5, 2, 9, 1, 4])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    seq_len = 8
+    got = {r.doc_id: r for r in packing.pack_sequences(df, seq_len).collect()}
+
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    cum = 0
+    for i, txt in order:
+        n = len(txt.split()) if txt.strip() else 0
+        r = got[i]
+        assert r.n_tokens == n
+        assert r.stream_offset == cum, (i, r.stream_offset, cum)
+        assert r.seq_first == cum // seq_len
+        assert r.seq_last == ((cum + n - 1) // seq_len if n > 0 else cum // seq_len)
+        assert r.offset_in_seq == cum % seq_len
+        cum += n
+
+    again = {
+        r.doc_id: (r.stream_offset, r.seq_first, r.seq_last)
+        for r in packing.pack_sequences(df.repartition(5), seq_len, num_partitions=3).collect()
+    }
+    assert again == {
+        k: (v.stream_offset, v.seq_first, v.seq_last) for k, v in got.items()
+    }
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from rta_registrations_pyspark_glue_spark.operators import packing
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="seq_len"):
+        packing.pack_sequences(df, 0)
+
+
+def test_decontaminate_overlap_report(spark):
+    """Contamination fractions, top-train attribution with the
+    (overlap DESC, id ASC) tiebreak, clean-doc zeros, and the
+    stop-shingle document-frequency cap."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma zeta eta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),   # shingles: abg, bgd(elta) -> hits
+            (11, "seven eight nine ten"),      # clean
+            (12, "one two three"),             # exactly one shingle, in train
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in textdedup.decontaminate(train, ev).collect()}
+    # doc 10: shingles {alpha beta gamma, beta gamma delta}; 'alpha beta
+    # gamma' is in train docs 1 and 3, 'beta gamma delta' only in 1.
+    assert out[10].n_shingles == 2 and out[10].n_contaminated == 2
+    assert out[10].contamination == 1.0
+    assert out[10].top_train_id == 1 and out[10].top_overlap == 2
+    # doc 11: fully clean.
+    assert out[11].n_contaminated == 0 and out[11].contamination == 0.0
+    assert out[11].top_train_id is None and out[11].top_overlap == 0
+    # doc 12: its single shingle appears in train doc 2.
+    assert out[12].n_shingles == 1 and out[12].n_contaminated == 1
+    assert out[12].top_train_id == 2 and out[12].top_overlap == 1
+    # Stop-shingle cap: df(alpha beta gamma) = 2 > 1 drops it from the
+    # index; doc 10 keeps only the df-1 'beta gamma delta' hit.
+    capped = {
+        r.doc_id: r
+        for r in textdedup.decontaminate(train, ev, max_shingle_df=1).collect()
+    }
+    assert capped[10].n_contaminated == 1 and capped[10].top_train_id == 1
+
+
 def test_hash_split_rejects_bad_fractions(spark):
     from rta_registrations_pyspark_glue_spark.operators import sampling
 
