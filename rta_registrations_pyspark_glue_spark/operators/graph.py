@@ -57,10 +57,14 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     sym = sym.persist()
+    # Init IS round 1: every node appears as 'a' in the symmetric view,
+    # so one groupBy-min yields min(self ∪ neighbors) directly — the
+    # same shuffle a distinct-nodes init would cost, with the first
+    # propagation round folded in for free (no label join needed while
+    # every label still equals its node).
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.min("a")).alias("component"))
         .persist()
     )
     prev_persisted = labels
