@@ -45,6 +45,13 @@ HEADLINE = [
     "events_windowed_hourly",
     "text_metrics",
     "near_dup_clusters",
+    # round 4 additions — keep earlier names stable for cross-round
+    # comparison; the judge sums the common subset.
+    "embedding_near_dup_bucketed",
+    "simhash_suite",
+    "dataset_split",
+    "decontamination_report",
+    "packed_sequences",
 ]
 
 

@@ -161,6 +161,24 @@ def test_ivf_index_built_once_across_searches(spark, sf_dir, monkeypatch):
     assert calls["n"] == 1, f"index trained {calls['n']} times across two searches"
 
 
+def test_ivf_search_plan_shape(spark, sf_dir):
+    """Lock the search plan: the probe side is the broadcast side (a few
+    hundred (query, cell) rows vs the corpus assignment), and nothing in
+    the plan is a nested-loop/cartesian join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    idx = similarity.ivf_build(c, n_pivots=8, train_iters=1, train_sample_mod=4)
+    plan = (
+        similarity.ivf_search(idx, q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
 def test_fast_ann_matches_fold_pairs(spark, sf_dir):
     """BLAS top-k returns the same neighbor pairs as the oracle-exact
     sequential-fold variant (scores may differ in the last ulp)."""
