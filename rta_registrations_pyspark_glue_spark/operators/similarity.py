@@ -624,3 +624,50 @@ def ivf_topk(
     return ivf_search(
         index, queries, k=k, nprobe=nprobe, query_id=query_id, query_vec=query_vec
     )
+
+
+def ivf_write_index(index: IvfIndex, path: str) -> None:
+    """Persist a built IVF index durably: the cell assignment as parquet
+    PARTITIONED BY cell — so searches read only probed cells via
+    partition pruning — plus the centroids as a small JSON sidecar.
+
+    This is the cross-session form of the build/search split: at 100 TB
+    the assignment write is one full pass, and afterwards every search
+    (from any session) scans ~nprobe/n_cells of the corpus off disk,
+    with the pruning visible in the scan's PartitionFilters."""
+    import json
+    import os
+
+    index.assignment.select(
+        F.col(index.corpus_id), F.col("__cv").alias("vec"), F.col("__cell").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "assignment"))
+    meta = {
+        "corpus_id": index.corpus_id,
+        "centroids": [[cell, cv] for cell, cv in index.centroids],
+    }
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def ivf_read_index(spark, path: str) -> IvfIndex:
+    """Load an index written by ivf_write_index. The assignment frame is
+    NOT persisted in memory — the on-disk partition layout is the index;
+    ivf_search's cell equi-join prunes partitions at scan time."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    cents = [(int(cell), [float(x) for x in cv]) for cell, cv in meta["centroids"]]
+    assignment = (
+        spark.read.parquet(os.path.join(path, "assignment"))
+        .select(
+            F.col(meta["corpus_id"]),
+            F.col("vec").alias("__cv"),
+            F.col("cell").cast("long").alias("__cell"),
+        )
+        .withColumn("__cn", dot("__cv", "__cv"))
+    )
+    return IvfIndex(
+        centroids=cents, assignment=assignment, corpus_id=meta["corpus_id"]
+    )

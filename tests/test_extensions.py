@@ -161,6 +161,32 @@ def test_ivf_index_built_once_across_searches(spark, sf_dir, monkeypatch):
     assert calls["n"] == 1, f"index trained {calls['n']} times across two searches"
 
 
+def test_ivf_index_durable_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
+    """ivf_write_index/ivf_read_index: searches on the loaded index
+    return bit-identical results, and the cell-partitioned on-disk
+    layout is exploited — the assignment scan carries a dynamic
+    partition pruning subquery on the probed cells."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    idx = similarity.ivf_build(c, n_pivots=8, train_iters=2, train_sample_mod=4)
+    r1 = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(idx, q, k=5, nprobe=2).collect()
+    )
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(idx, path)
+    loaded = similarity.ivf_read_index(spark, path)
+    assert loaded.centroids == idx.centroids
+    out = similarity.ivf_search(loaded, q, k=5, nprobe=2)
+    r2 = sorted((r.qid, r.cid, r.rank, r.cosine) for r in out.collect())
+    assert r1 == r2 and len(r1) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+
+
 def test_ivf_search_plan_shape(spark, sf_dir):
     """Lock the search plan: the probe side is the broadcast side (a few
     hundred (query, cell) rows vs the corpus assignment), and nothing in
