@@ -4,22 +4,32 @@ The reference's ETL1 is a full-reload batch job (etl1_clean_and_stage.py);
 feeds like it actually arrive as monthly drops. This module runs the SAME
 cleaning pipeline incrementally: a file-source stream of bronze CSV
 micro-batches, each cleaned by ``plans.pipeline.clean_and_stage`` and
-merged into the stage table by key (newest registration wins) via
-``operators.upsert.merge_upsert`` inside ``foreachBatch``.
+merged into the (year, month)-partitioned stage table by key (newest
+registration wins) via ``operators.upsert.merge_upsert`` inside
+``foreachBatch``.
+
+The merge is PARTITION-SCOPED: a micro-batch rewrites only the stage
+partitions it touches — the partitions its own rows land in, plus any
+partition holding a previous row of a re-registered key (detected with a
+column-pruned key probe against the stage), so a registration that moves
+months deletes cleanly from its old partition. Per-batch cost is
+proportional to the affected months, not to history — the property that
+makes continuous ingestion viable at 100 TB.
 
 foreachBatch is the exactly-once-ish sink pattern for non-idempotent
-targets: the merge runs per micro-batch with batch-id-based replay
-semantics from the checkpoint. At scale the stage table would be
-Delta/Iceberg (MERGE INTO); the parquet full-rewrite here keeps the
-environment's constraints while preserving the dataflow shape.
+targets: the checkpoint replays a batch after a crash, and the merge is
+idempotent (same keys, keep-latest order), so a replay over a partially
+swapped stage converges — each partition swap itself is an atomic
+rename. At scale the stage table would be Delta/Iceberg and this merge
+becomes MERGE INTO; the dataflow shape is identical.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark import io
 from rta_registrations_pyspark_glue_spark.jobs import BRONZE_COLUMNS
@@ -48,39 +58,64 @@ def stream_clean_and_stage(
         .csv(input_dir)
     )
 
-    tmp_path = stage_path + ".__tmp__"
-    old_path = stage_path + ".__old__"
-
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Crash recovery: a previous run that died mid-swap left the stage
-        # renamed aside — restore it before merging, or batches ingested
-        # before the crash would be silently dropped.
-        if not os.path.exists(stage_path) and os.path.exists(old_path):
-            os.rename(old_path, stage_path)
+        import shutil
+
         staged_new = clean_and_stage(batch_df)
-        if os.path.exists(stage_path):
+        if not os.path.exists(stage_path):
+            io.write_parquet(staged_new, stage_path, partition_by=["year", "month"])
+            return
+        staged_new = staged_new.persist()
+        try:
             current = spark.read.parquet(stage_path)
+            # Affected partitions = where the batch's rows land, plus any
+            # partition holding an older row of a batch key (the probe
+            # reads only 3 columns — parquet-pruned — so finding moved
+            # keys never scans row data across history).
+            batch_parts = {
+                (r["year"], r["month"])
+                for r in staged_new.select("year", "month").distinct().collect()
+            }
+            moved_parts = {
+                (r["year"], r["month"])
+                for r in current.join(
+                    staged_new.select("tempRegistrationNumber").distinct(),
+                    "tempRegistrationNumber",
+                )
+                .select("year", "month")
+                .distinct()
+                .collect()
+            }
+            affected = sorted(batch_parts | moved_parts)
+            if not affected:  # batch contributed no stageable rows
+                return
+            pred = None
+            for y, m in affected:
+                clause = (F.col("year") == y) & (F.col("month") == m)
+                pred = clause if pred is None else pred | clause
             merged = merge_upsert(
-                current,
+                current.filter(pred),
                 staged_new,
                 keys=["tempRegistrationNumber"],
                 order_by=["fromdate_parsed", "slno"],
-            )
-        else:
-            merged = staged_new
-        # Write-then-swap with an aside rename (never rmtree the only
-        # copy): write tmp → move stage aside → move tmp in → drop aside.
-        # A crash at any point leaves either the old stage (possibly under
-        # the aside name, restored above) or the new one — never neither.
-        # (Delta/Iceberg replace this dance with MERGE INTO.)
-        merged.write.mode("overwrite").parquet(tmp_path)
-        if os.path.exists(old_path):
-            shutil.rmtree(old_path)
-        if os.path.exists(stage_path):
-            os.rename(stage_path, old_path)
-        os.rename(tmp_path, stage_path)
-        if os.path.exists(old_path):
-            shutil.rmtree(old_path)
+            ).persist()
+            merged_parts = {
+                (r["year"], r["month"])
+                for r in merged.select("year", "month").distinct().collect()
+            }
+            io.replace_partitions(merged, stage_path, partition_by=["year", "month"])
+            # A partition whose only rows were re-registered into another
+            # month ends up empty: nothing was written for it, so drop
+            # the stale directory explicitly.
+            for y, m in affected:
+                if (y, m) not in merged_parts:
+                    shutil.rmtree(
+                        os.path.join(stage_path, f"year={y}", f"month={m}"),
+                        ignore_errors=True,
+                    )
+            merged.unpersist()
+        finally:
+            staged_new.unpersist()
 
     writer = bronze_stream.writeStream.foreachBatch(upsert_batch).option(
         "checkpointLocation", checkpoint_dir
