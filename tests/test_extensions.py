@@ -557,6 +557,128 @@ def test_decontaminate_overlap_report(spark):
     assert capped[10].n_contaminated == 1 and capped[10].top_train_id == 1
 
 
+def test_packed_sequences_matches_duckdb_mirror(spark, sf_dir):
+    """The rows-only registry entry, held to oracle standard in pytest:
+    DuckDB recomputes the identical packed layout (same (md5,id) order,
+    same cumulative arithmetic) and every value must match."""
+    import duckdb
+
+    from rta_registrations_pyspark_glue_spark.plans import queries_text as qt
+
+    got = (
+        qt.packed_sequences(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS okey
+            FROM '{sf_dir}/documents.parquet'
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY okey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS stream_offset
+            FROM d
+        )
+        SELECT doc_id, n_tokens, stream_offset,
+               stream_offset // 512 AS seq_first,
+               CASE WHEN n_tokens > 0 THEN (stream_offset + n_tokens - 1) // 512
+                    ELSE stream_offset // 512 END AS seq_last,
+               stream_offset % 512 AS offset_in_seq
+        FROM c ORDER BY doc_id
+        """
+    ).df().reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for col in ["n_tokens", "stream_offset", "seq_first", "seq_last", "offset_in_seq"]:
+        assert got[col].astype("int64").tolist() == exp[col].astype("int64").tolist(), col
+
+
+def test_decontamination_matches_duckdb_mirror(spark, sf_dir):
+    """DuckDB mirror of the full decontamination dataflow (hash split,
+    normalized 3-gram shingles, DF-capped inverted index, overlap +
+    deterministic top-train attribution) — every value must match."""
+    import duckdb
+
+    from rta_registrations_pyspark_glue_spark.plans import queries_text as qt
+
+    got = (
+        qt.decontamination_report(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        WITH split AS (
+            SELECT doc_id, text,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM '{sf_dir}/documents.parquet'
+        ), sh AS (
+            SELECT doc_id, split,
+                   list_distinct(CASE WHEN len(t) < 3 THEN []
+                       ELSE list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+            FROM (SELECT doc_id, split, string_split_regex({norm}, '\\s+') AS t
+                  FROM split)
+        ), tr_post AS (
+            SELECT doc_id AS train_id, unnest(s) AS shingle FROM sh WHERE split = 'train'
+        ), tr AS (
+            SELECT * FROM tr_post WHERE shingle IN (
+                SELECT shingle FROM tr_post GROUP BY shingle HAVING COUNT(*) <= 50)
+        ), ev_post AS (
+            SELECT doc_id AS eval_id, unnest(s) AS shingle FROM sh WHERE split = 'test'
+        ), hits AS (
+            SELECT ev_post.eval_id, ev_post.shingle, tr.train_id
+            FROM ev_post JOIN tr USING (shingle)
+        ), per_pair AS (
+            SELECT eval_id, train_id, COUNT(*) AS overlap FROM hits GROUP BY 1, 2
+        ), top AS (
+            SELECT eval_id, train_id, overlap FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+                    ORDER BY overlap DESC, train_id) AS rn FROM per_pair) WHERE rn = 1
+        ), cont AS (
+            SELECT eval_id, COUNT(DISTINCT shingle) AS n_contaminated
+            FROM hits GROUP BY 1
+        )
+        SELECT b.doc_id, len(b.s) AS n_shingles,
+               COALESCE(c.n_contaminated, 0) AS n_contaminated,
+               CASE WHEN len(b.s) > 0
+                    THEN CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE) / len(b.s)
+                    ELSE 0.0 END AS contamination,
+               t.train_id AS top_train_id,
+               COALESCE(t.overlap, 0) AS top_overlap
+        FROM (SELECT doc_id, s FROM sh WHERE split = 'test') b
+        LEFT JOIN cont c ON c.eval_id = b.doc_id
+        LEFT JOIN top t ON t.eval_id = b.doc_id
+        ORDER BY b.doc_id
+        """
+    ).df().reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert got["doc_id"].tolist() == exp["doc_id"].astype("int64").tolist()
+    for col in ["n_shingles", "n_contaminated", "top_overlap"]:
+        assert got[col].astype("int64").tolist() == exp[col].astype("int64").tolist(), col
+    assert got["contamination"].tolist() == exp["contamination"].tolist()
+    got_top = [None if v is None else int(v) for v in got["top_train_id"].tolist()]
+    import math
+
+    exp_top = [
+        None if (isinstance(v, float) and math.isnan(v)) else int(v)
+        for v in exp["top_train_id"].tolist()
+    ]
+    assert got_top == exp_top
+
+
 def test_hash_split_rejects_bad_fractions(spark):
     from rta_registrations_pyspark_glue_spark.operators import sampling
 
