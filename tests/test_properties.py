@@ -60,3 +60,69 @@ def test_normalize_text_idempotent(spark, texts):
     ).withColumn("twice", normalize_text("once")).collect()
     for r in out:
         assert r.once == r.twice
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9),
+                  st.integers(min_value=0, max_value=50)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+def test_pack_sequences_is_valid_packing(spark, docs, seq_len):
+    """For arbitrary token counts and sequence lengths: offsets are the
+    exact prefix sums of the (md5(id), id) order, every offset_in_seq is
+    the stream offset mod seq_len, and the total stream length is the
+    token-count sum — the invariants any packing consumer relies on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from rta_registrations_pyspark_glue_spark.operators import packing
+
+    df = spark.createDataFrame(docs, "doc_id bigint, n bigint")
+    out = {
+        r.doc_id: r
+        for r in packing.pack_sequences(
+            df, seq_len, token_count_col="n", num_partitions=3
+        ).collect()
+    }
+    cum = 0
+    for did, n in sorted(docs, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])):
+        r = out[did]
+        assert r.stream_offset == cum
+        assert r.offset_in_seq == cum % seq_len
+        assert r.seq_first == cum // seq_len
+        cum += n
+    assert cum == sum(n for _, n in docs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    )
+)
+def test_stratified_split_quota_property(spark, rows):
+    """Every stratum's split sizes are exactly the ceil-quota cuts of its
+    own size, for arbitrary group compositions."""
+    import math
+
+    from rta_registrations_pyspark_glue_spark.operators import sampling
+
+    df = spark.createDataFrame(rows, "k bigint, g string")
+    out = sampling.stratified_split(df, "k", "g").collect()
+    sizes: dict[str, int] = {}
+    counts: dict[tuple[str, str], int] = {}
+    for r in out:
+        sizes[r.g] = sizes.get(r.g, 0) + 1
+        counts[(r.g, r["split"])] = counts.get((r.g, r["split"]), 0) + 1
+    for g, n in sizes.items():
+        t, v = math.ceil(0.8 * n), math.ceil(0.9 * n)
+        assert counts.get((g, "train"), 0) == t
+        assert counts.get((g, "val"), 0) == v - t
+        assert counts.get((g, "test"), 0) == n - v
