@@ -130,6 +130,9 @@ def write_parquet(
     df.sparkSession.catalog.refreshByPath(path)
 
 
+ASIDE_SUFFIX = ".__old__"
+
+
 def _partition_leaf_dirs(root: str, depth: int) -> list[str]:
     """Absolute paths of the ``k1=v1/k2=v2/...`` leaf partition dirs
     ``depth`` levels under ``root``."""
@@ -146,6 +149,45 @@ def _partition_leaf_dirs(root: str, depth: int) -> list[str]:
     return paths
 
 
+def _recover_asides(path: str) -> None:
+    """Finish any swap a previous process died in the middle of: for
+    every ``X.__old__`` aside under ``path`` (or ``path`` itself), if the
+    primary is missing the aside IS the data — restore it; if the primary
+    exists the swap completed — drop the aside."""
+    import os
+    import shutil
+
+    aside = path.rstrip("/") + ASIDE_SUFFIX
+    if os.path.isdir(aside):
+        if os.path.isdir(path):
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.replace(aside, path)
+    if not os.path.isdir(path):
+        return
+    for dirpath, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.endswith(ASIDE_SUFFIX):
+                primary = os.path.join(dirpath, d[: -len(ASIDE_SUFFIX)])
+                stale = os.path.join(dirpath, d)
+                if os.path.isdir(primary):
+                    shutil.rmtree(stale, ignore_errors=True)
+                else:
+                    os.replace(stale, primary)
+                dirs.remove(d)
+
+
+def table_exists(path: str) -> bool:
+    """Whether a (possibly mid-swap-crashed) table exists at ``path``.
+    Runs aside recovery first, so callers deciding between 'merge into
+    existing' and 'fresh write' never mistake a crashed swap for an
+    absent table (which would silently discard the old rows)."""
+    import os
+
+    _recover_asides(path)
+    return os.path.isdir(path)
+
+
 def replace_partitions(
     df: DataFrame,
     path: str,
@@ -159,6 +201,12 @@ def replace_partitions(
     the frame is fully materialized into a side directory first, then the
     affected leaf dirs are swapped in.
 
+    Crash-safe: a leaf's old copy is moved ASIDE (never deleted) before
+    its replacement moves in, and asides are recovered on the next call
+    (``_recover_asides``) — at no instant does a partition have zero
+    copies on disk. On a failed swap the staging directory is left in
+    place for inspection; the next invocation clears it.
+
     This is the portable stand-in for a lakehouse MERGE INTO + snapshot
     commit (Delta/Iceberg): on a cluster/object store the same shape is
     an output-committer rename; swap this for MERGE INTO when a table
@@ -166,18 +214,20 @@ def replace_partitions(
     import os
     import shutil
 
+    _recover_asides(path)
     staging = path.rstrip("/") + ".__incoming__"
     shutil.rmtree(staging, ignore_errors=True)
     write_parquet(df, staging, partition_by=partition_by, target_mb=target_mb)
-    try:
-        for leaf in _partition_leaf_dirs(staging, len(partition_by)):
-            rel = os.path.relpath(leaf, staging)
-            dest = os.path.join(path, rel)
-            shutil.rmtree(dest, ignore_errors=True)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.replace(leaf, dest)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    for leaf in _partition_leaf_dirs(staging, len(partition_by)):
+        rel = os.path.relpath(leaf, staging)
+        dest = os.path.join(path, rel)
+        aside = dest + ASIDE_SUFFIX
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if os.path.isdir(dest):
+            os.replace(dest, aside)
+        os.replace(leaf, dest)
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     df.sparkSession.catalog.refreshByPath(path)
 
 
@@ -188,13 +238,76 @@ def replace_parquet(
 ) -> None:
     """Full-table overwrite that is safe when ``df`` reads from ``path``
     (e.g. merging new dim rows into the existing dim): materialize to a
-    side directory, then swap the directory in whole."""
+    side directory, move the old table ASIDE (never rmtree the only
+    copy), move the new one in, then drop the aside — a crash at any
+    point leaves at least one full copy, which ``_recover_asides`` (run
+    by table_exists/replace_* on the next invocation) restores."""
     import os
     import shutil
 
+    _recover_asides(path)
     staging = path.rstrip("/") + ".__incoming__"
+    aside = path.rstrip("/") + ASIDE_SUFFIX
     shutil.rmtree(staging, ignore_errors=True)
     write_parquet(df, staging, target_mb=target_mb)
-    shutil.rmtree(path, ignore_errors=True)
+    if os.path.isdir(path):
+        os.replace(path, aside)
     os.replace(staging, path)
+    shutil.rmtree(aside, ignore_errors=True)
     df.sparkSession.catalog.refreshByPath(path)
+
+
+def delete_stale_keys(
+    spark,
+    path: str,
+    partition_by: list[str],
+    canonical_pred,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """After a partition-scoped write established ``canonical_pred``'s
+    partitions as the truth for ``keys``, remove those keys' stale rows
+    from every OTHER partition — the row a re-registered key left behind
+    when it moved partitions. Only partitions actually holding stale
+    rows are rewritten (found with a column-pruned probe join); a
+    partition emptied entirely is dropped. Without this pass an
+    incremental run breaks the table's one-row-per-key grain."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if not table_exists(path):
+        return
+    current = spark.read.parquet(path)
+    outside = current.filter(~canonical_pred)
+    stale_parts = sorted(
+        tuple(r[c] for c in partition_by)
+        for r in outside.join(keys, key_cols)
+        .select(*partition_by)
+        .distinct()
+        .collect()
+    )
+    if not stale_parts:
+        return
+    pred = None
+    for part in stale_parts:
+        clause = None
+        for c, v in zip(partition_by, part):
+            cl = F.col(c) == v
+            clause = cl if clause is None else clause & cl
+        pred = clause if pred is None else pred | clause
+    remaining = current.filter(pred).join(keys, key_cols, "left_anti").persist()
+    remaining_parts = {
+        tuple(r[c] for c in partition_by)
+        for r in remaining.select(*partition_by).distinct().collect()
+    }
+    replace_partitions(remaining, path, partition_by=partition_by)
+    for part in stale_parts:
+        if part not in remaining_parts:
+            leaf = os.path.join(
+                path, *[f"{c}={v}" for c, v in zip(partition_by, part)]
+            )
+            shutil.rmtree(leaf, ignore_errors=True)
+    remaining.unpersist()
+    spark.catalog.refreshByPath(path)

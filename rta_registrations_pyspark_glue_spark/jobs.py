@@ -75,10 +75,25 @@ def run_etl1(
     raw = io.read_csv(spark, input_path, schema=io.bronze_string_schema(BRONZE_COLUMNS))
     staged = clean_and_stage(raw)
     if year is not None:
-        staged = staged.filter(_scope_condition(year, month))
+        had_stage = io.table_exists(stage_path)
+        staged = staged.filter(_scope_condition(year, month)).persist()
         io.write_parquet(
             staged, stage_path, partition_by=["year", "month"], dynamic_partitions=True
         )
+        if had_stage:
+            # A re-registration in this drop may have MOVED from another
+            # (year, month): its stale row elsewhere would break the
+            # stage's one-row-per-trn grain. Scrub it from the partitions
+            # this run did not rewrite.
+            io.delete_stale_keys(
+                spark,
+                stage_path,
+                partition_by=["year", "month"],
+                canonical_pred=_scope_condition(year, month),
+                keys=staged.select("tempRegistrationNumber").distinct(),
+                key_cols=["tempRegistrationNumber"],
+            )
+        staged.unpersist()
     else:
         io.write_parquet(staged, stage_path, partition_by=["year", "month"])
     return stage_path
@@ -132,10 +147,8 @@ def run_etl2(
         )
         return paths
 
-    import os
-
     def merge_dim(new_dim, path: str, key: str) -> None:
-        if os.path.isdir(path):
+        if io.table_exists(path):
             current = spark.read.parquet(path)
             attrs = [c for c in new_dim.columns if c != key]
             merged = merge_upsert(current, new_dim, keys=[key], order_by=attrs)
@@ -151,7 +164,8 @@ def run_etl2(
 
     fact_path = paths["fact_registrations"]
     fact_new = out.fact
-    if os.path.isdir(fact_path):
+    had_fact = io.table_exists(fact_path)
+    if had_fact:
         # Merge into the affected year partition(s) only: the read is
         # partition-pruned to the scoped year, the upsert keys on the
         # registration number (fact grain), and replace_partitions swaps
@@ -163,7 +177,20 @@ def run_etl2(
             keys=["TEMP_REGISTRATION_NUMBER"],
             order_by=["REGISTRATION_ISSUE_DATE_ID", "SLNO"],
         )
+    fact_new = fact_new.persist()
     io.replace_partitions(fact_new, fact_path, partition_by=["REGISTRATION_YEAR"])
+    if had_fact:
+        # A registration re-issued in a different year keeps the fact
+        # grain only if its old year's row is scrubbed.
+        io.delete_stale_keys(
+            spark,
+            fact_path,
+            partition_by=["REGISTRATION_YEAR"],
+            canonical_pred=F.col("REGISTRATION_YEAR") == year,
+            keys=fact_new.select("TEMP_REGISTRATION_NUMBER").distinct(),
+            key_cols=["TEMP_REGISTRATION_NUMBER"],
+        )
+    fact_new.unpersist()
     return paths
 
 

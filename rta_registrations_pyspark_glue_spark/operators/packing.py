@@ -68,7 +68,11 @@ def pack_sequences(
     )
     d = df.select(
         F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
+        # NULL counts (null text, or a null entry in token_count_col)
+        # pack as 0 tokens: without the coalesce a partition of all-null
+        # counts sums to NULL and the driver offset arithmetic crashes,
+        # while mixed nulls would silently skew offsets.
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("__okey"),
     )
     nparts = num_partitions or int(

@@ -543,6 +543,13 @@ def ivf_build(
             .collect()
         )
         cents = [(int(r[corpus_id]), [float(x) for x in r["__cv"]]) for r in init]
+    if not cents:
+        raise ValueError(
+            "ivf_build trained zero centroids — the training sample is empty "
+            f"(train_sample_mod={train_sample_mod} selected no rows, or every "
+            "sampled vector has zero norm). Lower train_sample_mod or check "
+            "the corpus ids."
+        )
     c = (
         corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv"))
         .withColumn("__cn", dot("__cv", "__cv"))

@@ -281,6 +281,10 @@ def decontaminate(
         )
     )
     if max_shingle_df is not None:
+        # Persist the postings: they feed both the document-frequency
+        # aggregate and the hits join — without it the normalize/shingle/
+        # explode scan of the full training corpus executes twice.
+        tr_post = tracked_persist(tr_post)
         df_ok = (
             tr_post.groupBy("__shingle")
             .agg(F.count(F.lit(1)).alias("__df"))

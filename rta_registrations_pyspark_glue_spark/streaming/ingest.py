@@ -62,7 +62,9 @@ def stream_clean_and_stage(
         import shutil
 
         staged_new = clean_and_stage(batch_df)
-        if not os.path.exists(stage_path):
+        # table_exists also finishes any swap a crashed run left half-done
+        # (aside recovery) before we decide fresh-write vs merge.
+        if not io.table_exists(stage_path):
             io.write_parquet(staged_new, stage_path, partition_by=["year", "month"])
             return
         staged_new = staged_new.persist()

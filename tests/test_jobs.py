@@ -129,6 +129,63 @@ def test_incremental_month_rerun_touches_only_scoped_partitions(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_incremental_rerun_scrubs_moved_keys(spark):
+    """A registration re-issued in a different month/year must not leave
+    its old row behind: the incremental etl1/etl2 runs scrub the moved
+    key from unscoped partitions, preserving the one-row-per-key grain
+    of both the stage and the fact."""
+    import os
+
+    root = "/root/repo/.tmp/jobs_move_test"
+    shutil.rmtree(root, ignore_errors=True)
+    cols = jobs.BRONZE_COLUMNS
+
+    def bronze_row(reg, fromdate, slno):
+        base = dict.fromkeys(cols)
+        base.update(
+            slno=slno, tempRegistrationNumber=reg, fromdate=fromdate,
+            todate="01/01/2030", OfficeCd="RTA HYDERABAD", makerName="MARUTI",
+            modelDesc="SWIFT VDI 2019", fuel="PETROL", makeYear="2019",
+            colour="WHITE", vehicleClass="MOTOR CAR", seatCapacity="5",
+        )
+        return tuple(base[c] for c in cols)
+
+    schema = ", ".join(f"{c} string" for c in cols)
+    b1 = spark.createDataFrame(
+        [bronze_row("TR001", "10/01/2023", "1"), bronze_row("TR002", "11/03/2022", "2")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{root}/b1")
+    stage_path = f"{root}/out/stage_clean_source"
+    assert jobs.main(["etl1", "--input", f"{root}/b1", "--output", f"{root}/out"]) == 0
+    assert jobs.main(["etl2", "--input", stage_path, "--output", f"{root}/out"]) == 0
+
+    # TR001 re-registers in June 2024 — a different month AND year.
+    b2 = spark.createDataFrame([bronze_row("TR001", "15/06/2024", "3")], schema)
+    b2.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{root}/b2")
+    assert jobs.main(
+        ["etl1", "--input", f"{root}/b2", "--output", f"{root}/out",
+         "--year", "2024", "--month", "6"]
+    ) == 0
+    stage = spark.read.parquet(stage_path)
+    tr1 = stage.filter(F.col("tempRegistrationNumber") == "TR001").collect()
+    assert len(tr1) == 1 and tr1[0].year == 2024 and tr1[0].month == 6
+    assert not os.path.exists(f"{stage_path}/year=2023/month=1"), "stale partition kept"
+    assert stage.count() == 2  # TR002 untouched
+
+    assert jobs.main(
+        ["etl2", "--input", stage_path, "--output", f"{root}/out", "--year", "2024"]
+    ) == 0
+    fact = spark.read.parquet(f"{root}/out/gold_fact_registrations")
+    f1 = fact.filter(F.col("TEMP_REGISTRATION_NUMBER") == "TR001").collect()
+    assert len(f1) == 1 and f1[0].REGISTRATION_YEAR == 2024
+    assert not os.path.exists(
+        f"{root}/out/gold_fact_registrations/REGISTRATION_YEAR=2023"
+    ), "stale fact year partition kept"
+    assert fact.count() == 2
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_job_failure_exit_code(spark):
     assert jobs.main(["etl2", "--input", "/nonexistent/path", "--output", f"{ROOT}/x"]) == 1
 
