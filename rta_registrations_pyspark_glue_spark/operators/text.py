@@ -31,6 +31,23 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+#: GPT-2-style pretokenizer pattern, restricted to constructs Java regex
+#: and RE2 (DuckDB) match identically — no lookahead (RE2 lacks it), so
+#: trailing-space handling is approximated by the bare ``\s+`` branch.
+#: Both engines use leftmost-first alternation, so counts agree exactly
+#: (verified cross-engine on contractions, unicode classes, mixed runs).
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-boundary token count via the BPE-ish pretokenizer regex —
+    the standard cheap estimate of LLM token cost (contractions split,
+    letter runs / digit runs / punctuation runs counted separately),
+    computed scan-side with one regexp_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text: lowercase, non-alphanumerics → space, collapsed
     whitespace, trimmed. The fingerprinting/dedup normal form."""
@@ -56,6 +73,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         n_tok.alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
         n_uniq.alias("n_unique_tokens"),
         (n_uniq.cast("double") / n_tok).alias("unique_ratio"),
         (tok_chars.cast("double") / n_tok).alias("avg_token_len"),

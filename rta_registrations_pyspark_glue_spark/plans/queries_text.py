@@ -63,6 +63,9 @@ SQL_NEAR_CORPUS = r"""
         SELECT doc_id,
                length(text)::INT AS n_chars,
                len(t)::INT AS n_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                   ))::INT AS n_bpe_tokens,
                len(list_distinct(t))::INT AS n_unique_tokens,
                CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_ratio,
                CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
@@ -78,8 +81,8 @@ SQL_NEAR_CORPUS = r"""
                len(list_filter(lt, x -> x IN ('le','la','et','les','des')))::INT AS score_fr
         FROM (SELECT doc_id, list_transform(t, x -> lower(x)) AS lt FROM toks)
     )
-    SELECT 'stats' AS kind, doc_id, n_chars, n_tokens, n_unique_tokens,
-           unique_ratio, avg_token_len, stopword_ratio
+    SELECT 'stats' AS kind, doc_id, n_chars, n_tokens, n_bpe_tokens,
+           n_unique_tokens, unique_ratio, avg_token_len, stopword_ratio
     FROM stats
     UNION ALL BY NAME
     SELECT 'quality' AS kind, doc_id,
@@ -108,6 +111,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         "n_tokens",
+        "n_bpe_tokens",
         "n_unique_tokens",
         "unique_ratio",
         "avg_token_len",
