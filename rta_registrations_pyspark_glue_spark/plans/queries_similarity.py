@@ -102,7 +102,50 @@ def _ivf_trained_oracle(
     (never round), centroid components are exact integer sums divided
     once, the driver round-trip re-emits exact repr() literals, and
     assignment uses the bit-exact fold cosine with (cos DESC, cell)
-    total order — see train_ivf_centroids."""
+    total order — see train_ivf_centroids. The training/assignment CTE
+    prefix is shared with the embedding_near_dup_ivf mirror
+    (_ivf_assignment_ctes)."""
+    return f"""{_ivf_assignment_ctes(n_pivots, iters, quant_scale, sample_mod)}, q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings
+        WHERE vec_id % 10 = 0
+          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), probe AS (
+        SELECT qid, qv, pid AS cell FROM (
+            SELECT q.qid, q.qv, p.pid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_dot_product(q.qv, p.pv)
+                                / (sqrt(list_dot_product(q.qv, q.qv))
+                                   * sqrt(list_dot_product(p.pv, p.pv))) DESC,
+                                p.pid) AS prn
+            FROM q, piv p
+        ) WHERE prn <= 4
+    ), cands AS (
+        SELECT pr.qid, a.cid,
+               list_dot_product(pr.qv, a.cv)
+                   / (sqrt(list_dot_product(pr.qv, pr.qv))
+                      * sqrt(list_dot_product(a.cv, a.cv))) AS cosine
+        FROM probe pr
+        JOIN assigned a ON a.cell = pr.cell AND a.cid <> pr.qid
+    )
+    SELECT qid, cid, CAST(rank AS INT) AS rank, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS rank
+        FROM cands
+    ) WHERE rank <= 5
+    """
+
+
+def _ivf_assignment_ctes(
+    n_pivots: int = 8,
+    iters: int = 2,
+    quant_scale: int = 1000,
+    sample_mod: int = IVF_TRAIN_SAMPLE_MOD,
+) -> str:
+    """The shared training + full-corpus-assignment CTE prefix (ends at
+    ``assigned``): used by the cosine_topk_ivf oracle and the
+    embedding_near_dup_ivf pytest mirror."""
     itercte = []
     prev = "cents0"
     for i in range(1, iters + 1):
@@ -155,36 +198,7 @@ def _ivf_trained_oracle(
                                 p.pid) AS arn
             FROM cc c, piv p
         ) WHERE arn = 1
-    ), q AS (
-        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        FROM embeddings
-        WHERE vec_id % 10 = 0
-          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
-    ), probe AS (
-        SELECT qid, qv, pid AS cell FROM (
-            SELECT q.qid, q.qv, p.pid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY list_dot_product(q.qv, p.pv)
-                                / (sqrt(list_dot_product(q.qv, q.qv))
-                                   * sqrt(list_dot_product(p.pv, p.pv))) DESC,
-                                p.pid) AS prn
-            FROM q, piv p
-        ) WHERE prn <= 4
-    ), cands AS (
-        SELECT pr.qid, a.cid,
-               list_dot_product(pr.qv, a.cv)
-                   / (sqrt(list_dot_product(pr.qv, pr.qv))
-                      * sqrt(list_dot_product(a.cv, a.cv))) AS cosine
-        FROM probe pr
-        JOIN assigned a ON a.cell = pr.cell AND a.cid <> pr.qid
-    )
-    SELECT qid, cid, CAST(rank AS INT) AS rank, cosine FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                                     ORDER BY cosine DESC, cid) AS rank
-        FROM cands
-    ) WHERE rank <= 5
-    """
+    )"""
 
 
 @register("cosine_topk_ivf", oracle=_ivf_trained_oracle())
@@ -357,3 +371,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hex-nibble byte recovery on the oracle side)."""
     docs = load_table(spark, "documents", sf_dir)
     return multimodal.extract_features(multimodal.synthesize_binary_docs(docs))
+
+
+@register("embedding_near_dup_ivf")
+def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with IVF cells as the blocking structure — the
+    cheapest of the three modes (reuses the session's built index; one
+    equi-join on the persisted assignment, candidate volume
+    sum(cell²)). Recall at this corpus's near-orthogonal 0.35 threshold
+    is ~0.3 (measured vs the all-pairs truth; precision 1.0 — exact
+    verify); at dedup-grade thresholds co-location is near-certain, and
+    hyperplane LSH (embedding_near_dup_bucketed) remains the
+    recall-first mode here. Rows-only by gate-slot policy; pinned to
+    oracle standard by the DuckDB mirror pytest
+    (test_embedding_near_dup_ivf_matches_duckdb_mirror)."""
+    idx = _ivf_index(spark, sf_dir)
+    return similarity.ivf_blocked_near_dup(idx, threshold=0.35)

@@ -187,6 +187,77 @@ def test_ivf_index_durable_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan, plan
 
 
+def test_embedding_near_dup_ivf_matches_duckdb_mirror(spark, sf_dir):
+    """The IVF-blocked near-dup mode, held to oracle standard: DuckDB
+    reproduces the trained assignment (shared CTE prefix with the
+    cosine_topk_ivf oracle) and the same-cell pair set with identical
+    cosines."""
+    import duckdb
+
+    from rta_registrations_pyspark_glue_spark.plans import queries_similarity as qs
+
+    qs._IVF_MEMO.clear()
+    got = (
+        qs.embedding_near_dup_ivf(spark, sf_dir)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exp = con.execute(
+        qs._ivf_assignment_ctes()
+        + """
+        SELECT a.cid AS id_a, b.cid AS id_b,
+               list_dot_product(a.cv, b.cv)
+                   / (sqrt(list_dot_product(a.cv, a.cv))
+                      * sqrt(list_dot_product(b.cv, b.cv))) AS cosine
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.cid < b.cid
+        WHERE list_dot_product(a.cv, b.cv)
+                  / (sqrt(list_dot_product(a.cv, a.cv))
+                     * sqrt(list_dot_product(b.cv, b.cv))) >= 0.35
+        ORDER BY id_a, id_b
+        """
+    ).df().reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert got["id_a"].tolist() == exp["id_a"].astype("int64").tolist()
+    assert got["id_b"].tolist() == exp["id_b"].astype("int64").tolist()
+    assert got["cosine"].tolist() == exp["cosine"].tolist()  # bit-exact
+
+
+def test_embedding_near_dup_ivf_precision_and_recall(spark, sf_dir):
+    """Every emitted pair is a true >= threshold pair (precision 1.0 by
+    exact verification), and cell co-location catches a meaningful
+    fraction even at this corpus's near-orthogonal threshold."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    idx = similarity.ivf_build(c, n_pivots=8, train_iters=2, train_sample_mod=4)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.ivf_blocked_near_dup(idx, threshold=0.35).collect()
+    }
+    v = (
+        emb.select("vec_id", similarity.as_double("embedding").alias("e"))
+        .withColumn("n", similarity.dot("e", "e"))
+        .filter(F.col("n") > 0)
+    )
+    a = v.select(F.col("vec_id").alias("ia"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+    truth = {
+        (r.ia, r.ib)
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("c", similarity.dot("ea", "eb") / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("c") >= 0.35)
+        .select("ia", "ib")
+        .collect()
+    }
+    assert got <= truth  # precision 1.0
+    assert len(got) / len(truth) >= 0.2, f"recall {len(got)/len(truth):.2f}"
+
+
 def test_ivf_search_plan_shape(spark, sf_dir):
     """Lock the search plan: the probe side is the broadcast side (a few
     hundred (query, cell) rows vs the corpus assignment), and nothing in
