@@ -256,6 +256,16 @@ def test_embedding_near_dup_ivf_precision_and_recall(spark, sf_dir):
     }
     assert got <= truth  # precision 1.0
     assert len(got) / len(truth) >= 0.2, f"recall {len(got)/len(truth):.2f}"
+    # Multi-probe recall recovery: strictly more pairs, still all true,
+    # and a materially higher floor (measured 0.70 at mp=2, 0.95 at 3).
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in similarity.ivf_blocked_near_dup(
+            idx, threshold=0.35, multi_probe=2
+        ).collect()
+    }
+    assert got <= got2 <= truth
+    assert len(got2) / len(truth) >= 0.5, f"mp=2 recall {len(got2)/len(truth):.2f}"
 
 
 def test_ivf_search_plan_shape(spark, sf_dir):
