@@ -311,3 +311,55 @@ def delete_stale_keys(
             shutil.rmtree(leaf, ignore_errors=True)
     remaining.unpersist()
     spark.catalog.refreshByPath(path)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_by: list[str],
+    max_files_per_partition: int = 4,
+    target_mb: float = TARGET_FILE_SIZE_MB,
+) -> int:
+    """Small-file compaction — the maintenance pass every continuously
+    ingested table needs (micro-batch merges and incremental runs leave
+    a few files per touch; object-store scans degrade with file count).
+    Rewrites ONLY partitions whose data-file count exceeds
+    ``max_files_per_partition``, through the same adaptive-sizing writer
+    and crash-safe swap as every other write; untouched partitions keep
+    their files byte-identical. Returns the number of partitions
+    compacted. The lakehouse equivalent is OPTIMIZE / rewrite_data_files;
+    swap this call for it when a table format is available."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not table_exists(path):
+        return 0
+    crowded = []
+    for leaf in _partition_leaf_dirs(path, len(partition_by)):
+        n_files = sum(
+            1
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if n_files > max_files_per_partition:
+            rel = os.path.relpath(leaf, path)
+            crowded.append(
+                tuple(seg.split("=", 1)[1] for seg in rel.split(os.sep))
+            )
+    if not crowded:
+        return 0
+    pred = None
+    for part in crowded:
+        clause = None
+        for c, v in zip(partition_by, part):
+            # Compare the partition COLUMN against the directory value as
+            # a literal: Spark coerces the literal to the inferred
+            # partition type, keeping the filter prunable (casting the
+            # column to string instead would defeat partition pruning).
+            cl = F.col(c) == v
+            clause = cl if clause is None else clause & cl
+        pred = clause if pred is None else pred | clause
+    rewrite = spark.read.parquet(path).filter(pred)
+    replace_partitions(rewrite, path, partition_by=partition_by, target_mb=target_mb)
+    return len(crowded)

@@ -57,3 +57,44 @@ def test_reconcile_union_tolerates_drift(spark):
     assert sorted(out.columns) == ["col_a", "col_b", "id"]
     rows = {r.id: (r.col_a, r.col_b) for r in out.collect()}
     assert rows[1] == ("x", None) and rows[2] == (None, "y")
+
+
+def test_compact_partitions_rewrites_only_crowded(spark):
+    """Compaction rewrites only partitions over the file bound, preserves
+    every row, and leaves compliant partitions' files byte-identical."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rta_registrations_pyspark_glue_spark import io
+
+    root = "/root/repo/.tmp/compact_test/t"
+    shutil.rmtree("/root/repo/.tmp/compact_test", ignore_errors=True)
+    # Partition g=0 written as many small files; g=1 as one file.
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+    )
+    df.filter(F.col("g") == 0).repartition(8).write.partitionBy("g").parquet(root)
+    df.filter(F.col("g") == 1).coalesce(1).write.mode("append").partitionBy("g").parquet(root)
+
+    def files_of(part):
+        d = f"{root}/g={part}"
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_g1 = files_of(1)
+    assert len(files_of(0)) == 8
+    n = io.compact_partitions(spark, root, ["g"], max_files_per_partition=4)
+    assert n == 1
+    assert len(files_of(0)) == 1
+    assert files_of(1) == before_g1, "compliant partition was rewritten"
+    out = spark.read.parquet(root)
+    assert out.count() == 1000
+    assert out.agg(F.sum("k")).collect()[0][0] == sum(range(1000))
+    # Idempotent: nothing left to compact.
+    assert io.compact_partitions(spark, root, ["g"], max_files_per_partition=4) == 0
+    shutil.rmtree("/root/repo/.tmp/compact_test", ignore_errors=True)
