@@ -1,6 +1,10 @@
-"""Similarity search over embedding columns (array<float>).
+"""Similarity search and embedding near-dup over array<float> columns.
 
-Two paths, mirroring how ANN systems are actually deployed:
+The paths mirror how vector systems are actually deployed — an exact
+baseline, a BLAS production variant (brute_force_topk_fast), an IVF
+index with a build/search split (durable via ivf_write_index), and two
+near-dup blocking modes (hyperplane LSH for recall,
+ivf_blocked_near_dup for cost, with multi-probe recall recovery):
 
 - ``brute_force_topk``: exact cosine top-k. The query set is broadcast;
   the candidate corpus streams — no shuffle of the big side, and the

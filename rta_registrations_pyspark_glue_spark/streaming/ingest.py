@@ -44,13 +44,20 @@ def stream_clean_and_stage(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Start the incremental ETL1 stream. Returns the StreamingQuery.
 
     ``available_now=True`` (default) drains the currently-available files
     and terminates — batch-style catch-up. Pass ``available_now=False``
     for a continuously-running micro-batch query that picks up files as
-    they arrive."""
+    they arrive.
+
+    ``compact_every=N`` runs small-file compaction
+    (io.compact_partitions) after every Nth micro-batch — the
+    auto-compaction a continuously merged parquet table needs (Delta's
+    autoOptimize equivalent). Idempotent and crash-safe like the merge
+    itself, so a replayed batch re-running compaction is harmless."""
     bronze_stream = (
         spark.readStream.schema(io.bronze_string_schema(BRONZE_COLUMNS))
         .option("header", True)
@@ -116,6 +123,8 @@ def stream_clean_and_stage(
                         ignore_errors=True,
                     )
             merged.unpersist()
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                io.compact_partitions(spark, stage_path, ["year", "month"])
         finally:
             staged_new.unpersist()
 
