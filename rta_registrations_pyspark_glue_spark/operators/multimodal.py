@@ -101,3 +101,78 @@ def extract_features(df: DataFrame, frame_bytes: int = 1024) -> DataFrame:
             )
 
     return df.select("doc_id", "content").mapInPandas(op, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_md5 string"
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary"
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 1024, every_k: int = 4
+) -> DataFrame:
+    """Frame sampling — the one-to-MANY mapInPandas shape (a video row
+    explodes into its sampled frames): payloads chunk into
+    ``frame_bytes`` frames, every ``every_k``-th frame is emitted with
+    its index and md5. Output rows per input row vary, which is exactly
+    what the Arrow batch iterator allows (a yielded frame can hold any
+    number of rows); memory stays bounded by the input batch size times
+    the sampling ratio. Deterministic, so tests recompute it exactly."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, digests = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    frame = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame)
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(op, FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize plumbing with a DETERMINISTIC FAKE decoder (the container
+    has no imaging libraries — see decode_image): the payload is treated
+    as a square grayscale image (side = floor(sqrt(n_bytes))) and
+    nearest-neighbor-sampled to ``width``×``height``. Swapping the fake
+    for PIL's decode+resize changes only the per-row body; the schema
+    contract, Arrow batch shape, and plan stay identical. Payloads too
+    small for one pixel yield an all-zero tile (never a crash)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                b = bytes(content)
+                side = int(len(b) ** 0.5)
+                if side == 0:
+                    out.append(bytes(width * height))
+                    continue
+                pixels = bytearray()
+                for r in range(height):
+                    for c in range(width):
+                        src = (r * side // height) * side + (c * side // width)
+                        pixels.append(b[src])
+                out.append(bytes(pixels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "pixels": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(op, RESIZE_SCHEMA)

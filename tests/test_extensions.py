@@ -422,6 +422,50 @@ def test_multimodal_meta_and_features(spark, docs):
         assert feats[did].n_frames == (len(b) + 1023) // 1024
 
 
+def test_sample_frames_one_to_many_exact(spark, sf_dir):
+    """Frame sampling emits exactly the Python-recomputed (doc, frame)
+    set — the 1→N mapInPandas shape with varying output cardinality."""
+    import hashlib
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    bin_docs = multimodal.synthesize_binary_docs(docs)
+    got = {
+        (r.doc_id, r.frame_idx): (bytes(r.frame), r.frame_md5)
+        for r in multimodal.sample_frames(bin_docs, frame_bytes=64, every_k=3).collect()
+    }
+    expected = {}
+    for r in docs.select("doc_id", "text").collect():
+        b = r.text.encode("utf-8")
+        n_frames = (len(b) + 63) // 64
+        for i in range(0, n_frames, 3):
+            frame = b[i * 64 : (i + 1) * 64]
+            expected[(r.doc_id, i)] = (frame, hashlib.md5(frame).hexdigest())
+    assert got == expected and len(got) > 0
+
+
+def test_resize_media_deterministic_tile(spark, sf_dir):
+    """The fake-decode resize: output tile equals the Python
+    nearest-neighbor recomputation, fixed schema, empty payload safe."""
+    docs = load_table(spark, "documents", sf_dir).limit(20)
+    bin_docs = multimodal.synthesize_binary_docs(docs)
+    got = {r.doc_id: bytes(r.pixels) for r in multimodal.resize_media(bin_docs, 4, 4).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r.text.encode("utf-8")
+        side = int(len(b) ** 0.5)
+        if side == 0:
+            exp = bytes(16)
+        else:
+            exp = bytes(
+                b[(rr * side // 4) * side + (cc * side // 4)]
+                for rr in range(4)
+                for cc in range(4)
+            )
+        assert got[r.doc_id] == exp
+    empty = spark.createDataFrame([(1, b"")], "doc_id bigint, content binary")
+    rows = multimodal.resize_media(empty, 4, 4).collect()
+    assert bytes(rows[0].pixels) == bytes(16)
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
