@@ -323,43 +323,39 @@ def compact_partitions(
     """Small-file compaction — the maintenance pass every continuously
     ingested table needs (micro-batch merges and incremental runs leave
     a few files per touch; object-store scans degrade with file count).
-    Rewrites ONLY partitions whose data-file count exceeds
-    ``max_files_per_partition``, through the same adaptive-sizing writer
-    and crash-safe swap as every other write; untouched partitions keep
-    their files byte-identical. Returns the number of partitions
-    compacted. The lakehouse equivalent is OPTIMIZE / rewrite_data_files;
-    swap this call for it when a table format is available."""
-    import os
 
-    from pyspark.sql import functions as F
+    A partition is compacted when it holds more than
+    ``max_files_per_partition`` data files AND at least two of them are
+    below half the target size — a partition of target-sized files is
+    already converged and is never futilely rewritten (the writer would
+    emit the same count again). Each crowded partition is rewritten
+    INDIVIDUALLY — read via its leaf directory with ``basePath`` (no
+    re-parsing of escaped partition values or null sentinels out of dir
+    names; Spark resolves the partition columns itself) and re-sized by
+    the adaptive writer from that partition's own stats — through the
+    same crash-safe swap as every write. Untouched partitions keep their
+    files byte-identical. Returns the number of partitions compacted.
+    The lakehouse equivalent is OPTIMIZE / rewrite_data_files; swap this
+    call for it when a table format is available."""
+    import os
 
     if not table_exists(path):
         return 0
+    half_target = target_mb * 1024 * 1024 / 2
     crowded = []
     for leaf in _partition_leaf_dirs(path, len(partition_by)):
-        n_files = sum(
-            1
+        sizes = [
+            os.path.getsize(os.path.join(leaf, f))
             for f in os.listdir(leaf)
             if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        if len(sizes) > max_files_per_partition and sum(
+            1 for s in sizes if s < half_target
+        ) >= 2:
+            crowded.append(leaf)
+    for leaf in crowded:
+        rewrite = spark.read.option("basePath", path).parquet(leaf)
+        replace_partitions(
+            rewrite, path, partition_by=partition_by, target_mb=target_mb
         )
-        if n_files > max_files_per_partition:
-            rel = os.path.relpath(leaf, path)
-            crowded.append(
-                tuple(seg.split("=", 1)[1] for seg in rel.split(os.sep))
-            )
-    if not crowded:
-        return 0
-    pred = None
-    for part in crowded:
-        clause = None
-        for c, v in zip(partition_by, part):
-            # Compare the partition COLUMN against the directory value as
-            # a literal: Spark coerces the literal to the inferred
-            # partition type, keeping the filter prunable (casting the
-            # column to string instead would defeat partition pruning).
-            cl = F.col(c) == v
-            clause = cl if clause is None else clause & cl
-        pred = clause if pred is None else pred | clause
-    rewrite = spark.read.parquet(path).filter(pred)
-    replace_partitions(rewrite, path, partition_by=partition_by, target_mb=target_mb)
     return len(crowded)

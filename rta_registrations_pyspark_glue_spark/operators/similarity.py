@@ -740,7 +740,14 @@ def ivf_blocked_near_dup(
         "inner",
     )
     if multi_probe > 1:
-        pairs = pairs.select("id_a", "__ea", "__na", "id_b", "__eb", "__nb").distinct()
+        # Dedup pairs that met in several probed cells. Key on the two
+        # ids only (the vectors are functionally determined by them, so
+        # the arbitrary surviving row carries identical arrays) — a
+        # full-row distinct would hash and compare the 64-dim arrays in
+        # the exchange for nothing.
+        pairs = pairs.select(
+            "id_a", "__ea", "__na", "id_b", "__eb", "__nb"
+        ).dropDuplicates(["id_a", "id_b"])
     pairs = pairs.withColumn(
         "cosine", dot("__ea", "__eb") / (F.sqrt("__na") * F.sqrt("__nb"))
     )

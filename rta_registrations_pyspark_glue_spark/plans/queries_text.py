@@ -53,9 +53,14 @@ SQL_NEAR_CORPUS = r"""
 """
 
 
+# Interpolated from the operator's own constant (quote-doubled for the
+# SQL literal) so the two engines can never drift apart silently.
+_BPE_SQL_LIT = "'" + text.BPE_TOKEN_PATTERN.replace("'", "''") + "'"
+
+
 @register(
     "text_metrics",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
         SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
         FROM documents
@@ -64,7 +69,7 @@ SQL_NEAR_CORPUS = r"""
                length(text)::INT AS n_chars,
                len(t)::INT AS n_tokens,
                len(regexp_extract_all(text,
-                   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                   {_BPE_SQL_LIT}
                    ))::INT AS n_bpe_tokens,
                len(list_distinct(t))::INT AS n_unique_tokens,
                CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_ratio,

@@ -59,18 +59,16 @@ def test_reconcile_union_tolerates_drift(spark):
     assert rows[1] == ("x", None) and rows[2] == (None, "y")
 
 
-def test_compact_partitions_rewrites_only_crowded(spark):
+def test_compact_partitions_rewrites_only_crowded(spark, tmp_path):
     """Compaction rewrites only partitions over the file bound, preserves
     every row, and leaves compliant partitions' files byte-identical."""
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
     from rta_registrations_pyspark_glue_spark import io
 
-    root = "/root/repo/.tmp/compact_test/t"
-    shutil.rmtree("/root/repo/.tmp/compact_test", ignore_errors=True)
+    root = str(tmp_path / "t")
     # Partition g=0 written as many small files; g=1 as one file.
     df = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") % 2).alias("g")
@@ -97,4 +95,24 @@ def test_compact_partitions_rewrites_only_crowded(spark):
     assert out.agg(F.sum("k")).collect()[0][0] == sum(range(1000))
     # Idempotent: nothing left to compact.
     assert io.compact_partitions(spark, root, ["g"], max_files_per_partition=4) == 0
-    shutil.rmtree("/root/repo/.tmp/compact_test", ignore_errors=True)
+
+
+def test_compact_partitions_converged_large_partition_untouched(spark, tmp_path):
+    """A partition of many TARGET-SIZED files is converged — compaction
+    must not rewrite it forever (the crowded test requires small files,
+    not just a file count)."""
+    from pyspark.sql import functions as F
+
+    from rta_registrations_pyspark_glue_spark import io
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 600).select(F.col("id").alias("k"), F.lit(0).alias("g"))
+    df.repartition(6).write.partitionBy("g").parquet(root)
+    # Pretend the target file size is tiny, so the 6 files all count as
+    # target-sized: nothing qualifies as compactable.
+    assert (
+        io.compact_partitions(
+            spark, root, ["g"], max_files_per_partition=4, target_mb=1e-6
+        )
+        == 0
+    )

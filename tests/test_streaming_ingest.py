@@ -59,6 +59,7 @@ def test_incremental_ingest_latest_wins(spark):
         input_dir=f"{ROOT}/in/*/",
         stage_path=f"{ROOT}/stage",
         checkpoint_dir=f"{ROOT}/ckpt",
+        compact_every=1,  # exercise the per-batch compaction hook
     )
     assert q.awaitTermination(120), "stream did not drain within 120s"
 
