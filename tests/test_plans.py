@@ -52,3 +52,32 @@ def test_window_queries_single_shuffle(spark, sf_dir, name):
     plan = _formatted_plan(spark, name, sf_dir)
     # Exactly one (non-broadcast) exchange: the window-key shuffle.
     assert len(re.findall(r"\+- Exchange \(\d+\)", plan)) == 1
+
+
+def test_headline_plans_free_of_pair_explosion(spark, sf_dir):
+    """Plan-regression lock: no headline query may plan a nested-loop or
+    cartesian join (the all-pairs brute-force baseline is the single
+    deliberate exception — it IS an all-pairs operator). Guards against
+    a future refactor silently degrading an equi-join into a theta
+    join."""
+    from rta_registrations_pyspark_glue_spark.plans import registry
+
+    qs = registry.queries()
+    allowed_bnlj = {"cosine_topk_bruteforce", "embedding_near_dup_pairs"}
+    checked = [
+        "rta_pipeline_star",
+        "fuzzy_resolution_parts",
+        "near_dup_clusters",
+        "minhash_lsh_near_dups",
+        "embedding_near_dup_bucketed",
+        "cosine_topk_ivf",
+        "active_orders_per_day",
+        "dataset_split",
+        "decontamination_report",
+        "packed_sequences",
+    ]
+    for name in checked:
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert name in allowed_bnlj or (
+            "NestedLoop" not in plan and "Cartesian" not in plan
+        ), f"{name} plans a pair-exploding join"
