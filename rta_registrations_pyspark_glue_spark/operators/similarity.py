@@ -320,14 +320,6 @@ def _py_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def _fold_dot_sql(vec_col: str, consts: list[float]) -> str:
-    """Sequential-fold dot of a vector column against a constant array,
-    as ONE SQL string (a py4j call per lambda Column costs ~10ms of
-    driver time each; see hyperplane_lsh_candidates)."""
-    arr = "array(" + ",".join(_dlit(x) for x in consts) + ")"
-    return f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-
-
 def _cell_scores_sql(
     centroids: list[tuple[int, list[float]]], vec_col: str, norm_col: str
 ) -> str:
@@ -576,8 +568,8 @@ def ivf_search(
     """Search a built IVF index: each query picks its ``nprobe`` nearest
     centroids scan-side (no crossJoin, no window), then exact top-k
     within the probed cells only — the single shuffle is the cell
-    equi-join against the persisted assignment, scanning ~nprobe/k of
-    the corpus per query.
+    equi-join against the persisted assignment, scanning ~nprobe/n_cells
+    of the corpus per query.
 
     Output: (qid, cid, rank, cosine) — approximate (recall < 1) by
     design."""

@@ -33,10 +33,17 @@ def tokens(col: Column | str) -> Column:
 
 #: GPT-2-style pretokenizer pattern, restricted to constructs Java regex
 #: and RE2 (DuckDB) match identically — no lookahead (RE2 lacks it), so
-#: trailing-space handling is approximated by the bare ``\s+`` branch.
-#: Both engines use leftmost-first alternation, so counts agree exactly
-#: (verified cross-engine on contractions, unicode classes, mixed runs).
-BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: trailing-space handling is approximated by the bare whitespace branch.
+#: Whitespace is an explicit character class, not ``\s``: Java's ``\s``
+#: includes vertical tab (\x0B) while RE2's does not, so the shorthand
+#: would diverge on \x0B-bearing text. Both engines use leftmost-first
+#: alternation, so counts agree exactly (verified cross-engine on
+#: contractions, unicode classes, mixed runs, and \x0B).
+_WS = r" \t\n\x0B\f\r"
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
 
 
 def bpe_token_count(col: Column | str) -> Column:

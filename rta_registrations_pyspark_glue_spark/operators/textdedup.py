@@ -271,6 +271,9 @@ def decontaminate(
         F.col(id_col).alias("eval_id"),
         word_shingles("__norm", shingle_n).alias("__sh"),
     )
+    # ``__sh`` is already a distinct set (word_shingles array_distincts),
+    # so size() here IS the distinct-shingle denominator the contamination
+    # fraction promises — not a position count.
     ev_counts = ev.select("eval_id", F.size("__sh").alias("n_shingles"))
     ev_post = ev.select("eval_id", F.explode("__sh").alias("__shingle"))
     tr_post = (

@@ -871,3 +871,35 @@ def test_range_join_left_outer_and_extra_keys(spark):
     assert rows == {1: 10, 2: None, 3: 11}
     with pytest.raises(ValueError):
         range_join(points, intervals, "x", "s", "e", 10, how="full_outer")
+
+
+def test_bpe_token_count_cross_engine(spark):
+    """The BPE pretokenizer constant must count identically in Java regex
+    (Spark plan) and RE2 (DuckDB oracle) — including on vertical tab
+    (\\x0B), where the two engines' ``\\s`` shorthands disagree, which is
+    exactly why BPE_TOKEN_PATTERN spells whitespace as an explicit class."""
+    import duckdb
+
+    from rta_registrations_pyspark_glue_spark.operators import text
+
+    samples = [
+        "hello world",
+        "don't stop, won't stop",
+        "a\x0bb",
+        "x  \x0b\t y \x0b\x0b",
+        "mixed 123abc!! été 42",
+        "",
+        "\x0b",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, s string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", text.bpe_token_count("s").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    lit = text.BPE_TOKEN_PATTERN.replace("'", "''")
+    for i, s in enumerate(samples):
+        (want,) = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{lit}'))", [s]
+        ).fetchone()
+        assert got[i] == want, (i, repr(s), got[i], want)
