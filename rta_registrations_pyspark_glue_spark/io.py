@@ -264,14 +264,30 @@ def delete_stale_keys(
     canonical_pred,
     keys: DataFrame,
     key_cols: list[str],
+    order_by: list[str] | None = None,
 ) -> None:
-    """After a partition-scoped write established ``canonical_pred``'s
-    partitions as the truth for ``keys``, remove those keys' stale rows
-    from every OTHER partition — the row a re-registered key left behind
-    when it moved partitions. Only partitions actually holding stale
-    rows are rewritten (found with a column-pruned probe join); a
-    partition emptied entirely is dropped. Without this pass an
-    incremental run breaks the table's one-row-per-key grain."""
+    """After a partition-scoped write touched ``keys``, restore the
+    table's one-row-per-key grain: a re-registered key that moved
+    partitions left a row behind in its old partition.
+
+    With ``order_by`` (recency columns, e.g. the same ones the table's
+    keep-latest merge orders by), the KEY'S NEWEST ROW WINS regardless of
+    which run wrote it: per key, the single max-recency row across the
+    whole table survives (ties broken toward the ``canonical_pred``
+    partitions — updates beat current, matching ``merge_upsert`` — then
+    by partition values for determinism) and every other copy is
+    scrubbed, including a just-written canonical row that an OLDER
+    backfill produced for a key whose newer re-registration lives in a
+    later partition. Out-of-order ``--year/--month`` runs are therefore
+    safe: a backfill can never delete a newer row.
+
+    Without ``order_by`` the behavior is last-RUN-wins (the canonical
+    partitions are the truth and every outside row is scrubbed) — only
+    correct when scoped runs are issued in chronological order.
+
+    Only partitions actually holding losing rows are rewritten (found
+    with a column-pruned probe join); a partition emptied entirely is
+    dropped."""
     import os
     import shutil
 
@@ -280,13 +296,26 @@ def delete_stale_keys(
     if not table_exists(path):
         return
     current = spark.read.parquet(path)
-    outside = current.filter(~canonical_pred)
+    if order_by is None:
+        losers = current.filter(~canonical_pred).join(keys, key_cols)
+    else:
+        # Total order per key: recency, then canonical-side flag (the
+        # fresh write wins exact-recency ties), then partition values.
+        rec = F.struct(
+            *[F.col(c) for c in order_by],
+            canonical_pred.cast("int").alias("__canon"),
+            *[F.col(c) for c in partition_by],
+        )
+        keyed = current.join(keys, key_cols).withColumn("__rec", rec)
+        winners = keyed.groupBy(*key_cols).agg(F.max("__rec").alias("__win"))
+        losers = (
+            keyed.join(winners, key_cols)
+            .filter(F.col("__rec") != F.col("__win"))
+            .drop("__rec", "__win")
+        )
     stale_parts = sorted(
         tuple(r[c] for c in partition_by)
-        for r in outside.join(keys, key_cols)
-        .select(*partition_by)
-        .distinct()
-        .collect()
+        for r in losers.select(*partition_by).distinct().collect()
     )
     if not stale_parts:
         return
@@ -297,7 +326,25 @@ def delete_stale_keys(
             cl = F.col(c) == v
             clause = cl if clause is None else clause & cl
         pred = clause if pred is None else pred | clause
-    remaining = current.filter(pred).join(keys, key_cols, "left_anti").persist()
+    scoped = current.filter(pred)
+    if order_by is None:
+        remaining = scoped.join(keys, key_cols, "left_anti")
+    else:
+        # Keep a row iff its key is untouched or it IS the key's winner
+        # (__rec includes the partition values, so equality identifies
+        # exactly one surviving copy).
+        rec = F.struct(
+            *[F.col(c) for c in order_by],
+            canonical_pred.cast("int").alias("__canon"),
+            *[F.col(c) for c in partition_by],
+        )
+        remaining = (
+            scoped.withColumn("__rec", rec)
+            .join(winners, key_cols, "left")
+            .filter(F.col("__win").isNull() | (F.col("__rec") == F.col("__win")))
+            .drop("__rec", "__win")
+        )
+    remaining = remaining.persist()
     remaining_parts = {
         tuple(r[c] for c in partition_by)
         for r in remaining.select(*partition_by).distinct().collect()

@@ -24,6 +24,7 @@ import sys
 from pyspark.sql import SparkSession
 
 from rta_registrations_pyspark_glue_spark import io
+from rta_registrations_pyspark_glue_spark.operators.dedup import dedup_deterministic
 from rta_registrations_pyspark_glue_spark.operators.upsert import merge_upsert
 from rta_registrations_pyspark_glue_spark.plans.pipeline import build_star, clean_and_stage
 from rta_registrations_pyspark_glue_spark.session import get_spark
@@ -83,8 +84,9 @@ def run_etl1(
         if had_stage:
             # A re-registration in this drop may have MOVED from another
             # (year, month): its stale row elsewhere would break the
-            # stage's one-row-per-trn grain. Scrub it from the partitions
-            # this run did not rewrite.
+            # stage's one-row-per-trn grain. Keep each key's newest row
+            # (same recency order as the stage dedup) wherever it lives —
+            # an out-of-order backfill must not clobber a newer row.
             io.delete_stale_keys(
                 spark,
                 stage_path,
@@ -92,6 +94,7 @@ def run_etl1(
                 canonical_pred=_scope_condition(year, month),
                 keys=staged.select("tempRegistrationNumber").distinct(),
                 key_cols=["tempRegistrationNumber"],
+                order_by=["fromdate_parsed", "slno"],
             )
         staged.unpersist()
     else:
@@ -148,10 +151,15 @@ def run_etl2(
         return paths
 
     def merge_dim(new_dim, path: str, key: str) -> None:
+        # Same winner rule as a full rebuild (dedup_deterministic's
+        # min-struct over the attributes), so an incremental merge and a
+        # from-scratch rebuild converge to identical dim rows for keys
+        # with multiple attribute variants.
         if io.table_exists(path):
             current = spark.read.parquet(path)
-            attrs = [c for c in new_dim.columns if c != key]
-            merged = merge_upsert(current, new_dim, keys=[key], order_by=attrs)
+            merged = dedup_deterministic(
+                current.unionByName(new_dim, allowMissingColumns=True), keys=[key]
+            )
         else:
             merged = new_dim
         io.replace_parquet(merged, path)
@@ -181,7 +189,9 @@ def run_etl2(
     io.replace_partitions(fact_new, fact_path, partition_by=["REGISTRATION_YEAR"])
     if had_fact:
         # A registration re-issued in a different year keeps the fact
-        # grain only if its old year's row is scrubbed.
+        # grain only if exactly one row per key survives. Recency-aware:
+        # the newest issue (same order as the merge above) wins, so a
+        # backfill of an older year cannot delete a newer row.
         io.delete_stale_keys(
             spark,
             fact_path,
@@ -189,6 +199,7 @@ def run_etl2(
             canonical_pred=F.col("REGISTRATION_YEAR") == year,
             keys=fact_new.select("TEMP_REGISTRATION_NUMBER").distinct(),
             key_cols=["TEMP_REGISTRATION_NUMBER"],
+            order_by=["REGISTRATION_ISSUE_DATE_ID", "SLNO"],
         )
     fact_new.unpersist()
     return paths

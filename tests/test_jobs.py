@@ -206,3 +206,98 @@ def test_extractor_distribution_listing():
         ]
     }
     assert extractor.list_distribution_urls(payload) == ["https://x/a.csv", "https://x/b.csv"]
+
+
+def test_backfill_of_older_month_keeps_newer_row(spark):
+    """Out-of-order incremental runs: backfilling an OLDER --year/--month
+    for a key that re-registered in a LATER partition must NOT delete the
+    newer row — the recency-aware scrub keeps the newest registration
+    wherever it lives, and the backfill's own (older) row is the one
+    scrubbed."""
+    import os
+
+    root = "/root/repo/.tmp/jobs_backfill_test"
+    shutil.rmtree(root, ignore_errors=True)
+    cols = jobs.BRONZE_COLUMNS
+
+    def bronze_row(reg, fromdate, slno):
+        base = dict.fromkeys(cols)
+        base.update(
+            slno=slno, tempRegistrationNumber=reg, fromdate=fromdate,
+            todate="01/01/2030", OfficeCd="RTA HYDERABAD", makerName="MARUTI",
+            modelDesc="SWIFT VDI 2019", fuel="PETROL", makeYear="2019",
+            colour="WHITE", vehicleClass="MOTOR CAR", seatCapacity="5",
+        )
+        return tuple(base[c] for c in cols)
+
+    schema = ", ".join(f"{c} string" for c in cols)
+    # Current truth: TR001 registered June 2024 (the NEWER row).
+    b_new = spark.createDataFrame(
+        [bronze_row("TR001", "15/06/2024", "3"), bronze_row("TR002", "11/03/2022", "2")],
+        schema,
+    )
+    b_new.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{root}/b_new")
+    stage_path = f"{root}/out/stage_clean_source"
+    assert jobs.main(["etl1", "--input", f"{root}/b_new", "--output", f"{root}/out"]) == 0
+    assert jobs.main(["etl2", "--input", stage_path, "--output", f"{root}/out"]) == 0
+
+    # A late-arriving drop backfills January 2023 with TR001's OLD row.
+    b_old = spark.createDataFrame([bronze_row("TR001", "10/01/2023", "1")], schema)
+    b_old.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{root}/b_old")
+    assert jobs.main(
+        ["etl1", "--input", f"{root}/b_old", "--output", f"{root}/out",
+         "--year", "2023", "--month", "1"]
+    ) == 0
+    stage = spark.read.parquet(stage_path)
+    tr1 = stage.filter(F.col("tempRegistrationNumber") == "TR001").collect()
+    assert len(tr1) == 1, "grain broken by backfill"
+    assert tr1[0].year == 2024 and tr1[0].month == 6, "backfill clobbered newer row"
+    assert not os.path.exists(f"{stage_path}/year=2023/month=1"), (
+        "backfill's own stale partition should be scrubbed and dropped"
+    )
+    assert stage.count() == 2
+
+    # Same out-of-order protection on the fact: feed etl2 a stage that
+    # still carries the old 2023 row (separate stage root), scoped to the
+    # old year — the 2024 fact row must survive.
+    assert jobs.main(["etl1", "--input", f"{root}/b_old", "--output", f"{root}/out_old"]) == 0
+    assert jobs.main(
+        ["etl2", "--input", f"{root}/out_old/stage_clean_source",
+         "--output", f"{root}/out", "--year", "2023"]
+    ) == 0
+    fact = spark.read.parquet(f"{root}/out/gold_fact_registrations")
+    f1 = fact.filter(F.col("TEMP_REGISTRATION_NUMBER") == "TR001").collect()
+    assert len(f1) == 1 and f1[0].REGISTRATION_YEAR == 2024
+    assert not os.path.exists(
+        f"{root}/out/gold_fact_registrations/REGISTRATION_YEAR=2023"
+    ), "backfill's stale fact partition should be scrubbed and dropped"
+    assert fact.count() == 2
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_incremental_dim_merge_matches_full_rebuild(spark, sf_dir):
+    """Incremental dim merges must converge to the same rows a full
+    rebuild over the union of inputs produces (same min-struct winner
+    rule), so replaying history incrementally is reproducible."""
+    root = "/root/repo/.tmp/jobs_dimconv_test"
+    shutil.rmtree(root, ignore_errors=True)
+    bronze = synthesize_bronze(spark, sf_dir)
+    bronze.coalesce(2).write.mode("overwrite").option("header", True).csv(f"{root}/bronze")
+    assert jobs.main(["etl1", "--input", f"{root}/bronze", "--output", f"{root}/out"]) == 0
+    stage_path = f"{root}/out/stage_clean_source"
+
+    # Full rebuild over the whole stage.
+    assert jobs.main(["etl2", "--input", stage_path, "--output", f"{root}/full"]) == 0
+    # Incremental: first a full build, then re-merge one year on top —
+    # idempotent replay must not change any dim row.
+    assert jobs.main(["etl2", "--input", stage_path, "--output", f"{root}/incr"]) == 0
+    stage = spark.read.parquet(stage_path)
+    year = stage.groupBy("year").count().orderBy("year").first()[0]
+    assert jobs.main(
+        ["etl2", "--input", stage_path, "--output", f"{root}/incr", "--year", str(year)]
+    ) == 0
+    for dim in ["gold_dim_vehicle", "gold_dim_manufacturer", "gold_dim_rta"]:
+        full = spark.read.parquet(f"{root}/full/{dim}")
+        incr = spark.read.parquet(f"{root}/incr/{dim}")
+        assert sorted(map(tuple, full.collect())) == sorted(map(tuple, incr.collect())), dim
+    shutil.rmtree(root, ignore_errors=True)
