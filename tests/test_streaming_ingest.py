@@ -64,8 +64,12 @@ def test_incremental_ingest_latest_wins(spark):
     assert q.awaitTermination(120), "stream did not drain within 120s"
 
     stage = spark.read.parquet(f"{ROOT}/stage")
-    rows = {r.tempRegistrationNumber: r for r in stage.collect()}
+    collected = stage.collect()
+    rows = {r.tempRegistrationNumber: r for r in collected}
     assert set(rows) == {"TR001", "TR002", "TR003", "TR009"}
+    # One-row-per-key grain across ALL partitions — a moved key's stale
+    # row surviving in its old partition would show up as a 5th row here.
+    assert len(collected) == 4
     # TR001's June re-registration (batch 2) replaced the January row —
     # including the DELETE from the January partition it moved out of.
     assert rows["TR001"].fromdate_parsed.isoformat() == "2023-06-15"
