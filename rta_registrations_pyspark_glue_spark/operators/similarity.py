@@ -677,7 +677,7 @@ def ivf_read_index(spark, path: str) -> IvfIndex:
 
 
 def ivf_blocked_near_dup(
-    index: IvfIndex, threshold: float = 0.35, multi_probe: int = 1
+    index: IvfIndex, threshold: float = 0.35, multi_probe: int = 2
 ) -> DataFrame:
     """Embedding near-dup with the IVF cell assignment as the BLOCKING
     structure: candidate pairs are vectors sharing a coarse-quantizer
@@ -699,9 +699,12 @@ def ivf_blocked_near_dup(
     split across two adjacent cells still meets in either's probe set —
     candidate volume grows ~multi_probe² worst-case. Measured on the
     sf0.001 gate corpus at threshold 0.35: recall 0.36 → 0.70 → 0.95
-    for multi_probe 1/2/3 (precision stays 1.0 — exact verify).
-    Duplicate meetings across probed cells are collapsed before
-    scoring."""
+    for multi_probe 1/2/3 (precision stays 1.0 — exact verify). The
+    default is 2: single-probe's 0.36 recall at the documented operating
+    point is too low to be anyone's default, and the ~4× candidate cost
+    is still far below the LSH mode's; pass 1 explicitly for the
+    cheapest setting. Duplicate meetings across probed cells are
+    collapsed before scoring."""
     corpus_id = index.corpus_id
     if multi_probe > 1:
         probed = index.assignment.select(

@@ -188,10 +188,10 @@ def test_ivf_index_durable_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_embedding_near_dup_ivf_matches_duckdb_mirror(spark, sf_dir):
-    """The IVF-blocked near-dup mode, held to oracle standard: DuckDB
-    reproduces the trained assignment (shared CTE prefix with the
-    cosine_topk_ivf oracle) and the same-cell pair set with identical
-    cosines."""
+    """The IVF-blocked near-dup mode against its registered driver-gate
+    oracle (multi-probe trained-assignment mirror) at sf0.001 — the same
+    comparison the gate runs at sf0.01, kept here as the fast local
+    check."""
     import duckdb
 
     from rta_registrations_pyspark_glue_spark.plans import queries_similarity as qs
@@ -207,21 +207,11 @@ def test_embedding_near_dup_ivf_matches_duckdb_mirror(spark, sf_dir):
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
-    exp = con.execute(
-        qs._ivf_assignment_ctes()
-        + """
-        SELECT a.cid AS id_a, b.cid AS id_b,
-               list_dot_product(a.cv, b.cv)
-                   / (sqrt(list_dot_product(a.cv, a.cv))
-                      * sqrt(list_dot_product(b.cv, b.cv))) AS cosine
-        FROM assigned a
-        JOIN assigned b ON a.cell = b.cell AND a.cid < b.cid
-        WHERE list_dot_product(a.cv, b.cv)
-                  / (sqrt(list_dot_product(a.cv, a.cv))
-                     * sqrt(list_dot_product(b.cv, b.cv))) >= 0.35
-        ORDER BY id_a, id_b
-        """
-    ).df().reset_index(drop=True)
+    exp = (
+        con.execute(qs._ivf_blocked_oracle() + " ORDER BY id_a, id_b")
+        .df()
+        .reset_index(drop=True)
+    )
     assert len(got) == len(exp) > 0
     assert got["id_a"].tolist() == exp["id_a"].astype("int64").tolist()
     assert got["id_b"].tolist() == exp["id_b"].astype("int64").tolist()
@@ -237,7 +227,9 @@ def test_embedding_near_dup_ivf_precision_and_recall(spark, sf_dir):
     idx = similarity.ivf_build(c, n_pivots=8, train_iters=2, train_sample_mod=4)
     got = {
         (r.id_a, r.id_b)
-        for r in similarity.ivf_blocked_near_dup(idx, threshold=0.35).collect()
+        for r in similarity.ivf_blocked_near_dup(
+            idx, threshold=0.35, multi_probe=1
+        ).collect()
     }
     v = (
         emb.select("vec_id", similarity.as_double("embedding").alias("e"))

@@ -63,7 +63,7 @@ def test_headline_plans_free_of_pair_explosion(spark, sf_dir):
     from rta_registrations_pyspark_glue_spark.plans import registry
 
     qs = registry.queries()
-    allowed_bnlj = {"cosine_topk_bruteforce", "embedding_near_dup_pairs"}
+    allowed_bnlj = {"cosine_topk_bruteforce"}
     checked = [
         "rta_pipeline_star",
         "fuzzy_resolution_parts",
