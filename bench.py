@@ -65,6 +65,16 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").selectExpr(
         "sum(cast(r_regionkey as decimal(18,2)))"
     ).collect()
+    # COLD-START metric: the first execution of the flagship pipeline in a
+    # fresh session pays one-time costs no later query sees — Janino
+    # compilation of the wide cleaning projection, Catalyst/JIT warmup,
+    # first parquet footer reads. Reporting it separately (a) makes the
+    # cold tax a tracked number instead of noise inside pass 1, and
+    # (b) leaves the per-query times below as true steady-state costs.
+    t0 = time.perf_counter()
+    qs["rta_pipeline_star"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cold_start = round(time.perf_counter() - t0, 3)
+    caching.release_tracked()
     # Best-of-two passes per query: the host is shared and transient CPU
     # contention can inflate a 3s query to 30s+; the minimum of two runs
     # separated by a full pass is a far more faithful throughput number
@@ -93,6 +103,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "cold_start_sec": cold_start,
                 "sf": sf,
             }
         )

@@ -68,6 +68,14 @@ def get_spark(
         )
         # Quiet local runs; harmless on a cluster.
         .config("spark.ui.showConsoleProgress", "false")
+        # PySpark's DataFrame-debugging wrapper does 2-3 extra py4j round
+        # trips per DataFrame API call purely to ship Python call-site
+        # strings into JVM error contexts. The wide ETL plans make
+        # thousands of API calls, so this costs ~1s of driver time per
+        # pipeline build (profiled: 494 wrapped calls, 1.2s cumulative).
+        # Errors still carry the full JVM stack trace — only the Python
+        # line annotation is dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
