@@ -149,6 +149,69 @@ def _partition_leaf_dirs(root: str, depth: int) -> list[str]:
     return paths
 
 
+def _is_local_path(path: str) -> bool:
+    """True when ``path`` is a plain local filesystem path (no scheme, or
+    an explicit file:// scheme)."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    return scheme in ("", "file")
+
+
+def _leaf_data_files(spark, root: str, depth: int) -> dict[str, list[tuple[str, int]]]:
+    """``{leaf_dir: [(file_name, size_bytes), ...]}`` for every
+    ``k1=v1/.../kN=vN`` partition leaf under ``root``, data files only
+    (dot/underscore-prefixed names excluded).
+
+    Local paths take the cheap os.listdir walk; any other scheme
+    (s3a://, hdfs://, abfss://, gs://...) goes through the JVM Hadoop
+    FileSystem API, so size-based maintenance like compact_partitions
+    works against object stores with no code change. Both paths return
+    leaves sorted by path for deterministic iteration."""
+    import os
+
+    if _is_local_path(root):
+        out = {}
+        for leaf in _partition_leaf_dirs(root, depth):
+            out[leaf] = sorted(
+                (f, os.path.getsize(os.path.join(leaf, f)))
+                for f in os.listdir(leaf)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        return out
+    return _hadoop_leaf_data_files(spark, root, depth)
+
+
+def _hadoop_leaf_data_files(
+    spark, root: str, depth: int
+) -> dict[str, list[tuple[str, int]]]:
+    """Hadoop-FileSystem implementation of ``_leaf_data_files`` — one
+    listStatus per directory level, no local-FS assumptions. Also usable
+    directly on local paths (Hadoop's file:// scheme) for tests."""
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    leaves = [jroot]
+    for _ in range(depth):
+        nxt = []
+        for p in leaves:
+            for st in fs.listStatus(p):
+                if st.isDirectory() and "=" in st.getPath().getName():
+                    nxt.append(st.getPath())
+        leaves = sorted(nxt, key=lambda p: p.toString())
+    out = {}
+    for leaf in leaves:
+        files = sorted(
+            (st.getPath().getName(), int(st.getLen()))
+            for st in fs.listStatus(leaf)
+            if st.isFile()
+            and st.getPath().getName().endswith(".parquet")
+            and not st.getPath().getName().startswith((".", "_"))
+        )
+        out[leaf.toString()] = files
+    return out
+
+
 def _recover_asides(path: str) -> None:
     """Finish any swap a previous process died in the middle of: for
     every ``X.__old__`` aside under ``path`` (or ``path`` itself), if the
@@ -382,20 +445,20 @@ def compact_partitions(
     the adaptive writer from that partition's own stats — through the
     same crash-safe swap as every write. Untouched partitions keep their
     files byte-identical. Returns the number of partitions compacted.
-    The lakehouse equivalent is OPTIMIZE / rewrite_data_files; swap this
-    call for it when a table format is available."""
-    import os
 
+    Partition discovery goes through ``_leaf_data_files``: plain paths
+    use the local fast walk, any Hadoop scheme (s3a://, hdfs://, ...)
+    is listed via the JVM FileSystem API, so the crowded-partition probe
+    is object-store-portable. (The rewrite swap itself still assumes a
+    rename-capable store; on object stores back the table with a format
+    whose commit IS the swap — the lakehouse equivalent of this whole
+    pass is OPTIMIZE / rewrite_data_files.)"""
     if not table_exists(path):
         return 0
     half_target = target_mb * 1024 * 1024 / 2
     crowded = []
-    for leaf in _partition_leaf_dirs(path, len(partition_by)):
-        sizes = [
-            os.path.getsize(os.path.join(leaf, f))
-            for f in os.listdir(leaf)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        ]
+    for leaf, files in _leaf_data_files(spark, path, len(partition_by)).items():
+        sizes = [size for _name, size in files]
         if len(sizes) > max_files_per_partition and sum(
             1 for s in sizes if s < half_target
         ) >= 2:

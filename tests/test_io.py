@@ -116,3 +116,37 @@ def test_compact_partitions_converged_large_partition_untouched(spark, tmp_path)
         )
         == 0
     )
+
+
+def test_hadoop_listing_matches_local_and_drives_compaction(spark, tmp_path, monkeypatch):
+    """The Hadoop-FileSystem listing (the object-store path of
+    _leaf_data_files) must agree leaf-for-leaf and byte-for-byte with
+    the local os.listdir walk, and compact_partitions must behave
+    identically when discovery is forced through the Hadoop route (as it
+    is for any non-local scheme)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rta_registrations_pyspark_glue_spark import io
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 600).select(F.col("id").alias("k"), (F.col("id") % 2).alias("g"))
+    df.filter(F.col("g") == 0).repartition(6).write.partitionBy("g").parquet(root)
+    df.filter(F.col("g") == 1).coalesce(1).write.mode("append").partitionBy("g").parquet(root)
+
+    local = io._leaf_data_files(spark, root, 1)
+    hadoop = io._hadoop_leaf_data_files(spark, f"file:{root}", 1)
+    assert io._is_local_path(root) and not io._is_local_path(f"s3a:{root}")
+    # Same leaves (modulo scheme prefix), same (name, size) lists.
+    norm = lambda d: {k.split(":", 1)[-1].lstrip("/"): v for k, v in d.items()}
+    assert norm(local) == norm(hadoop)
+    assert all(files for files in local.values())
+
+    # Force discovery down the Hadoop branch (what any object-store
+    # scheme takes) and run the real compaction flow over it.
+    monkeypatch.setattr(io, "_is_local_path", lambda p: False)
+    n = spark.read.parquet(root).count()
+    assert io.compact_partitions(spark, root, ["g"], max_files_per_partition=4) == 1
+    assert len([f for f in os.listdir(f"{root}/g=0") if f.endswith(".parquet")]) == 1
+    assert spark.read.parquet(root).count() == n
