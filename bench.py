@@ -52,6 +52,11 @@ HEADLINE = [
     "dataset_split",
     "decontamination_report",
     "packed_sequences",
+    # round 5 additions
+    "repetition_filters",
+    "pii_scrub",
+    "corpus_vocabulary",
+    "semantic_dedup_survivors",
 ]
 
 

@@ -1,0 +1,69 @@
+"""PII detection and redaction for training-data pipelines: count and
+scrub email addresses, phone numbers, and IPv4 addresses from a text
+column, scan-side.
+
+Everything is built-in regexp functions (regexp_count /
+regexp_replace), so detection+redaction is one codegen'd projection —
+zero Python, zero shuffle, linear in corpus bytes: the only shape that
+works when the corpus is 100 TB.
+
+The patterns are deliberately restricted to constructs Java regex and
+RE2 (DuckDB) evaluate identically — ASCII classes, bounded repetition,
+``\\b`` word boundaries (both engines define ``\\w`` as
+``[0-9A-Za-z_]`` for ASCII input), no lookaround (RE2 has none) — so
+the DuckDB oracle can verify counts and the redacted text
+byte-for-byte. Production pattern packs (international phone formats,
+IBANs, national-ID schemes) slot into PII_PATTERNS without touching
+the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Ordered pattern -> replacement-token table. Order matters for
+#: redaction: emails are scrubbed before phones/IPs so the dotted local
+#: parts and host labels inside an address can never be re-matched as a
+#: number pattern after partial replacement.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def redact(col: Column | str) -> Column:
+    """The text with every PII match replaced by its token, applying the
+    patterns in PII_PATTERNS order (sequential regexp_replace — Spark
+    replaces all occurrences by default; oracles must pass 'g')."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII report + scrubbed text: id, one count per
+    pattern kind, ``has_pii``, and ``redacted``. Row-local projection —
+    composes with any upstream filter and keeps whole-stage codegen."""
+    c = F.col(text_col)
+    raw = {kind: F.regexp_count(c, F.lit(pat)) for kind, (pat, _) in PII_PATTERNS.items()}
+    total = None
+    for cnt in raw.values():
+        total = cnt if total is None else total + cnt
+    return df.select(
+        F.col(id_col),
+        *[cnt.alias(f"n_{kind}") for kind, cnt in raw.items()],
+        (total > 0).alias("has_pii"),
+        redact(text_col).alias("redacted"),
+    )

@@ -747,3 +747,43 @@ def ivf_blocked_near_dup(
         "cosine", dot("__ea", "__eb") / (F.sqrt("__na") * F.sqrt("__nb"))
     )
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def semantic_dedup(
+    index: IvfIndex, threshold: float = 0.35, multi_probe: int = 2
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023 shape:
+    cluster embeddings with a coarse quantizer, drop within-cluster
+    near-duplicates): the end-to-end FILTER built on
+    ivf_blocked_near_dup's pair detection. Survivor rule is greedy
+    min-id dominance — a vector is dropped when ANY smaller-id
+    near-dup exists, so exactly one representative (the minimum id)
+    survives per duplicate star. This is the standard practical rule
+    (one anti-join-shaped pass, no iterative clustering); exact
+    connected-component dedup is graph.dedup_clusters when transitive
+    cluster identity is needed.
+
+    Output: one row per corpus vector (zero-norm vectors are outside
+    the index — cosine is undefined for them — and pass through any
+    real pipeline unfiltered): ``kept`` flag, ``n_dups_smaller`` (how
+    many smaller-id near-dups vote to drop it), ``max_dup_cosine``
+    (NULL when kept). ``filter(kept)`` IS the semantically deduplicated
+    corpus.
+
+    Plan shape at scale: the pair detection's cell equi-join (see
+    ivf_blocked_near_dup), a per-id partial-aggregated count/max over
+    the pairs, and one left equi-join back to the assignment — the
+    dropped-id side is |near-dup pairs|, tiny next to the corpus, so
+    AQE broadcasts it in practice."""
+    pairs = ivf_blocked_near_dup(index, threshold=threshold, multi_probe=multi_probe)
+    corpus_id = index.corpus_id
+    dropped = pairs.groupBy(F.col("id_b").alias(corpus_id)).agg(
+        F.count("*").alias("n_dups_smaller"),
+        F.max("cosine").alias("max_dup_cosine"),
+    )
+    return index.assignment.select(corpus_id).join(dropped, corpus_id, "left").select(
+        corpus_id,
+        F.col("n_dups_smaller").isNull().alias("kept"),
+        F.coalesce("n_dups_smaller", F.lit(0)).alias("n_dups_smaller"),
+        "max_dup_cosine",
+    )

@@ -153,6 +153,173 @@ def _zip_shingles(unit_array: str, n: int, sep: str) -> str:
     )
 
 
+def word_ngrams(name: str, n: int) -> Column:
+    """ALL word n-gram occurrences (positions, not the distinct set) of
+    the text column ``name`` — the unit for repetition counting, where
+    occurrence multiplicity is the whole point (word_shingles dedups for
+    set-similarity; this keeps every position). Empty array when fewer
+    than n tokens."""
+    tok = f"split(trim({name}), '\\\\s+')"
+    if n == 1:
+        return F.expr(tok)
+    return F.expr(
+        f"CASE WHEN size({tok}) < {n} THEN array() "
+        f"ELSE {_zip_shingles(tok, n, ' ')} END"
+    )
+
+
+#: Gopher-style repetition-filter thresholds (Rae et al. 2021, table A1
+#: flavor): a doc is kept when every repetition fraction is at or below
+#: its cap. Fixed constants so the keep flag is reproducible.
+REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "top_bigram_frac": 0.20,
+    "dup_trigram_frac": 0.30,
+    "top_word_frac": 0.30,
+}
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality filters, per document:
+
+    - ``dup_line_frac``   — fraction of '\\n'-separated lines that are
+      repeats of an earlier line (row-local array arithmetic, no shuffle);
+    - ``top_word_frac``   — occurrences of the most frequent token over
+      total tokens;
+    - ``top_bigram_frac`` — characters covered by occurrences of the most
+      frequent word 2-gram over total normalized characters, 0 unless
+      that 2-gram actually repeats (a count-1 maximum is length, not
+      repetition, and would condemn every short document);
+    - ``dup_trigram_frac``— characters covered by word 3-grams occurring
+      more than once over total normalized characters (overlap-blind:
+      occurrences are counted independently, so the bound can exceed 1
+      on pathologically repetitive text — the threshold comparison is
+      what matters);
+    - ``keep``            — True iff every metric is at or below its
+      REPETITION_THRESHOLDS cap (the filterable output).
+
+    Token/n-gram metrics run over normalize_text; line splitting runs on
+    the raw text. Plan shape at scale: one tagged explode of 1/2/3-gram
+    positions (~3× token volume), a (doc, n, gram) partial-aggregated
+    count, a per-doc aggregate, and one join back to the row-local stats
+    — grams never leave their doc's keyspace, so the shuffles are plain
+    hash-partitioned aggs with map-side combine, no skew beyond document
+    length itself."""
+    norm = normalize_text(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__raw"),
+        norm.alias("__norm"),
+    )
+    lines = F.split("__raw", "\n", -1)
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines > 0, (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines).otherwise(F.lit(0.0))
+    stats = base.select(
+        F.col(id_col),
+        F.length("__norm").alias("__n_chars"),
+        F.size(F.split("__norm", " ", -1)).alias("__n_tokens"),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+    )
+    grams = None
+    for n in (1, 2, 3):
+        g = base.select(
+            F.col(id_col),
+            F.lit(n).alias("__n"),
+            F.explode(word_ngrams("__norm", n)).alias("__g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy(id_col, "__n", "__g").agg(F.count("*").alias("__cnt"))
+    gram_chars = F.col("__cnt") * F.length("__g")
+    per_doc = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("__n") == 1, F.col("__cnt"))).alias("__top_word_cnt"),
+        F.max(
+            F.when((F.col("__n") == 2) & (F.col("__cnt") > 1), gram_chars)
+        ).alias("__top_bigram_chars"),
+        F.sum(
+            F.when((F.col("__n") == 3) & (F.col("__cnt") > 1), gram_chars)
+        ).alias("__dup_trigram_chars"),
+    )
+    joined = stats.join(per_doc, id_col, "left")
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.coalesce(num, F.lit(0)).cast("double") / den).otherwise(
+            F.lit(0.0)
+        )
+
+    out = joined.select(
+        F.col(id_col),
+        "n_lines",
+        "dup_line_frac",
+        _frac(F.col("__top_word_cnt"), F.col("__n_tokens")).alias("top_word_frac"),
+        _frac(F.col("__top_bigram_chars"), F.col("__n_chars")).alias("top_bigram_frac"),
+        _frac(F.col("__dup_trigram_chars"), F.col("__n_chars")).alias("dup_trigram_frac"),
+    )
+    keep = F.lit(True)
+    for metric, cap in REPETITION_THRESHOLDS.items():
+        keep = keep & (F.col(metric) <= cap)
+    return out.withColumn("keep", keep)
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: one row per distinct normalized token with
+    total occurrences (``tf``) and document frequency (``df_docs``).
+    Plan shape: explode → two-level hash aggregate (count + distinct-doc
+    count via the (token, doc) pre-aggregate), all map-side combinable —
+    the canonical wordcount that survives any corpus size."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ", -1)).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("token", id_col).agg(F.count("*").alias("__c"))
+    return per_doc.groupBy("token").agg(
+        F.sum("__c").alias("tf"), F.count("*").alias("df_docs")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document scored by
+    tf·(N/df) — term frequency times the RAW inverse document frequency
+    ratio, not its logarithm. The ratio keeps the score inside exactly-
+    specified IEEE arithmetic (integer products < 2^53, one correctly-
+    rounded division), so scores and hence rankings are bit-identical
+    across engines; a log-idf's transcendental differs in the last ulp
+    between libm implementations, which can flip near-tie rankings. Both
+    weightings are monotone in 1/df for fixed tf and standard variants.
+    Ranking total order: (score DESC, token ASC). One explode + agg for
+    per-doc counts, an equi-join on token against the vocabulary, and a
+    per-doc window — all key-partitioned, no broadcast of the (possibly
+    huge) vocabulary needed."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ", -1)).alias("token")
+    ).filter(F.col("token") != "")
+    doc_counts = toks.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
+    vocab = vocabulary(df, text_col, id_col).select("token", "df_docs")
+    n_docs = df.select(F.count("*").alias("__n_docs"))
+    scored = (
+        doc_counts.join(vocab, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("cnt") * F.col("__n_docs")).cast("double") / F.col("df_docs"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "token", "cnt", "df_docs", "score", "rank")
+    )
+
+
 def word_shingles(name: str, n: int = 3) -> Column:
     """Distinct word n-grams (default 3) of the text column ``name`` — the
     unit set for Jaccard/MinHash. Empty array when fewer than n tokens."""

@@ -87,9 +87,7 @@ def multiformat_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("date_id", date_key("parsed_date"))
 
 
-@register(
-    "officecd_misalignment_repair",
-    oracle=r"""
+_OFFICE_ORACLE = r"""
     WITH synth AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 4 = 3 THEN 'RTA HYDERABAD'
@@ -117,8 +115,9 @@ def multiformat_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN OfficeCd IS NULL AND fromdate IS NOT NULL THEN fromdate
                 ELSE OfficeCd END AS OfficeCd
     FROM s2
-    """,
-)
+    """
+
+
 def officecd_misalignment_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-column misalignment repair truth table (P5,
     etl1_clean_and_stage.py:76-94), including the reference's quirk that a
@@ -140,9 +139,7 @@ def officecd_misalignment_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fuel_taxonomy_normalize",
-    oracle="""
+_FUEL_ORACLE = """
     WITH synth AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 7 = 0 THEN 'GASOLINE'
@@ -162,8 +159,9 @@ def officecd_misalignment_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHEN regexp_matches(fuel, 'LPG') THEN 'LPG'
                       ELSE 'UNKNOWN' END) AS fuel_clean
     FROM synth
-    """,
-)
+    """
+
+
 def fuel_taxonomy_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuel taxonomy CASE cascade over every dirty variant incl. '' and
     NULL (P5, etl1_clean_and_stage.py:120-125)."""
@@ -250,9 +248,7 @@ def model_variant_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "make_year_harden",
-    oracle=r"""
+_YEAR_ORACLE = r"""
     WITH synth AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 9 = 0 THEN '19'
@@ -278,8 +274,9 @@ def model_variant_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN length(y) = 2 AND regexp_matches(y, '^[0-9]{2}$')
                 THEN '20' || y ELSE y END AS makeYear_clean
     FROM backfilled
-    """,
-)
+    """
+
+
 def make_year_harden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Make-year hardening: backfill missing/UNKNOWN from embedded year
     (etl1:127-130), then the two-digit-year fix (etl2:112-117)."""
@@ -305,6 +302,36 @@ def make_year_harden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modelDescClean",
         F.col("makeYear").alias("makeYear_backfilled"),
         "makeYear_clean",
+    )
+
+
+@register(
+    "cleaning_suite",
+    oracle=f"""
+    SELECT 'office' AS kind, * FROM ({_OFFICE_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'fuel' AS kind, * FROM ({_FUEL_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'year' AS kind, * FROM ({_YEAR_ORACLE})
+    """,
+)
+def cleaning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three single-column cleaning truth tables — office-code
+    misalignment repair ('office' rows), fuel taxonomy normalization
+    ('fuel' rows), make-year backfill + two-digit hardening ('year'
+    rows) — union-tagged under ONE gate slot (each was its own slot
+    through round 4; consolidated in round 5 to free oracle capacity
+    under the gate's 50-row cap without weakening coverage: every input
+    row of all three still hash-verifies, and the same operators run
+    end-to-end inside rta_pipeline_star). Columns absent from a row kind
+    are NULL."""
+    office = officecd_misalignment_repair(spark, sf_dir).select(
+        F.lit("office").alias("kind"), "*"
+    )
+    fuel = fuel_taxonomy_normalize(spark, sf_dir).select(F.lit("fuel").alias("kind"), "*")
+    year = make_year_harden(spark, sf_dir).select(F.lit("year").alias("kind"), "*")
+    return office.unionByName(fuel, allowMissingColumns=True).unionByName(
+        year, allowMissingColumns=True
     )
 
 

@@ -86,9 +86,7 @@ def cube_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
 
 
-@register(
-    "mktsegment_multiset_ops",
-    oracle="""
+_MULTISET_ORACLE = """
     SELECT 'except_all' AS tag, c_mktsegment FROM (
         SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 0
         EXCEPT ALL
@@ -100,8 +98,9 @@ def cube_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         INTERSECT ALL
         SELECT c_mktsegment FROM customer WHERE c_custkey % 3 = 0
     )
-    """,
-)
+    """
+
+
 def mktsegment_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL (multiset semantics — duplicates carry
     multiplicity, unlike the distinct set ops in nation_set_ops)."""
@@ -115,9 +114,7 @@ def mktsegment_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exc.unionByName(inter)
 
 
-@register(
-    "nation_set_ops",
-    oracle="""
+_SETOP_ORACLE = """
     SELECT 'both' AS tag, n_nationkey FROM (
         SELECT c_nationkey AS n_nationkey FROM customer
         INTERSECT
@@ -129,8 +126,9 @@ def mktsegment_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         EXCEPT
         SELECT s_nationkey FROM supplier
     )
-    """,
-)
+    """
+
+
 def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT proper (SURVEY.md §2.7 lists them as absent from
     the reference): nations with both customers and suppliers vs
@@ -174,9 +172,7 @@ def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fk_violation_orders",
-    oracle="""
+_FK_ORACLE = """
     SELECT o.o_orderkey, o.o_custkey
     FROM orders o
     WHERE o.o_custkey IS NOT NULL
@@ -184,8 +180,9 @@ def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT 1 FROM customer c
           WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 != 0
       )
-    """,
-)
+    """
+
+
 def fk_violation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK constraint validation (operators/quality.py): the warehouse DDL
     declares FKs Redshift-side (starschema_dw.txt:59-66); here the check
@@ -198,9 +195,7 @@ def fk_violation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
 
 
-@register(
-    "pk_duplicate_check",
-    oracle="""
+_PK_ORACLE = """
     WITH corpus AS (
         SELECT l_orderkey, l_linenumber FROM lineitem
         UNION ALL
@@ -210,8 +205,9 @@ def fk_violation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corpus
     GROUP BY 1, 2
     HAVING COUNT(*) > 1
-    """,
-)
+    """
+
+
 def pk_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK uniqueness validation: duplicate (orderkey, linenumber) pairs
     surfaced with their multiplicities (duplicates injected for every
@@ -219,6 +215,46 @@ def pk_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
     corpus = li.unionByName(li.filter(F.col("l_orderkey") % 100 == 0))
     return quality.duplicate_keys(corpus, ["l_orderkey", "l_linenumber"])
+
+
+@register(
+    "set_ops_suite",
+    oracle=f"""
+    SELECT 'distinct' AS kind, * FROM ({_SETOP_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'multiset' AS kind, * FROM ({_MULTISET_ORACLE})
+    """,
+)
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (distinct, 'distinct' rows) and INTERSECT ALL /
+    EXCEPT ALL (multiset, 'multiset' rows) union-tagged under one gate
+    slot (separate slots through round 4; consolidated in round 5 to
+    free oracle capacity under the 50-row cap — every row of both still
+    hash-verifies)."""
+    dist = nation_set_ops(spark, sf_dir).select(F.lit("distinct").alias("kind"), "*")
+    multi = mktsegment_multiset_ops(spark, sf_dir).select(
+        F.lit("multiset").alias("kind"), "*"
+    )
+    return dist.unionByName(multi, allowMissingColumns=True)
+
+
+@register(
+    "constraint_suite",
+    oracle=f"""
+    SELECT 'fk' AS kind, * FROM ({_FK_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'pk' AS kind, * FROM ({_PK_ORACLE})
+    """,
+)
+def constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both DDL-constraint validation operators (operators/quality.py) —
+    FK orphan detection ('fk' rows) and PK uniqueness with
+    multiplicities ('pk' rows) — union-tagged under one gate slot
+    (separate slots through round 4; consolidated in round 5 to free
+    oracle capacity under the 50-row cap)."""
+    fk = fk_violation_orders(spark, sf_dir).select(F.lit("fk").alias("kind"), "*")
+    pk = pk_duplicate_check(spark, sf_dir).select(F.lit("pk").alias("kind"), "*")
+    return fk.unionByName(pk, allowMissingColumns=True)
 
 
 @register(

@@ -344,13 +344,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synthesize_binary_docs(docs))
 
 
-def _ivf_blocked_oracle(threshold: float = 0.35, multi_probe: int = 2) -> str:
-    """DuckDB mirror of ivf_blocked_near_dup: the shared trained
-    assignment prefix (_ivf_assignment_ctes), each vector expanded to its
+def _ivf_pairs_prefix(threshold: float = 0.35, multi_probe: int = 2) -> str:
+    """DuckDB mirror of ivf_blocked_near_dup, as a CTE prefix ending at
+    ``pairs`` (id_a, id_b, cosine): the shared trained assignment prefix
+    (_ivf_assignment_ctes), each vector expanded to its
     top-``multi_probe`` cells under the same (cosine DESC, cell ASC)
     total order the Spark probe_cells_expr uses, same-cell pairs deduped
     across probes, then exact-cosine verification — bit-exact on both
-    engines (sequential fold)."""
+    engines (sequential fold). Shared by the embedding_near_dup_ivf and
+    semantic_dedup_survivors oracles."""
     return f"""{_ivf_assignment_ctes()}, probed AS (
         SELECT cid, cv, pid AS cell FROM (
             SELECT c.cid, c.cv, p.pid,
@@ -366,17 +368,23 @@ def _ivf_blocked_oracle(threshold: float = 0.35, multi_probe: int = 2) -> str:
         SELECT DISTINCT a.cid AS ia, b.cid AS ib
         FROM probed a
         JOIN probed b ON a.cell = b.cell AND a.cid < b.cid
-    )
-    SELECT c.ia AS id_a, c.ib AS id_b,
-           list_dot_product(x.cv, y.cv)
-               / (sqrt(list_dot_product(x.cv, x.cv))
-                  * sqrt(list_dot_product(y.cv, y.cv))) AS cosine
-    FROM cand c
-    JOIN cc x ON x.cid = c.ia
-    JOIN cc y ON y.cid = c.ib
-    WHERE list_dot_product(x.cv, y.cv)
-              / (sqrt(list_dot_product(x.cv, x.cv))
-                 * sqrt(list_dot_product(y.cv, y.cv))) >= {threshold}
+    ), pairs AS (
+        SELECT c.ia AS id_a, c.ib AS id_b,
+               list_dot_product(x.cv, y.cv)
+                   / (sqrt(list_dot_product(x.cv, x.cv))
+                      * sqrt(list_dot_product(y.cv, y.cv))) AS cosine
+        FROM cand c
+        JOIN cc x ON x.cid = c.ia
+        JOIN cc y ON y.cid = c.ib
+        WHERE list_dot_product(x.cv, y.cv)
+                  / (sqrt(list_dot_product(x.cv, x.cv))
+                     * sqrt(list_dot_product(y.cv, y.cv))) >= {threshold}
+    )"""
+
+
+def _ivf_blocked_oracle(threshold: float = 0.35, multi_probe: int = 2) -> str:
+    return f"""{_ivf_pairs_prefix(threshold, multi_probe)}
+    SELECT id_a, id_b, cosine FROM pairs
     """
 
 
@@ -393,3 +401,32 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate slot the retired all-pairs baseline held)."""
     idx = _ivf_index(spark, sf_dir)
     return similarity.ivf_blocked_near_dup(idx, threshold=0.35)
+
+
+@register(
+    "semantic_dedup_survivors",
+    oracle=f"""{_ivf_pairs_prefix()}, dropped AS (
+        SELECT id_b, COUNT(*) AS n_dups_smaller, MAX(cosine) AS max_dup_cosine
+        FROM pairs GROUP BY id_b
+    )
+    SELECT c.cid AS vec_id,
+           d.id_b IS NULL AS kept,
+           COALESCE(d.n_dups_smaller, 0) AS n_dups_smaller,
+           d.max_dup_cosine
+    FROM cc c LEFT JOIN dropped d ON d.id_b = c.cid
+    """,
+    expensive=True,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped end-to-end semantic dedup FILTER
+    (operators/similarity.semantic_dedup): IVF cells as the clustering,
+    within-cell cosine pairs at 0.35, greedy min-id survivor rule — one
+    row per corpus vector with the kept flag, smaller-id near-dup count,
+    and max duplicate cosine. ``filter(kept)`` is the deduplicated
+    corpus; the hash check pins every drop decision. Reuses the
+    session's memoized IVF index, so after any IVF query has run this
+    costs one cell equi-join + a per-id aggregate + a left join."""
+    idx = _ivf_index(spark, sf_dir)
+    return similarity.semantic_dedup(idx, threshold=0.35).select(
+        F.col(idx.corpus_id).alias("vec_id"), "kept", "n_dups_smaller", "max_dup_cosine"
+    )

@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import tracked_persist
-from rta_registrations_pyspark_glue_spark.operators import graph, packing, sampling, text, textdedup
+from rta_registrations_pyspark_glue_spark.operators import (
+    graph,
+    packing,
+    pii,
+    sampling,
+    text,
+    textdedup,
+)
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -474,6 +481,231 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_kind", "doc_id", "lang", "split")
     )
     return h.unionByName(s, allowMissingColumns=True)
+
+
+_RT = text.REPETITION_THRESHOLDS
+
+
+@register(
+    "repetition_filters",
+    oracle=rf"""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), lined AS (
+        -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+        -- concat_ws over an empty slice is '' (short docs at small sf).
+        SELECT doc_id,
+               COALESCE(array_to_string(t[1:8], ' '), '') || chr(10) ||
+               COALESCE(array_to_string(t[9:16], ' '), '') || chr(10) ||
+               CASE WHEN doc_id % 6 = 0 THEN COALESCE(array_to_string(t[1:8], ' '), '')
+                    ELSE COALESCE(array_to_string(t[17:24], ' '), '') END AS text
+        FROM tk
+    ), norm AS (
+        SELECT doc_id, text, {SQL_NORM} AS nrm FROM lined
+    ), base AS (
+        SELECT doc_id,
+               length(nrm) AS n_chars,
+               len(string_split(nrm, ' ')) AS n_tokens,
+               string_split(text, chr(10)) AS lines
+        FROM norm
+    ), words AS (
+        SELECT doc_id, string_split(nrm, ' ') AS w FROM norm
+    ), grams AS (
+        SELECT doc_id, 1 AS n, unnest(w) AS g FROM words
+        UNION ALL
+        SELECT doc_id, 2 AS n, unnest(CASE WHEN len(w) < 2 THEN []
+            ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS g
+        FROM words
+        UNION ALL
+        SELECT doc_id, 3 AS n, unnest(CASE WHEN len(w) < 3 THEN []
+            ELSE list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+        FROM words
+    ), cnts AS (
+        SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, n, g
+    ), perdoc AS (
+        SELECT doc_id,
+               MAX(CASE WHEN n = 1 THEN cnt END) AS topw,
+               MAX(CASE WHEN n = 2 AND cnt > 1 THEN cnt * length(g) END) AS topbg,
+               SUM(CASE WHEN n = 3 AND cnt > 1 THEN cnt * length(g) END) AS duptg
+        FROM cnts GROUP BY doc_id
+    ), m AS (
+        SELECT b.doc_id,
+               len(b.lines)::INT AS n_lines,
+               CASE WHEN len(b.lines) > 0
+                    THEN CAST(len(b.lines) - len(list_distinct(b.lines)) AS DOUBLE)
+                         / len(b.lines)
+                    ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN b.n_tokens > 0
+                    THEN CAST(COALESCE(p.topw, 0) AS DOUBLE) / b.n_tokens
+                    ELSE 0.0 END AS top_word_frac,
+               CASE WHEN b.n_chars > 0
+                    THEN CAST(COALESCE(p.topbg, 0) AS DOUBLE) / b.n_chars
+                    ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN b.n_chars > 0
+                    THEN CAST(COALESCE(p.duptg, 0) AS DOUBLE) / b.n_chars
+                    ELSE 0.0 END AS dup_trigram_frac
+        FROM base b LEFT JOIN perdoc p USING (doc_id)
+    )
+    SELECT *,
+           (dup_line_frac <= {_RT["dup_line_frac"]}
+            AND top_bigram_frac <= {_RT["top_bigram_frac"]}
+            AND dup_trigram_frac <= {_RT["dup_trigram_frac"]}
+            AND top_word_frac <= {_RT["top_word_frac"]}) AS keep
+    FROM m
+    """,
+)
+def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters
+    (operators/text.repetition_metrics): duplicate-line fraction, top
+    word/2-gram fractions, duplicated-3-gram character fraction, and the
+    composite keep flag. Input is a lined corpus synthesized identically
+    in both engines — each doc becomes three 8-token '\\n'-joined
+    sentences, with every 6th doc's third sentence replaced by a repeat
+    of its first, so the line and n-gram repetition paths (and the drop
+    decision) are actually exercised."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.trim("text"), r"\s+")
+    s1 = F.concat_ws(" ", F.slice(t, 1, 8))
+    s2 = F.concat_ws(" ", F.slice(t, 9, 8))
+    s3 = F.concat_ws(" ", F.slice(t, 17, 8))
+    lined = F.concat(
+        s1,
+        F.lit("\n"),
+        s2,
+        F.lit("\n"),
+        F.when(F.col("doc_id") % 6 == 0, s1).otherwise(s3),
+    )
+    corpus = docs.select("doc_id", lined.alias("text"))
+    return text.repetition_metrics(corpus)
+
+
+def _pat(kind: str) -> str:
+    return pii.PII_PATTERNS[kind][0]
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' contact john.doe' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                    THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                    THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    ELSE '' END
+            AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_pat("email")}'))::INT AS n_email,
+           len(regexp_extract_all(text, '{_pat("phone")}'))::INT AS n_phone,
+           len(regexp_extract_all(text, '{_pat("ipv4")}'))::INT AS n_ipv4,
+           (len(regexp_extract_all(text, '{_pat("email")}'))
+            + len(regexp_extract_all(text, '{_pat("phone")}'))
+            + len(regexp_extract_all(text, '{_pat("ipv4")}'))) > 0 AS has_pii,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_pat("email")}', '<EMAIL>', 'g'),
+                   '{_pat("phone")}', '<PHONE>', 'g'),
+               '{_pat("ipv4")}', '<IP>', 'g') AS redacted
+    FROM corpus
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.scrub_pii): per-doc
+    email/phone/IPv4 counts, has_pii flag, and the redacted text itself
+    — the hash check verifies every replacement byte-for-byte. PII is
+    injected deterministically in both engines (every 7th doc an email,
+    11th a phone, 13th an IPv4; a doc can carry several). The oracle
+    interpolates the operator's own PII_PATTERNS so the two engines can
+    never drift."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" contact john.doe"), d.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit(" call 415-555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                ((d * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    corpus = docs.select("doc_id", injected.alias("text"))
+    return pii.scrub_pii(corpus)
+
+
+@register(
+    "corpus_vocabulary",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS token FROM documents
+    ), tf0 AS (
+        SELECT token, doc_id, COUNT(*) AS c FROM toks WHERE token <> ''
+        GROUP BY token, doc_id
+    ), vocab AS (
+        SELECT token, CAST(SUM(c) AS BIGINT) AS tf, COUNT(*) AS df_docs
+        FROM tf0 GROUP BY token
+    ), top AS (
+        SELECT token, tf, df_docs FROM vocab ORDER BY tf DESC, token LIMIT 100
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT f.doc_id, f.token, f.c AS cnt, v.df_docs,
+               CAST(f.c * n.n_docs AS DOUBLE) / v.df_docs AS score
+        FROM tf0 f JOIN vocab v USING (token) CROSS JOIN n
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT 'vocab' AS kind, token, tf, df_docs FROM top
+    UNION ALL BY NAME
+    SELECT 'tfidf' AS kind, doc_id, token, cnt, df_docs, score,
+           CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary + per-doc characteristic terms in one
+    union-tagged slot: 'vocab' rows are the top-100 tokens by total
+    occurrences (tf) with document frequencies — the canonical two-level
+    wordcount aggregate; 'tfidf' rows are each doc's top-3 terms by
+    tf·(N/df) with the (score DESC, token ASC) total order
+    (operators/text.vocabulary / tfidf_top_terms; see the latter's
+    docstring for why the idf is the raw ratio, not a log). The N-docs
+    scalar rides a 1-row broadcast join — the only sound way to put a
+    corpus-level constant into a row expression without a driver
+    action."""
+    docs = load_table(spark, "documents", sf_dir)
+    top = (
+        text.vocabulary(docs)
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(100)
+        .select(F.lit("vocab").alias("kind"), "token", "tf", "df_docs")
+    )
+    tfidf = text.tfidf_top_terms(docs, top_n=3).select(
+        F.lit("tfidf").alias("kind"), "doc_id", "token", "cnt", "df_docs", "score", "rank"
+    )
+    return top.unionByName(tfidf, allowMissingColumns=True)
 
 
 @register("decontamination_report")

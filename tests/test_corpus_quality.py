@@ -1,0 +1,134 @@
+"""Tests for the round-5 corpus-quality operators: Gopher-style
+repetition filters, PII detection/redaction, vocabulary + tf-idf terms,
+and the SemDeDup-shaped semantic dedup filter — hand-computed
+expectations plus consistency against the operators' own building
+blocks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import pii, similarity, text
+from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_repetition_metrics_hand_computed(spark):
+    # doc 1: "aa bb aa bb\naa bb aa bb" — 2 identical lines, heavy n-gram
+    # repetition. norm = "aa bb aa bb aa bb aa bb" (23 chars, 8 tokens).
+    # doc 2: all-distinct words, single line — clean.
+    df = spark.createDataFrame(
+        [(1, "aa bb aa bb\naa bb aa bb"), (2, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_metrics(df).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 2
+    assert r1["dup_line_frac"] == pytest.approx(0.5)
+    # top word "aa" (or "bb") occurs 4 times of 8 tokens
+    assert r1["top_word_frac"] == pytest.approx(4 / 8)
+    # top bigram "aa bb" ×4, len 5 → 20/23 chars
+    assert r1["top_bigram_frac"] == pytest.approx(20 / 23)
+    # trigrams: "aa bb aa"×3 + "bb aa bb"×3, len 8 each → 48/23. The
+    # metric is an overlap-blind upper bound and may exceed 1 — what
+    # matters for the filter is the fixed threshold comparison.
+    assert r1["dup_trigram_frac"] == pytest.approx(48 / 23)
+    assert r1["keep"] is False
+
+    r2 = out[2]
+    assert r2["n_lines"] == 1
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top_word_frac"] == pytest.approx(1 / 5)
+    # every bigram occurs once → no bigram REPETITION → 0, not 10/23
+    assert r2["top_bigram_frac"] == 0.0
+    assert r2["dup_trigram_frac"] == 0.0
+    assert r2["keep"] is True
+
+
+def test_repetition_metrics_empty_and_short(spark):
+    df = spark.createDataFrame([(1, ""), (2, "word")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.repetition_metrics(df).collect()}
+    # No division blows up; short docs have no 2/3-grams at all.
+    assert out[1]["dup_trigram_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[2]["n_lines"] == 1
+
+
+# ----------------------------------------------------------------------- PII
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at a.b@x.io or 123-456-7890 from 8.8.8.8"),
+            (2, "no pii here, honest"),
+            (3, "two mails: x@y.org and z+tag@sub.example.co"),
+            (4, "not-a-phone 12-345-6789 and not-an-ip v1.2.3.4"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii.scrub_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "reach me at <EMAIL> or <PHONE> from <IP>"
+    assert out[1]["has_pii"] is True
+    assert out[2]["has_pii"] is False
+    assert out[2]["redacted"] == "no pii here, honest"
+    assert out[3]["n_email"] == 2
+    assert "<EMAIL>" in out[3]["redacted"] and "@" not in out[3]["redacted"]
+    # \b guards: digit runs embedded in words/versions never match
+    assert (out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0)
+
+
+# ---------------------------------------------------------------- vocabulary
+
+
+def test_vocabulary_and_tfidf(spark):
+    df = spark.createDataFrame([(1, "a b a"), (2, "b c")], ["doc_id", "text"])
+    vocab = {r["token"]: r for r in text.vocabulary(df).collect()}
+    assert (vocab["a"]["tf"], vocab["a"]["df_docs"]) == (2, 1)
+    assert (vocab["b"]["tf"], vocab["b"]["df_docs"]) == (2, 2)
+    assert (vocab["c"]["tf"], vocab["c"]["df_docs"]) == (1, 1)
+
+    terms = text.tfidf_top_terms(df, top_n=2).collect()
+    by_doc = {}
+    for r in terms:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    # doc 1: a → 2·(2/1)=4.0 beats b → 1·(2/2)=1.0
+    assert [r["token"] for r in d1] == ["a", "b"]
+    assert d1[0]["score"] == pytest.approx(4.0)
+    assert d1[1]["score"] == pytest.approx(1.0)
+    d2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    # doc 2: c → 1·(2/1)=2.0 beats b → 1.0
+    assert [r["token"] for r in d2] == ["c", "b"]
+
+
+# ----------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_matches_pair_set(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    idx = similarity.ivf_build(emb, n_pivots=8, train_iters=2, train_sample_mod=4)
+    pairs = similarity.ivf_blocked_near_dup(idx, threshold=0.35)
+    expected_dropped = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+
+    out = similarity.semantic_dedup(idx, threshold=0.35).collect()
+    dropped = {r["cid"] for r in out if not r["kept"]}
+    assert dropped == expected_dropped
+    # exactly one row per corpus vector in the index
+    assert len(out) == idx.assignment.count()
+    # kept rows carry no duplicate evidence; dropped rows carry both
+    for r in out:
+        if r["kept"]:
+            assert r["n_dups_smaller"] == 0 and r["max_dup_cosine"] is None
+        else:
+            assert r["n_dups_smaller"] >= 1 and r["max_dup_cosine"] >= 0.35
+    # the survivor set is closed under the greedy rule: the minimum id of
+    # the whole corpus can never be dropped
+    min_id = min(r["cid"] for r in out)
+    assert min_id not in dropped
