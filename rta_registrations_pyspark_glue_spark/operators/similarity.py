@@ -61,7 +61,13 @@ def as_double(col: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Sequential-fold dot product (deterministic accumulation order)."""
+    """Sequential-fold dot product (deterministic accumulation order).
+
+    Measured and deliberately NOT replaced with a getItem-unrolled
+    64-term expression: the flat unroll looked codegen-friendly but
+    benchmarked ~3× SLOWER than the zip_with fold on every verification
+    path (per-element null/bounds checks and a huge expression tree that
+    falls out of whole-stage codegen), so the fold stays."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -706,44 +712,52 @@ def ivf_blocked_near_dup(
     cheapest setting. Duplicate meetings across probed cells are
     collapsed before scoring."""
     corpus_id = index.corpus_id
+    # Candidate GENERATION runs slim — (cell, id) only, vectors stay
+    # home. Measured rationale: the cell equi-join has only n_pivots
+    # distinct keys, so everything computed inside it runs at
+    # parallelism ≤ n_pivots (8 tasks on a 32-core host) and every
+    # by-product it carries is duplicated per probe pair. Keeping the
+    # join output to two ids makes the skew harmless, and the distinct()
+    # both collapses multi-probe duplicate meetings AND repartitions the
+    # unique pairs across the full cluster before the expensive part.
     if multi_probe > 1:
         probed = index.assignment.select(
             F.col(corpus_id),
-            "__cv",
-            "__cn",
             F.explode(
                 probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
             ).alias("__cell"),
         )
     else:
-        probed = index.assignment
-    a = probed.select(
-        F.col("__cell"),
+        probed = index.assignment.select(F.col(corpus_id), "__cell")
+    a = probed.select("__cell", F.col(corpus_id).alias("id_a"))
+    b = probed.select(
+        F.col("__cell").alias("__cell_b"), F.col(corpus_id).alias("id_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("__cell") == F.col("__cell_b")) & (F.col("id_a") < F.col("id_b")),
+            "inner",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # VERIFICATION attaches vectors to unique candidates only (two
+    # id-equi-joins against the persisted assignment — the cosine_verify
+    # shape) and folds the exact cosine once per unique pair, at full
+    # parallelism. At corpus scale the assignment side shuffles by id;
+    # here AQE broadcasts it.
+    va = index.assignment.select(
         F.col(corpus_id).alias("id_a"),
         F.col("__cv").alias("__ea"),
         F.col("__cn").alias("__na"),
     )
-    b = probed.select(
-        F.col("__cell").alias("__cell_b"),
+    vb = index.assignment.select(
         F.col(corpus_id).alias("id_b"),
         F.col("__cv").alias("__eb"),
         F.col("__cn").alias("__nb"),
     )
-    pairs = a.join(
-        b,
-        (F.col("__cell") == F.col("__cell_b")) & (F.col("id_a") < F.col("id_b")),
-        "inner",
-    )
-    if multi_probe > 1:
-        # Dedup pairs that met in several probed cells. Key on the two
-        # ids only (the vectors are functionally determined by them, so
-        # the arbitrary surviving row carries identical arrays) — a
-        # full-row distinct would hash and compare the 64-dim arrays in
-        # the exchange for nothing.
-        pairs = pairs.select(
-            "id_a", "__ea", "__na", "id_b", "__eb", "__nb"
-        ).dropDuplicates(["id_a", "id_b"])
-    pairs = pairs.withColumn(
+    pairs = cand.join(va, "id_a").join(vb, "id_b").withColumn(
         "cosine", dot("__ea", "__eb") / (F.sqrt("__na") * F.sqrt("__nb"))
     )
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -63,21 +63,43 @@ def test_headline_plans_free_of_pair_explosion(spark, sf_dir):
     from rta_registrations_pyspark_glue_spark.plans import registry
 
     qs = registry.queries()
-    allowed_bnlj = {"cosine_topk_bruteforce"}
+    # cosine_topk_bruteforce IS the all-pairs baseline; corpus_vocabulary
+    # broadcasts a single-row COUNT(*) scalar into every row's tf-idf
+    # expression — a 1-row BNLJ, the standard scalar-subquery shape.
+    allowed_bnlj = {"cosine_topk_bruteforce", "corpus_vocabulary"}
     checked = [
         "rta_pipeline_star",
         "fuzzy_resolution_parts",
         "near_dup_clusters",
         "minhash_lsh_near_dups",
         "embedding_near_dup_bucketed",
+        "embedding_near_dup_ivf",
+        "semantic_dedup_survivors",
         "cosine_topk_ivf",
         "active_orders_per_day",
         "dataset_split",
         "decontamination_report",
         "packed_sequences",
+        "repetition_filters",
+        "pii_scrub",
+        "corpus_vocabulary",
     ]
     for name in checked:
         plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert name in allowed_bnlj or (
             "NestedLoop" not in plan and "Cartesian" not in plan
         ), f"{name} plans a pair-exploding join"
+
+
+def test_vocabulary_topn_uses_take_ordered(spark, sf_dir):
+    plan = _formatted_plan(spark, "corpus_vocabulary", sf_dir)
+    # The top-100 vocabulary cut must plan as TakeOrdered, not a full
+    # global sort of the whole vocabulary.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pii_scrub_is_single_stage(spark, sf_dir):
+    plan = _formatted_plan(spark, "pii_scrub", sf_dir)
+    # Detection + redaction is one scan-side projection: no exchange at
+    # all — the property that makes it linear at 100 TB.
+    assert "Exchange" not in plan
