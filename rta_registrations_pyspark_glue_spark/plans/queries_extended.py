@@ -257,16 +257,15 @@ def constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fk.unionByName(pk, allowMissingColumns=True)
 
 
-@register(
-    "customer_order_arrays",
-    oracle="""
+_ARRAYS_ORACLE = """
     SELECT o_custkey,
            CAST(to_json(list_sort(list(o_orderkey))) AS VARCHAR) AS orderkeys,
            string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
     FROM orders
     GROUP BY o_custkey
-    """,
-)
+    """
+
+
 def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: per-customer sorted order-key array and an
     order-key-ordered status string. collect_list has NO deterministic
@@ -318,14 +317,13 @@ def document_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("int"), "token")
 
 
-@register(
-    "props_json_extract",
-    oracle="""
+_JSON_ORACLE = """
     SELECT event_id, event_type,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_value
     FROM events
-    """,
-)
+    """
+
+
 def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events props column (semi-structured
     surface; the reference parses JSON driver-side only,
@@ -421,3 +419,25 @@ def active_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("active_orders"),
         dsum("o_totalprice", "open_value"),
     )
+
+
+@register(
+    "complex_types_suite",
+    oracle=f"""
+    SELECT 'arrays' AS kind, * FROM ({_ARRAYS_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'json' AS kind, * FROM ({_JSON_ORACLE})
+    """,
+)
+def complex_types_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-structured/collection surface under one gate slot:
+    per-customer ordered collection aggregates serialized to JSON text
+    ('arrays' rows) and JSON field extraction from the events props
+    column ('json' rows). Separate slots through round 4; consolidated
+    in round 5 to free oracle capacity under the 50-row cap — every row
+    of both still hash-verifies."""
+    arrays = customer_order_arrays(spark, sf_dir).select(
+        F.lit("arrays").alias("kind"), "*"
+    )
+    js = props_json_extract(spark, sf_dir).select(F.lit("json").alias("kind"), "*")
+    return arrays.unionByName(js, allowMissingColumns=True)

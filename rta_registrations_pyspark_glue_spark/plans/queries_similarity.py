@@ -325,15 +325,14 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_verify(cands, emb, threshold=0.35)
 
 
-@register(
-    "multimodal_meta",
-    oracle="""
+_MM_META_ORACLE = """
     SELECT doc_id,
            octet_length(encode(text))::INT AS n_bytes,
            md5(text) AS content_md5
     FROM documents
-    """,
-)
+    """
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata through the full Arrow/pandas path
     (mapInPandas) — oracle-checked against DuckDB's blob functions, which
@@ -342,9 +341,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_meta(multimodal.synthesize_binary_docs(docs))
 
 
-@register(
-    "multimodal_features",
-    oracle="""
+_MM_FEAT_ORACLE = """
     WITH b AS (
         SELECT doc_id,
                octet_length(encode(text)) AS nb,
@@ -364,8 +361,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN nb = 0 THEN 0 ELSE list_max(bytes) END AS INT) AS byte_max,
            CAST((nb + 1023) // 1024 AS INT) AS n_frames
     FROM b
-    """,
-)
+    """
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level feature extraction + frame chunking via mapInPandas.
     The byte features are deterministic functions of the utf-8 payload,
@@ -373,6 +371,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hex-nibble byte recovery on the oracle side)."""
     docs = load_table(spark, "documents", sf_dir)
     return multimodal.extract_features(multimodal.synthesize_binary_docs(docs))
+
+
+@register(
+    "multimodal_suite",
+    oracle=f"""
+    SELECT 'meta' AS kind, * FROM ({_MM_META_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'features' AS kind, * FROM ({_MM_FEAT_ORACLE})
+    """,
+)
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both multimodal binary-column operators — metadata extraction
+    ('meta' rows) and byte-level feature extraction + frame chunking
+    ('features' rows), each through the full Arrow/pandas mapInPandas
+    path — union-tagged under one gate slot (separate slots through
+    round 4; consolidated in round 5 to free oracle capacity under the
+    50-row cap; every row of both still hash-verifies, pinning the
+    binary→Arrow→pandas round trip byte-for-byte)."""
+    meta = multimodal_meta(spark, sf_dir).select(F.lit("meta").alias("kind"), "*")
+    feats = multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("kind"), "*"
+    )
+    return meta.unionByName(feats, allowMissingColumns=True)
 
 
 def _ivf_pairs_prefix(threshold: float = 0.35, multi_probe: int = 2) -> str:

@@ -708,16 +708,63 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.unionByName(tfidf, allowMissingColumns=True)
 
 
-@register("decontamination_report")
+@register(
+    "decontamination_report",
+    oracle=rf"""
+    WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, split,
+               list_distinct(CASE WHEN len(t) < 3 THEN []
+                   ELSE list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        FROM (SELECT doc_id, split, string_split_regex({SQL_NORM}, '\s+') AS t
+              FROM split)
+    ), tr_post AS (
+        SELECT doc_id AS train_id, unnest(s) AS shingle FROM sh WHERE split = 'train'
+    ), tr AS (
+        SELECT * FROM tr_post WHERE shingle IN (
+            SELECT shingle FROM tr_post GROUP BY shingle HAVING COUNT(*) <= 50)
+    ), ev_post AS (
+        SELECT doc_id AS eval_id, unnest(s) AS shingle FROM sh WHERE split = 'test'
+    ), hits AS (
+        SELECT ev_post.eval_id, ev_post.shingle, tr.train_id
+        FROM ev_post JOIN tr USING (shingle)
+    ), per_pair AS (
+        SELECT eval_id, train_id, COUNT(*) AS overlap FROM hits GROUP BY 1, 2
+    ), top AS (
+        SELECT eval_id, train_id, overlap FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+                ORDER BY overlap DESC, train_id) AS rn FROM per_pair) WHERE rn = 1
+    ), cont AS (
+        SELECT eval_id, COUNT(DISTINCT shingle) AS n_contaminated
+        FROM hits GROUP BY 1
+    )
+    SELECT b.doc_id, len(b.s)::INT AS n_shingles,
+           COALESCE(c.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN len(b.s) > 0
+                THEN CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE) / len(b.s)
+                ELSE 0.0 END AS contamination,
+           t.train_id AS top_train_id,
+           COALESCE(t.overlap, 0) AS top_overlap
+    FROM (SELECT doc_id, s FROM sh WHERE split = 'test') b
+    LEFT JOIN cont c ON c.eval_id = b.doc_id
+    LEFT JOIN top t ON t.eval_id = b.doc_id
+    """,
+)
 def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination over the engine's own split: the
     documents corpus is hash-split 80/10/10, and every test-split doc is
     scored for word-3-gram overlap against the train split
     (operators/textdedup.decontaminate — inverted-index join with
-    stop-shingle skew cap). Rows-only by gate-slot policy (the 50
-    oracle-backed slots are saturated); the operator's arithmetic is
-    pinned by tests/test_extensions.py::test_decontaminate_* with
-    hand-computed expectations."""
+    stop-shingle skew cap). Oracle-backed since round 5 (the pytest
+    DuckDB mirror was promoted into the registry when consolidation
+    freed gate slots); hand-computed expectations remain in
+    tests/test_extensions.py::test_decontaminate_*."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     d = sampling.hash_split(docs, "doc_id")
     train = d.filter(F.col("split") == "train").drop("split")
@@ -725,13 +772,37 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textdedup.decontaminate(train, ev, max_shingle_df=50)
 
 
-@register("packed_sequences")
+@register(
+    "packed_sequences",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS okey
+        FROM documents
+    ), c AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS stream_offset
+        FROM d
+    )
+    SELECT doc_id, n_tokens, stream_offset,
+           stream_offset // 512 AS seq_first,
+           CASE WHEN n_tokens > 0 THEN (stream_offset + n_tokens - 1) // 512
+                ELSE stream_offset // 512 END AS seq_last,
+           stream_offset % 512 AS offset_in_seq
+    FROM c
+    """,
+)
 def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing of the documents corpus into 512-token
     sequences (operators/packing.pack_sequences — distributed prefix sum
     via range repartition + per-partition offsets, never a single-task
-    global window). Rows-only by gate-slot policy; packing arithmetic is
-    pinned by tests/test_extensions.py::test_pack_sequences_* against a
-    Python recomputation of the exact cumulative layout."""
+    global window; the oracle's single-task window over the whole corpus
+    is exactly what the operator avoids at scale). Oracle-backed since
+    round 5; layout invariants also pinned by
+    tests/test_extensions.py::test_pack_sequences_*."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return packing.pack_sequences(docs, seq_len=512)
