@@ -212,6 +212,17 @@ def _hadoop_leaf_data_files(
     return out
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through the JVM Hadoop FileSystem — the guard for
+    non-local schemes, where os.path and the rename-based aside recovery
+    do not apply (object-store writes commit atomically or through a
+    table format; there is no mid-swap state to recover)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _recover_asides(path: str) -> None:
     """Finish any swap a previous process died in the middle of: for
     every ``X.__old__`` aside under ``path`` (or ``path`` itself), if the
@@ -423,6 +434,32 @@ def delete_stale_keys(
     spark.catalog.refreshByPath(path)
 
 
+def crowded_partitions(
+    spark,
+    path: str,
+    partition_by: list[str],
+    max_files_per_partition: int = 4,
+    target_mb: float = TARGET_FILE_SIZE_MB,
+) -> list[str]:
+    """Leaf partition directories that need compaction: more than
+    ``max_files_per_partition`` data files AND at least two below half
+    the target size (a partition of target-sized files is converged —
+    rewriting it would emit the same count again). Listing is
+    scheme-aware (_leaf_data_files), so this probe runs unchanged
+    against object stores; it is the discovery half of
+    compact_partitions, exposed separately so lakehouse deployments can
+    feed it to their own rewrite."""
+    half_target = target_mb * 1024 * 1024 / 2
+    crowded = []
+    for leaf, files in _leaf_data_files(spark, path, len(partition_by)).items():
+        sizes = [size for _name, size in files]
+        if len(sizes) > max_files_per_partition and sum(
+            1 for s in sizes if s < half_target
+        ) >= 2:
+            crowded.append(leaf)
+    return crowded
+
+
 def compact_partitions(
     spark,
     path: str,
@@ -446,23 +483,22 @@ def compact_partitions(
     same crash-safe swap as every write. Untouched partitions keep their
     files byte-identical. Returns the number of partitions compacted.
 
-    Partition discovery goes through ``_leaf_data_files``: plain paths
-    use the local fast walk, any Hadoop scheme (s3a://, hdfs://, ...)
-    is listed via the JVM FileSystem API, so the crowded-partition probe
-    is object-store-portable. (The rewrite swap itself still assumes a
-    rename-capable store; on object stores back the table with a format
-    whose commit IS the swap — the lakehouse equivalent of this whole
-    pass is OPTIMIZE / rewrite_data_files.)"""
-    if not table_exists(path):
+    Portability boundary, stated exactly: DISCOVERY (existence check +
+    crowded-partition probe) is object-store-portable — non-local
+    schemes (s3a://, hdfs://, ...) go through the JVM Hadoop FileSystem
+    for both — but the REWRITE goes through replace_partitions' rename-
+    based crash-safe swap, which needs a rename-capable filesystem. On
+    an object store, call ``crowded_partitions`` directly and hand the
+    leaves to a table-format rewrite (OPTIMIZE / rewrite_data_files) —
+    that commit IS the swap there."""
+    if _is_local_path(path):
+        if not table_exists(path):
+            return 0
+    elif not _hadoop_path_exists(spark, path):
         return 0
-    half_target = target_mb * 1024 * 1024 / 2
-    crowded = []
-    for leaf, files in _leaf_data_files(spark, path, len(partition_by)).items():
-        sizes = [size for _name, size in files]
-        if len(sizes) > max_files_per_partition and sum(
-            1 for s in sizes if s < half_target
-        ) >= 2:
-            crowded.append(leaf)
+    crowded = crowded_partitions(
+        spark, path, partition_by, max_files_per_partition, target_mb
+    )
     for leaf in crowded:
         rewrite = spark.read.option("basePath", path).parquet(leaf)
         replace_partitions(

@@ -33,15 +33,6 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
-def pii_counts(col: Column | str) -> list[Column]:
-    """One ``n_<kind>`` count column per PII pattern."""
-    c = F.col(col) if isinstance(col, str) else col
-    return [
-        F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
-        for kind, (pat, _) in PII_PATTERNS.items()
-    ]
-
-
 def redact(col: Column | str) -> Column:
     """The text with every PII match replaced by its token, applying the
     patterns in PII_PATTERNS order (sequential regexp_replace — Spark
@@ -56,14 +47,23 @@ def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """Per-document PII report + scrubbed text: id, one count per
     pattern kind, ``has_pii``, and ``redacted``. Row-local projection —
     composes with any upstream filter and keeps whole-stage codegen."""
-    c = F.col(text_col)
-    raw = {kind: F.regexp_count(c, F.lit(pat)) for kind, (pat, _) in PII_PATTERNS.items()}
+    # Counts are STAGED: each kind counts over the text with all
+    # earlier kinds already redacted, so n_<kind> always equals the
+    # number of <KIND> tokens in the final redacted text. Counting every
+    # kind on the raw text instead would claim e.g. a phone match for
+    # the digit run inside an email address that redaction then
+    # consumes — an impossible report (counts without matching tokens).
+    stage = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for kind, (pat, token) in PII_PATTERNS.items():
+        counts[kind] = F.regexp_count(stage, F.lit(pat))
+        stage = F.regexp_replace(stage, pat, token)
     total = None
-    for cnt in raw.values():
+    for cnt in counts.values():
         total = cnt if total is None else total + cnt
     return df.select(
         F.col(id_col),
-        *[cnt.alias(f"n_{kind}") for kind, cnt in raw.items()],
+        *[cnt.alias(f"n_{kind}") for kind, cnt in counts.items()],
         (total > 0).alias("has_pii"),
-        redact(text_col).alias("redacted"),
+        stage.alias("redacted"),
     )

@@ -178,6 +178,14 @@ REPETITION_THRESHOLDS = {
     "top_word_frac": 0.30,
 }
 
+#: Below this many tokens a document is too short for repetition to be
+#: judged at all — the caps pass vacuously (keep=True). Without the
+#: gate, top_word_frac alone (1/n for an all-distinct doc) condemns
+#: every <=3-token document as "repetitive"; short/empty docs are the
+#: length filters' jurisdiction (quality_score), not this one's. 4 is
+#: the smallest n where an all-distinct doc clears the 0.30 word cap.
+MIN_TOKENS_FOR_REPETITION = 4
+
 
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -198,7 +206,10 @@ def repetition_metrics(
       on pathologically repetitive text — the threshold comparison is
       what matters);
     - ``keep``            — True iff every metric is at or below its
-      REPETITION_THRESHOLDS cap (the filterable output).
+      REPETITION_THRESHOLDS cap, or the doc is shorter than
+      MIN_TOKENS_FOR_REPETITION tokens (too short to judge repetition —
+      vacuously kept; ``n_tokens`` is emitted so callers can chain
+      their own length filter).
 
     Token/n-gram metrics run over normalize_text; line splitting runs on
     the raw text. Plan shape at scale: one tagged explode of 1/2/3-gram
@@ -216,10 +227,13 @@ def repetition_metrics(
     lines = F.split("__raw", "\n", -1)
     n_lines = F.size(lines)
     dup_line_frac = F.when(n_lines > 0, (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines).otherwise(F.lit(0.0))
+    n_tokens = F.when(F.col("__norm") == "", F.lit(0)).otherwise(
+        F.size(F.split("__norm", " ", -1))
+    )
     stats = base.select(
         F.col(id_col),
         F.length("__norm").alias("__n_chars"),
-        F.size(F.split("__norm", " ", -1)).alias("__n_tokens"),
+        n_tokens.alias("n_tokens"),
         n_lines.alias("n_lines"),
         dup_line_frac.alias("dup_line_frac"),
     )
@@ -231,7 +245,13 @@ def repetition_metrics(
             F.explode(word_ngrams("__norm", n)).alias("__g"),
         )
         grams = g if grams is None else grams.unionByName(g)
-    counts = grams.groupBy(id_col, "__n", "__g").agg(F.count("*").alias("__cnt"))
+    # The empty string is not a token: split('') yields [''] in both
+    # engines, and counting it would give empty docs top_word_frac=1.0.
+    counts = (
+        grams.filter(F.col("__g") != "")
+        .groupBy(id_col, "__n", "__g")
+        .agg(F.count("*").alias("__cnt"))
+    )
     gram_chars = F.col("__cnt") * F.length("__g")
     per_doc = counts.groupBy(id_col).agg(
         F.max(F.when(F.col("__n") == 1, F.col("__cnt"))).alias("__top_word_cnt"),
@@ -251,30 +271,50 @@ def repetition_metrics(
 
     out = joined.select(
         F.col(id_col),
+        "n_tokens",
         "n_lines",
         "dup_line_frac",
-        _frac(F.col("__top_word_cnt"), F.col("__n_tokens")).alias("top_word_frac"),
+        _frac(F.col("__top_word_cnt"), F.col("n_tokens")).alias("top_word_frac"),
         _frac(F.col("__top_bigram_chars"), F.col("__n_chars")).alias("top_bigram_frac"),
         _frac(F.col("__dup_trigram_chars"), F.col("__n_chars")).alias("dup_trigram_frac"),
     )
     keep = F.lit(True)
     for metric, cap in REPETITION_THRESHOLDS.items():
         keep = keep & (F.col(metric) <= cap)
+    keep = (F.col("n_tokens") < MIN_TOKENS_FOR_REPETITION) | keep
     return out.withColumn("keep", keep)
 
 
-def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token, cnt): per-document occurrence counts of normalized
+    tokens — THE tokenization pass. vocabulary and tfidf_top_terms both
+    derive from this frame; callers computing several lexical products
+    should build it once (persist it) and pass it via their ``counts``
+    parameter instead of paying one corpus scan + explode per product."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ", -1)).alias("token"),
+    ).filter(F.col("token") != "")
+    return toks.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counts: DataFrame | None = None,
+) -> DataFrame:
     """Corpus vocabulary: one row per distinct normalized token with
     total occurrences (``tf``) and document frequency (``df_docs``).
     Plan shape: explode → two-level hash aggregate (count + distinct-doc
     count via the (token, doc) pre-aggregate), all map-side combinable —
     the canonical wordcount that survives any corpus size."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ", -1)).alias("token")
-    ).filter(F.col("token") != "")
-    per_doc = toks.groupBy("token", id_col).agg(F.count("*").alias("__c"))
-    return per_doc.groupBy("token").agg(
-        F.sum("__c").alias("tf"), F.count("*").alias("df_docs")
+    if counts is None:
+        counts = doc_token_counts(df, text_col, id_col)
+    return counts.groupBy("token").agg(
+        F.sum("cnt").alias("tf"), F.count("*").alias("df_docs")
     )
 
 
@@ -283,6 +323,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_n: int = 3,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``top_n`` characteristic terms per document scored by
     tf·(N/df) — term frequency times the RAW inverse document frequency
@@ -293,19 +334,19 @@ def tfidf_top_terms(
     between libm implementations, which can flip near-tie rankings. Both
     weightings are monotone in 1/df for fixed tf and standard variants.
     Ranking total order: (score DESC, token ASC). One explode + agg for
-    per-doc counts, an equi-join on token against the vocabulary, and a
-    per-doc window — all key-partitioned, no broadcast of the (possibly
-    huge) vocabulary needed."""
+    per-doc counts (shared with vocabulary via ``counts`` — the df/tf
+    aggregate derives from the same frame, so the corpus is tokenized
+    once, not twice), an equi-join on token against the vocabulary, and
+    a per-doc window — all key-partitioned, no broadcast of the
+    (possibly huge) vocabulary needed."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ", -1)).alias("token")
-    ).filter(F.col("token") != "")
-    doc_counts = toks.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
-    vocab = vocabulary(df, text_col, id_col).select("token", "df_docs")
+    if counts is None:
+        counts = doc_token_counts(df, text_col, id_col)
+    vocab = vocabulary(df, text_col, id_col, counts=counts).select("token", "df_docs")
     n_docs = df.select(F.count("*").alias("__n_docs"))
     scored = (
-        doc_counts.join(vocab, "token")
+        counts.join(vocab, "token")
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",

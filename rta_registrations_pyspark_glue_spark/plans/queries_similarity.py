@@ -35,46 +35,25 @@ _IVF_CENTROIDS: dict[str, list[tuple[int, list[float]]]] = {}
 register_release_hook(_IVF_MEMO.clear)
 
 
-#: Target IVF cell size. Cell COUNT fixed (the pre-round-5 shape) makes
-#: the cell self-join's candidate volume Σ|cell|² grow QUADRATICALLY
-#: with the corpus — semantic_dedup_survivors measured 7.1s at sf0.1
-#: (50k vectors / 8 cells = 6.2k-vector cells). Bounded cell SIZE makes
-#: it grow linearly: n_pivots = n / IVF_CELL_TARGET.
-IVF_CELL_TARGET = 625
-#: Training-sample floor per cell (FAISS trains its coarse quantizer on
-#: ~40 vectors per list); the driver-side pure-Python trainer stays
-#: ~constant-cost because the sample shrinks as the pivot count grows.
-IVF_TRAIN_PER_CELL = 2500
-#: Pivot-count cap: probe_cells_expr embeds n_pivots·dim double
-#: literals in the scan-side expression; 64 pivots (4096 literals) is
-#: comfortably inside codegen limits. Beyond this scale the durable
-#: cell-partitioned index (ivf_write_index) is the production path —
-#: searches prune via partition pruning instead of an inline argmax.
-IVF_MAX_PIVOTS = 64
-
-
-def _ivf_params(n: int) -> tuple[int, int]:
-    """(n_pivots, train_sample_mod) for an n-vector corpus. At the gate
-    scales (sf0.001: 500, sf0.01: 5000) this resolves to exactly the
-    oracle's literals (8, IVF_TRAIN_SAMPLE_MOD) — the DuckDB training
-    mirror interpolates those constants, so the driver gate stays
-    bit-exact — while larger corpora get bounded ~IVF_CELL_TARGET-vector
-    cells and a ~IVF_TRAIN_PER_CELL·n_pivots-row training sample."""
-    n_pivots = min(IVF_MAX_PIVOTS, max(8, n // IVF_CELL_TARGET))
-    sample_mod = max(IVF_TRAIN_SAMPLE_MOD, n // IVF_TRAIN_PER_CELL)
-    return n_pivots, sample_mod
-
-
 def _ivf_index(spark: SparkSession, sf_dir: str) -> similarity.IvfIndex:
+    """The session's memoized IVF index, built with the SAME constants
+    the oracles interpolate (8 pivots, mod-4 training sample) — the
+    Spark side and the DuckDB mirror must never be parameterized
+    independently, or the gate fails spuriously the moment they
+    diverge. A production deployment sizes n_pivots ≈ corpus/target
+    cell size instead (bounded cells keep the near-dup candidate volume
+    Σ|cell|² LINEAR in the corpus — see ivf_blocked_near_dup), but that
+    sizing must flow into a regenerated oracle, not around it; at every
+    testdata scale here (≤5k vectors) 8 cells already bound cells to
+    ~625 vectors."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_MEMO:
         _, c = _queries_corpus(spark, sf_dir)
-        n_pivots, sample_mod = _ivf_params(c.count())
         _IVF_MEMO[key] = similarity.ivf_build(
             c.drop("label"),
-            n_pivots=n_pivots,
+            n_pivots=8,
             train_iters=2,
-            train_sample_mod=sample_mod,
+            train_sample_mod=IVF_TRAIN_SAMPLE_MOD,
             centroids=_IVF_CENTROIDS.get(sf_dir),
         )
         _IVF_CENTROIDS[sf_dir] = _IVF_MEMO[key].centroids

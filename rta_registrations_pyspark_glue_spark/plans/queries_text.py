@@ -505,7 +505,8 @@ _RT = text.REPETITION_THRESHOLDS
     ), base AS (
         SELECT doc_id,
                length(nrm) AS n_chars,
-               len(string_split(nrm, ' ')) AS n_tokens,
+               CASE WHEN nrm = '' THEN 0
+                    ELSE len(string_split(nrm, ' ')) END AS n_tokens,
                string_split(text, chr(10)) AS lines
         FROM norm
     ), words AS (
@@ -522,7 +523,8 @@ _RT = text.REPETITION_THRESHOLDS
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
         FROM words
     ), cnts AS (
-        SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, n, g
+        SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams
+        WHERE g <> '' GROUP BY doc_id, n, g
     ), perdoc AS (
         SELECT doc_id,
                MAX(CASE WHEN n = 1 THEN cnt END) AS topw,
@@ -531,6 +533,7 @@ _RT = text.REPETITION_THRESHOLDS
         FROM cnts GROUP BY doc_id
     ), m AS (
         SELECT b.doc_id,
+               b.n_tokens::INT AS n_tokens,
                len(b.lines)::INT AS n_lines,
                CASE WHEN len(b.lines) > 0
                     THEN CAST(len(b.lines) - len(list_distinct(b.lines)) AS DOUBLE)
@@ -548,10 +551,11 @@ _RT = text.REPETITION_THRESHOLDS
         FROM base b LEFT JOIN perdoc p USING (doc_id)
     )
     SELECT *,
-           (dup_line_frac <= {_RT["dup_line_frac"]}
-            AND top_bigram_frac <= {_RT["top_bigram_frac"]}
-            AND dup_trigram_frac <= {_RT["dup_trigram_frac"]}
-            AND top_word_frac <= {_RT["top_word_frac"]}) AS keep
+           (n_tokens < {text.MIN_TOKENS_FOR_REPETITION}
+            OR (dup_line_frac <= {_RT["dup_line_frac"]}
+                AND top_bigram_frac <= {_RT["top_bigram_frac"]}
+                AND dup_trigram_frac <= {_RT["dup_trigram_frac"]}
+                AND top_word_frac <= {_RT["top_word_frac"]})) AS keep
     FROM m
     """,
 )
@@ -602,19 +606,24 @@ def _pat(kind: str) -> str:
             AS text
         FROM documents
     )
+    , staged AS (  -- counts are staged exactly like the operator's
+        SELECT doc_id, text,
+               regexp_replace(text, '{_pat("email")}', '<EMAIL>', 'g') AS t1
+        FROM corpus
+    ), staged2 AS (
+        SELECT doc_id, text, t1,
+               regexp_replace(t1, '{_pat("phone")}', '<PHONE>', 'g') AS t2
+        FROM staged
+    )
     SELECT doc_id,
            len(regexp_extract_all(text, '{_pat("email")}'))::INT AS n_email,
-           len(regexp_extract_all(text, '{_pat("phone")}'))::INT AS n_phone,
-           len(regexp_extract_all(text, '{_pat("ipv4")}'))::INT AS n_ipv4,
+           len(regexp_extract_all(t1, '{_pat("phone")}'))::INT AS n_phone,
+           len(regexp_extract_all(t2, '{_pat("ipv4")}'))::INT AS n_ipv4,
            (len(regexp_extract_all(text, '{_pat("email")}'))
-            + len(regexp_extract_all(text, '{_pat("phone")}'))
-            + len(regexp_extract_all(text, '{_pat("ipv4")}'))) > 0 AS has_pii,
-           regexp_replace(
-               regexp_replace(
-                   regexp_replace(text, '{_pat("email")}', '<EMAIL>', 'g'),
-                   '{_pat("phone")}', '<PHONE>', 'g'),
-               '{_pat("ipv4")}', '<IP>', 'g') AS redacted
-    FROM corpus
+            + len(regexp_extract_all(t1, '{_pat("phone")}'))
+            + len(regexp_extract_all(t2, '{_pat("ipv4")}'))) > 0 AS has_pii,
+           regexp_replace(t2, '{_pat("ipv4")}', '<IP>', 'g') AS redacted
+    FROM staged2
     """,
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,13 +705,16 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-level constant into a row expression without a driver
     action."""
     docs = load_table(spark, "documents", sf_dir)
+    # Tokenize ONCE: both products derive from the same persisted
+    # (doc, token, cnt) frame instead of re-exploding the corpus.
+    counts = tracked_persist(text.doc_token_counts(docs))
     top = (
-        text.vocabulary(docs)
+        text.vocabulary(docs, counts=counts)
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(100)
         .select(F.lit("vocab").alias("kind"), "token", "tf", "df_docs")
     )
-    tfidf = text.tfidf_top_terms(docs, top_n=3).select(
+    tfidf = text.tfidf_top_terms(docs, top_n=3, counts=counts).select(
         F.lit("tfidf").alias("kind"), "doc_id", "token", "cnt", "df_docs", "score", "rank"
     )
     return top.unionByName(tfidf, allowMissingColumns=True)

@@ -49,12 +49,26 @@ def test_repetition_metrics_hand_computed(spark):
 
 
 def test_repetition_metrics_empty_and_short(spark):
-    df = spark.createDataFrame([(1, ""), (2, "word")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "one two three")], ["doc_id", "text"]
+    )
     out = {r["doc_id"]: r for r in text.repetition_metrics(df).collect()}
-    # No division blows up; short docs have no 2/3-grams at all.
+    # Empty text: zero tokens (the empty string is not a token), no
+    # division blow-ups, and — like every doc below
+    # MIN_TOKENS_FOR_REPETITION — vacuously kept: repetition cannot be
+    # judged on it, and length filtering is quality_score's job.
+    assert out[1]["n_tokens"] == 0
+    assert out[1]["top_word_frac"] == 0.0
     assert out[1]["dup_trigram_frac"] == 0.0
+    assert out[1]["keep"] is True
+    assert out[2]["n_tokens"] == 1
     assert out[2]["top_bigram_frac"] == 0.0
     assert out[2]["n_lines"] == 1
+    assert out[2]["keep"] is True
+    # 3 all-distinct tokens: top_word_frac = 1/3 > 0.30, but still too
+    # short for the repetition caps to apply.
+    assert out[3]["top_word_frac"] == pytest.approx(1 / 3)
+    assert out[3]["keep"] is True
 
 
 # ----------------------------------------------------------------------- PII
@@ -80,6 +94,18 @@ def test_pii_counts_and_redaction(spark):
     assert "<EMAIL>" in out[3]["redacted"] and "@" not in out[3]["redacted"]
     # \b guards: digit runs embedded in words/versions never match
     assert (out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0)
+
+
+def test_pii_counts_reconcile_with_redaction(spark):
+    # The digit run inside the email would match the phone pattern on
+    # the RAW text, but counts are staged over the progressively
+    # redacted text, so the report never claims a token the redacted
+    # output does not contain.
+    df = spark.createDataFrame([(1, "x 123-456-7890@foo.com")], ["doc_id", "text"])
+    r = pii.scrub_pii(df).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (1, 0, 0)
+    assert r["redacted"] == "x <EMAIL>"
+    assert r["redacted"].count("<PHONE>") == r["n_phone"]
 
 
 # ---------------------------------------------------------------- vocabulary

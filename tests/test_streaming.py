@@ -98,3 +98,32 @@ def test_stateful_running_totals(spark, stream_path):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert got[uid][1] == want[uid][1]
+
+
+def test_stream_dedup_drops_replayed_events(spark, stream_path, tmp_path):
+    """At-least-once replay: the same events file delivered twice (two
+    micro-batch inputs). Watermark-scoped dedup must emit each event_id
+    once, matching the batch distinct on the same rows; the unbounded
+    variant must agree here (everything arrives inside the horizon)."""
+    import os
+
+    from rta_registrations_pyspark_glue_spark.streaming import dedup as sd
+
+    replay_dir = str(tmp_path / "replay")
+    os.makedirs(replay_dir)
+    src = spark.read.parquet(stream_path).limit(200)
+    src.coalesce(1).write.mode("append").parquet(replay_dir)
+    src.coalesce(1).write.mode("append").parquet(replay_dir)  # the replay
+
+    stream = sw.read_events_stream(spark, replay_dir)
+    got = _run(spark, sd.dedup_events_stream(stream), mode="append")
+    want = spark.read.parquet(replay_dir).dropDuplicates(["event_id"])
+    assert len(got) == want.count() == 200
+    assert len({r.event_id for r in got}) == 200
+
+    got_unbounded = _run(
+        spark,
+        sd.dedup_events_stream(stream, bounded_state=False),
+        mode="append",
+    )
+    assert {r.event_id for r in got_unbounded} == {r.event_id for r in got}
