@@ -57,6 +57,7 @@ HEADLINE = [
     "pii_scrub",
     "corpus_vocabulary",
     "semantic_dedup_survivors",
+    "packed_bins",
 ]
 
 

@@ -122,3 +122,88 @@ def pack_sequences(
         .alias("seq_last"),
         (F.col("stream_offset") % seq_len).alias("offset_in_seq"),
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Boundary-RESPECTING packing: documents never straddle sequences
+    (the packing used when attention must not cross document boundaries
+    and truncation losses matter — the complement of pack_sequences'
+    concat-and-chop). Approximate bin packing via first-fit-decreasing.
+
+    Distribution scheme: documents are hashed into ``n_groups``
+    DETERMINISTIC groups (xxhash64 of the md5 order key — not physical
+    partitions, whose range-sampling boundaries shift between runs), and
+    FFD runs independently inside each group via applyInPandas; bin ids
+    are made globally disjoint as group * 2^40 + local index. Packing
+    quality loses only the tail bin of each group versus a global FFD
+    (waste ≤ n_groups·seq_len tokens overall), while each group packs in
+    RAM with no global state — the only shape that works when the corpus
+    outgrows one machine. Size ``n_groups`` so a group's (id, count)
+    rows fit an Arrow batch comfortably (~n_docs/500k at corpus scale).
+
+    A document longer than ``seq_len`` gets a bin of its own with
+    ``oversize=True`` — the loader decides whether to truncate or
+    segment it; this operator never silently drops tokens.
+
+    Output: (id_col, n_tokens, bin_id, oversize). Deterministic for a
+    given (corpus, seq_len, n_groups) regardless of input partitioning
+    (asserted by tests)."""
+    import pandas as pd
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+            F.size(tokens(text_col))
+        )
+    )
+    d = df.select(
+        F.col(id_col),
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__okey"),
+    ).withColumn("__grp", F.pmod(F.xxhash64("__okey"), F.lit(n_groups)))
+
+    id_field = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_field}, n_tokens long, bin_id long, oversize boolean"
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["__grp"].iloc[0])
+        base = grp << 40
+        # Decreasing size; (okey, id) tiebreak = total order, so the
+        # assignment is a pure function of the group's contents.
+        pdf = pdf.sort_values(
+            ["n_tokens", "__okey", id_col], ascending=[False, True, True]
+        )
+        remaining: list[int] = []  # capacity left per local bin
+        out_bin, out_over = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > seq_len:
+                remaining.append(0)  # oversize doc owns a full bin
+                out_bin.append(base + len(remaining) - 1)
+                out_over.append(True)
+                continue
+            for i, cap in enumerate(remaining):
+                if cap >= n:
+                    remaining[i] = cap - n
+                    out_bin.append(base + i)
+                    break
+            else:
+                remaining.append(seq_len - n)
+                out_bin.append(base + len(remaining) - 1)
+            out_over.append(False)
+        pdf = pdf.assign(bin_id=out_bin, oversize=out_over)
+        return pdf[[id_col, "n_tokens", "bin_id", "oversize"]]
+
+    return d.groupBy("__grp").applyInPandas(ffd, schema=out_schema)

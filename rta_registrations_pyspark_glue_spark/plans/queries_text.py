@@ -818,3 +818,16 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py::test_pack_sequences_*."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return packing.pack_sequences(docs, seq_len=512)
+
+
+@register("packed_bins")
+def packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting bin packing of the documents corpus into
+    128-token bins (operators/packing.pack_bins — first-fit-decreasing
+    inside deterministic hash groups via applyInPandas; docs never
+    straddle sequences, oversize docs flagged in solo bins). Rows-only:
+    the assignment is iterative bin state, not SQL-expressible — the
+    capacity/coverage/determinism invariants are pinned by
+    tests/test_corpus_quality.py::test_pack_bins_*."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return packing.pack_bins(docs, seq_len=128, n_groups=8)

@@ -158,3 +158,61 @@ def test_semantic_dedup_matches_pair_set(spark, sf_dir):
     # the whole corpus can never be dropped
     min_id = min(r["cid"] for r in out)
     assert min_id not in dropped
+
+
+# ------------------------------------------------------------- bin packing
+
+
+def test_pack_bins_invariants_and_determinism(spark, sf_dir):
+    from rta_registrations_pyspark_glue_spark.operators import packing
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    seq_len = 128
+    out = packing.pack_bins(docs, seq_len, n_groups=8).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    # No non-oversize bin exceeds capacity; oversize docs sit alone.
+    fill, members = {}, {}
+    for r in out:
+        fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["n_tokens"]
+        members.setdefault(r["bin_id"], []).append(r)
+    for b, tot in fill.items():
+        rows = members[b]
+        if any(r["oversize"] for r in rows):
+            assert len(rows) == 1
+        else:
+            assert tot <= seq_len, (b, tot)
+    # Utilization: FFD within groups wastes at most ~one bin per group
+    # plus the 2x FFD bound — far below the trivial one-doc-per-bin.
+    total = sum(r["n_tokens"] for r in out if not r["oversize"])
+    n_bins = len({r["bin_id"] for r in out if not r["oversize"]})
+    lower = -(-total // seq_len)
+    assert n_bins <= 2 * lower + 8
+    # Deterministic under arbitrary input partitioning.
+    again = packing.pack_bins(docs.repartition(7), seq_len, n_groups=8).collect()
+    assert {(r["doc_id"], r["bin_id"]) for r in again} == {
+        (r["doc_id"], r["bin_id"]) for r in out
+    }
+
+
+def test_pack_bins_oversize_and_exact_fit(spark):
+    from rta_registrations_pyspark_glue_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 6), (3, 4), (4, 25)], ["doc_id", "n"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in packing.pack_bins(
+            df, seq_len=10, token_count_col="n", text_col="n", n_groups=1
+        ).collect()
+    }
+    assert out[4]["oversize"] is True
+    bins = {}
+    for r in out.values():
+        bins.setdefault(r["bin_id"], []).append(r["doc_id"])
+    # doc 4 is alone; docs 2+3 (6+4=10) share a bin; doc 1 fills its own.
+    assert [sorted(v) for v in bins.values()].count([4]) == 1
+    assert sorted(bins[out[2]["bin_id"]]) == [2, 3]
+    assert bins[out[1]["bin_id"]] == [1]
