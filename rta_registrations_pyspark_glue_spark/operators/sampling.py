@@ -125,3 +125,72 @@ def stratified_split(
     assert last_name is not None
     expr = expr.otherwise(last_name) if expr is not None else F.lit(last_name)
     return df.withColumn(out_col, expr)
+
+
+def weighted_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    out_col: str = "sampled",
+) -> DataFrame:
+    """Deterministic data mixing: downsample each source to its target
+    rate (the "data mixture" step of corpus assembly — e.g. keep 25% of
+    crawl, 100% of books). A row is kept iff its 16-bit md5 bucket of
+    ``source:key`` falls below floor(rate·65536) — the same hex-bucket
+    scheme as hash_split, so the decision is a pure scan-side
+    expression: reproducible across runs and engines, stable under
+    corpus growth (a kept row stays kept when other rows arrive), zero
+    shuffle. Salting the hash with the source decorrelates a row's
+    mixture fate from its hash_split fate and from other sources' cuts.
+
+    Unknown sources take ``default_rate``. Rates must lie in [0, 1];
+    rate 1.0 keeps everything (bucket < '10000' is always true for 4
+    hex chars), rate 0.0 drops everything.
+
+    Output: input columns + ``rate`` (double) + ``out_col`` (boolean);
+    ``filter(out_col)`` IS the mixed corpus. The flag is emitted rather
+    than pre-filtered so audits can count kept/dropped per source from
+    one frame."""
+    for name, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    src = F.col(source_col)
+    rate_expr: Column | None = None
+    for name in sorted(rates):
+        clause = (src == name, F.lit(float(rates[name])))
+        rate_expr = (
+            F.when(*clause) if rate_expr is None else rate_expr.when(*clause)
+        )
+    rate_expr = (
+        rate_expr.otherwise(F.lit(float(default_rate)))
+        if rate_expr is not None
+        else F.lit(float(default_rate))
+    )
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", src, F.col(key_col).cast("string"))), 1, 4
+    )
+
+    def keep(rate: float) -> Column:
+        # Endpoints cannot use the hex comparison: 1.0 needs bucket <
+        # 0x10000, which no 4-hex string comparison can express (string
+        # order is lexicographic, "ffff" > "10000").
+        if rate >= 1.0:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return bucket < format(int(rate * 65536), "04x")
+
+    keep_expr: Column | None = None
+    for name in sorted(rates):
+        clause = (src == name, keep(float(rates[name])))
+        keep_expr = F.when(*clause) if keep_expr is None else keep_expr.when(*clause)
+    keep_expr = (
+        keep_expr.otherwise(keep(default_rate))
+        if keep_expr is not None
+        else keep(default_rate)
+    )
+    return df.withColumn("rate", rate_expr).withColumn(out_col, keep_expr)

@@ -434,9 +434,43 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.dedup_clusters(corpus.select("doc_id"), pairs)
 
 
+# Mixture rates for the dataset_split 'mixture' rows: the 20 testdata
+# sources cycle through 0.25/0.5/0.75/1.0 so every interesting rate —
+# including the no-hex-comparison 1.0 endpoint — is exercised. The
+# oracle CASE chains are generated from this dict (single source of
+# truth).
+_MIX_RATES = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{n}' THEN CAST({_MIX_RATES[n]} AS DOUBLE)"
+        for n in sorted(_MIX_RATES)
+    )
+    return f"CASE {whens} ELSE CAST(1.0 AS DOUBLE) END"
+
+
+def _mix_keep_sql() -> str:
+    clauses = []
+    for n in sorted(_MIX_RATES):
+        r = _MIX_RATES[n]
+        if r >= 1.0:
+            cond = "TRUE"
+        elif r <= 0.0:
+            cond = "FALSE"
+        else:
+            cut = format(int(r * 65536), "04x")
+            cond = (
+                "substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4)"
+                f" < '{cut}'"
+            )
+        clauses.append(f"WHEN source = '{n}' THEN {cond}")
+    return "CASE " + " ".join(clauses) + " ELSE TRUE END"
+
+
 @register(
     "dataset_split",
-    oracle="""
+    oracle=f"""
     SELECT 'hash' AS row_kind, doc_id,
            substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
@@ -456,6 +490,11 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER (PARTITION BY lang) AS cnt
         FROM documents
     )
+    UNION ALL BY NAME
+    SELECT 'mixture' AS row_kind, doc_id, source,
+           {_mix_rate_sql()} AS rate,
+           {_mix_keep_sql()} AS sampled
+    FROM documents
     """,
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,8 +506,13 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       rows ranked by (md5, id) are cut at ceil(0.8·n)/ceil(0.9·n), so
       every stratum hits its fractions exactly (hash_split only
       converges in expectation, under-representing small strata). One
-      group-key shuffle (operators/sampling.py:stratified_split)."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+      group-key shuffle (operators/sampling.py:stratified_split).
+    - 'mixture' rows: deterministic per-source data mixing
+      (sampling.weighted_mixture) — each source downsampled to its
+      _MIX_RATES target via the source-salted hex-bucket rule, the
+      sampled flag hash-verified per row (rates cycle 0.25-1.0 so the
+      no-comparison 1.0 endpoint is exercised too)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "source")
     h = (
         sampling.hash_split(docs.select("doc_id"), "doc_id")
         .withColumn("bucket", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4))
@@ -476,11 +520,18 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_kind", "doc_id", "bucket", "split")
     )
     s = (
-        sampling.stratified_split(docs, "doc_id", "lang")
+        sampling.stratified_split(docs.select("doc_id", "lang"), "doc_id", "lang")
         .withColumn("row_kind", F.lit("stratified"))
         .select("row_kind", "doc_id", "lang", "split")
     )
-    return h.unionByName(s, allowMissingColumns=True)
+    m = (
+        sampling.weighted_mixture(docs.select("doc_id", "source"), _MIX_RATES)
+        .withColumn("row_kind", F.lit("mixture"))
+        .select("row_kind", "doc_id", "source", "rate", "sampled")
+    )
+    return h.unionByName(s, allowMissingColumns=True).unionByName(
+        m, allowMissingColumns=True
+    )
 
 
 _RT = text.REPETITION_THRESHOLDS

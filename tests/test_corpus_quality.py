@@ -216,3 +216,41 @@ def test_pack_bins_oversize_and_exact_fit(spark):
     assert [sorted(v) for v in bins.values()].count([4]) == 1
     assert sorted(bins[out[2]["bin_id"]]) == [2, 3]
     assert bins[out[1]["bin_id"]] == [1]
+
+
+# ------------------------------------------------------------ data mixture
+
+
+def test_weighted_mixture_rates_and_stability(spark):
+    from rta_registrations_pyspark_glue_spark.operators import sampling
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "keep_all")
+        .when(F.col("id") % 3 == 1, "half")
+        .otherwise("drop_all")
+        .alias("source"),
+    )
+    rates = {"keep_all": 1.0, "half": 0.5, "drop_all": 0.0}
+    out = sampling.weighted_mixture(df, rates).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # Endpoints are exact; 0.5 converges within hex-bucket tolerance.
+    assert all(r["sampled"] for r in by_src["keep_all"])
+    assert not any(r["sampled"] for r in by_src["drop_all"])
+    frac = sum(r["sampled"] for r in by_src["half"]) / len(by_src["half"])
+    assert 0.42 <= frac <= 0.58
+    assert all(r["rate"] == rates[r["source"]] for r in out)
+    # Stability under corpus growth: decisions on a subset are identical.
+    sub = sampling.weighted_mixture(df.filter(F.col("doc_id") < 500), rates).collect()
+    full = {r["doc_id"]: r["sampled"] for r in out}
+    assert all(full[r["doc_id"]] == r["sampled"] for r in sub)
+
+
+def test_weighted_mixture_rejects_bad_rates(spark):
+    from rta_registrations_pyspark_glue_spark.operators import sampling
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit("s").alias("source"))
+    with pytest.raises(ValueError, match=r"\[0,1\]"):
+        sampling.weighted_mixture(df, {"s": 1.5})
