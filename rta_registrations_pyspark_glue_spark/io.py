@@ -57,6 +57,37 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """JSON-Lines scan — the de-facto interchange format for LLM text
+    corpora (one JSON document per line). Same schema discipline as
+    read_csv: pass the schema; inference is a wasted full pass at corpus
+    scale and silently widens/flips types between drops. Corrupt lines
+    land in Spark's ``_corrupt_record`` convention under PERMISSIVE mode
+    rather than killing the job — add the column to the schema to audit
+    them, or read FAILFAST in validation runs."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return df.select(*columns) if columns else df
+
+
+def write_jsonl(df: DataFrame, path: str, target_mb: float = TARGET_FILE_SIZE_MB) -> None:
+    """JSON-Lines sink through the same size-adaptive single-pass writer
+    policy as parquet (one estimate, one write — JSONL inflates bytes
+    ~2-4× over parquet, which estimate_plan_bytes' plan-stats basis
+    already reflects less precisely; file-count math still beats the
+    1-file-per-task default by orders of magnitude)."""
+    df.coalesce(
+        target_file_count(estimate_plan_bytes(df), target_mb)
+    ).write.mode("overwrite").json(path)
+
+
 def reconcile_union(dfs: list[DataFrame]) -> DataFrame:
     """Schema-drift-tolerant union (SURVEY.md §1.3): monthly drops gain or
     lose columns over time; unionByName(allowMissingColumns=True) aligns

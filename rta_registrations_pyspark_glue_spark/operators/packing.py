@@ -185,25 +185,42 @@ def pack_bins(
         pdf = pdf.sort_values(
             ["n_tokens", "__okey", id_col], ascending=[False, True, True]
         )
-        remaining: list[int] = []  # capacity left per local bin
-        out_bin, out_over = [], []
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if n > seq_len:
-                remaining.append(0)  # oversize doc owns a full bin
-                out_bin.append(base + len(remaining) - 1)
-                out_over.append(True)
-                continue
-            for i, cap in enumerate(remaining):
-                if cap >= n:
-                    remaining[i] = cap - n
-                    out_bin.append(base + i)
-                    break
-            else:
-                remaining.append(seq_len - n)
-                out_bin.append(base + len(remaining) - 1)
-            out_over.append(False)
-        pdf = pdf.assign(bin_id=out_bin, oversize=out_over)
+        local_bin, oversize = first_fit_decreasing(
+            [int(n) for n in pdf["n_tokens"]], seq_len
+        )
+        pdf = pdf.assign(bin_id=[base + b for b in local_bin], oversize=oversize)
         return pdf[[id_col, "n_tokens", "bin_id", "oversize"]]
 
     return d.groupBy("__grp").applyInPandas(ffd, schema=out_schema)
+
+
+def first_fit_decreasing(
+    sizes: list[int], seq_len: int
+) -> tuple[list[int], list[bool]]:
+    """The pure FFD core: ``sizes`` must already be in assignment order
+    (pack_bins sorts decreasing with a deterministic tiebreak). Returns
+    (bin index per item, oversize flag per item); an item larger than
+    ``seq_len`` owns a closed bin of its own. Pure so the packing
+    invariants are property-testable without a Spark session."""
+    remaining: list[int] = []  # capacity left per bin; -1 = closed
+    out_bin, out_over = [], []
+    for n in sizes:
+        if n > seq_len:
+            # Oversize item owns a CLOSED bin: -1 capacity matches no
+            # later item — not even a zero-size one, which cap=0 would
+            # admit and thereby break the oversize-bins-are-solo
+            # contract (caught by the hypothesis invariant test).
+            remaining.append(-1)
+            out_bin.append(len(remaining) - 1)
+            out_over.append(True)
+            continue
+        for i, cap in enumerate(remaining):
+            if cap >= n:
+                remaining[i] = cap - n
+                out_bin.append(i)
+                break
+        else:
+            remaining.append(seq_len - n)
+            out_bin.append(len(remaining) - 1)
+        out_over.append(False)
+    return out_bin, out_over

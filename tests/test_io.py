@@ -150,3 +150,39 @@ def test_hadoop_listing_matches_local_and_drives_compaction(spark, tmp_path, mon
     assert io.compact_partitions(spark, root, ["g"], max_files_per_partition=4) == 1
     assert len([f for f in os.listdir(f"{root}/g=0") if f.endswith(".parquet")]) == 1
     assert spark.read.parquet(root).count() == n
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL sink → scan roundtrip with an explicit schema; values,
+    nulls, and unicode survive; the writer applies the size-adaptive
+    file-count policy (a tiny frame lands in one file)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from rta_registrations_pyspark_glue_spark import io
+
+    path = str(tmp_path / "docs_jsonl")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("text æøå "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    io.write_jsonl(df, path)
+    files = [f for f in os.listdir(path) if f.endswith(".json")]
+    assert len(files) == 1
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = io.read_jsonl(spark, path, schema=schema)
+    assert back.schema == schema
+    a = {(r.doc_id, r.text) for r in df.collect()}
+    b = {(r.doc_id, r.text) for r in back.collect()}
+    assert a == b
+    # Column pruning arg
+    assert io.read_jsonl(spark, path, schema=schema, columns=["doc_id"]).columns == ["doc_id"]

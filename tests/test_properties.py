@@ -126,3 +126,44 @@ def test_stratified_split_quota_property(spark, rows):
         assert counts.get((g, "train"), 0) == t
         assert counts.get((g, "val"), 0) == v - t
         assert counts.get((g, "test"), 0) == n - v
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=200, deadline=None)
+def test_ffd_invariants(sizes, seq_len):
+    """Pure FFD core (operators/packing.first_fit_decreasing): every
+    item assigned exactly once; no regular bin over capacity; oversize
+    items alone in closed bins; bin count within the FFD guarantee
+    (< 2·OPT lower bound + 1 suffices for the classical first-fit
+    argument: no two non-oversize bins can both be ≤ half full)."""
+    from rta_registrations_pyspark_glue_spark.operators.packing import (
+        first_fit_decreasing,
+    )
+
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
+    ordered = [sizes[i] for i in order]
+    bins, over = first_fit_decreasing(ordered, seq_len)
+    assert len(bins) == len(ordered) == len(over)
+    fill: dict[int, int] = {}
+    members: dict[int, list[int]] = {}
+    for n, b, ov in zip(ordered, bins, over):
+        assert ov == (n > seq_len)
+        fill[b] = fill.get(b, 0) + n
+        members.setdefault(b, []).append(n)
+    for b, tot in fill.items():
+        if any(n > seq_len for n in members[b]):
+            assert len(members[b]) == 1
+        else:
+            assert tot <= seq_len
+    # Bin ids are dense 0..k-1 in first-use order.
+    assert sorted(set(bins)) == list(range(len(set(bins))))
+    regular_total = sum(n for n in ordered if 0 < n <= seq_len)
+    regular_bins = {
+        b for n, b, ov in zip(ordered, bins, over) if not ov and n > 0
+    }
+    if regular_total:
+        lower = -(-regular_total // seq_len)
+        assert len(regular_bins) <= 2 * lower + 1
