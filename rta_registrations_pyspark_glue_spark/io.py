@@ -86,6 +86,9 @@ def write_jsonl(df: DataFrame, path: str, target_mb: float = TARGET_FILE_SIZE_MB
     df.coalesce(
         target_file_count(estimate_plan_bytes(df), target_mb)
     ).write.mode("overwrite").json(path)
+    # Same staleness guard as write_parquet: a reader created after an
+    # overwrite must see the new files, not the session's cached listing.
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def reconcile_union(dfs: list[DataFrame]) -> DataFrame:
@@ -241,17 +244,6 @@ def _hadoop_leaf_data_files(
         )
         out[leaf.toString()] = files
     return out
-
-
-def _hadoop_path_exists(spark, path: str) -> bool:
-    """Existence check through the JVM Hadoop FileSystem — the guard for
-    non-local schemes, where os.path and the rename-based aside recovery
-    do not apply (object-store writes commit atomically or through a
-    table format; there is no mid-swap state to recover)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
 
 
 def _recover_asides(path: str) -> None:
@@ -522,10 +514,21 @@ def compact_partitions(
     an object store, call ``crowded_partitions`` directly and hand the
     leaves to a table-format rewrite (OPTIMIZE / rewrite_data_files) —
     that commit IS the swap there."""
-    if _is_local_path(path):
-        if not table_exists(path):
-            return 0
-    elif not _hadoop_path_exists(spark, path):
+    from urllib.parse import urlparse
+
+    # The guard parses the scheme directly (not via _is_local_path, which
+    # tests monkeypatch to force the Hadoop LISTING branch): the probe is
+    # portable, but the rewrite below is rename-based — running it
+    # against an object store would write a full .__incoming__ copy and
+    # then crash in the local-FS swap, orphaning the copy. Fail fast
+    # BEFORE any write instead of after an expensive half-rewrite.
+    if urlparse(path).scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_partitions' rewrite needs a rename-capable filesystem; "
+            f"got {path!r}. Use crowded_partitions() for discovery and a "
+            f"table-format rewrite (OPTIMIZE / rewrite_data_files) there."
+        )
+    if not table_exists(path):
         return 0
     crowded = crowded_partitions(
         spark, path, partition_by, max_files_per_partition, target_mb

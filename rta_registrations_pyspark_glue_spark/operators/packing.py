@@ -37,6 +37,30 @@ from rta_registrations_pyspark_glue_spark.caching import tracked_persist
 from rta_registrations_pyspark_glue_spark.operators.text import tokens
 
 
+def _doc_token_frame(
+    df: DataFrame, id_col: str, text_col: str, token_count_col: str | None
+) -> DataFrame:
+    """(id, n_tokens, __okey): the shared input projection of both
+    packers — token counts from ``token_count_col`` if given, else
+    whitespace tokenization (empty/blank text = 0 tokens), and the
+    deterministic md5 order key. NULL counts (null text, or a null entry
+    in token_count_col) pack as 0 tokens: without the coalesce a
+    partition of all-null counts sums to NULL and the driver offset
+    arithmetic crashes, while mixed nulls would silently skew offsets."""
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+            F.size(tokens(text_col))
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__okey"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,
@@ -59,22 +83,7 @@ def pack_sequences(
     offset_in_seq = stream_offset % seq_len."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    n_tok = (
-        F.col(token_count_col)
-        if token_count_col
-        else F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-            F.size(tokens(text_col))
-        )
-    )
-    d = df.select(
-        F.col(id_col),
-        # NULL counts (null text, or a null entry in token_count_col)
-        # pack as 0 tokens: without the coalesce a partition of all-null
-        # counts sums to NULL and the driver offset arithmetic crashes,
-        # while mixed nulls would silently skew offsets.
-        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
-        F.md5(F.col(id_col).cast("string")).alias("__okey"),
-    )
+    d = _doc_token_frame(df, id_col, text_col, token_count_col)
     nparts = num_partitions or int(
         d.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -135,14 +144,15 @@ def pack_bins(
     """Boundary-RESPECTING packing: documents never straddle sequences
     (the packing used when attention must not cross document boundaries
     and truncation losses matter — the complement of pack_sequences'
-    concat-and-chop). Approximate bin packing via first-fit-decreasing.
+    concat-and-chop). Approximate bin packing via best-fit-decreasing
+    (bin_pack_decreasing).
 
     Distribution scheme: documents are hashed into ``n_groups``
     DETERMINISTIC groups (xxhash64 of the md5 order key — not physical
     partitions, whose range-sampling boundaries shift between runs), and
-    FFD runs independently inside each group via applyInPandas; bin ids
+    BFD runs independently inside each group via applyInPandas; bin ids
     are made globally disjoint as group * 2^40 + local index. Packing
-    quality loses only the tail bin of each group versus a global FFD
+    quality loses only the tail bin of each group versus a global BFD
     (waste ≤ n_groups·seq_len tokens overall), while each group packs in
     RAM with no global state — the only shape that works when the corpus
     outgrows one machine. Size ``n_groups`` so a group's (id, count)
@@ -159,18 +169,11 @@ def pack_bins(
 
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    n_tok = (
-        F.col(token_count_col)
-        if token_count_col
-        else F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-            F.size(tokens(text_col))
-        )
+    if n_groups <= 0:
+        raise ValueError(f"n_groups must be positive, got {n_groups}")
+    d = _doc_token_frame(df, id_col, text_col, token_count_col).withColumn(
+        "__grp", F.pmod(F.xxhash64("__okey"), F.lit(n_groups))
     )
-    d = df.select(
-        F.col(id_col),
-        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
-        F.md5(F.col(id_col).cast("string")).alias("__okey"),
-    ).withColumn("__grp", F.pmod(F.xxhash64("__okey"), F.lit(n_groups)))
 
     id_field = df.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -185,7 +188,7 @@ def pack_bins(
         pdf = pdf.sort_values(
             ["n_tokens", "__okey", id_col], ascending=[False, True, True]
         )
-        local_bin, oversize = first_fit_decreasing(
+        local_bin, oversize = bin_pack_decreasing(
             [int(n) for n in pdf["n_tokens"]], seq_len
         )
         pdf = pdf.assign(bin_id=[base + b for b in local_bin], oversize=oversize)
@@ -194,33 +197,41 @@ def pack_bins(
     return d.groupBy("__grp").applyInPandas(ffd, schema=out_schema)
 
 
-def first_fit_decreasing(
+def bin_pack_decreasing(
     sizes: list[int], seq_len: int
 ) -> tuple[list[int], list[bool]]:
-    """The pure FFD core: ``sizes`` must already be in assignment order
-    (pack_bins sorts decreasing with a deterministic tiebreak). Returns
-    (bin index per item, oversize flag per item); an item larger than
-    ``seq_len`` owns a closed bin of its own. Pure so the packing
-    invariants are property-testable without a Spark session."""
-    remaining: list[int] = []  # capacity left per bin; -1 = closed
+    """The pure packing core — BEST-fit-decreasing: ``sizes`` must
+    already be in assignment order (pack_bins sorts decreasing with a
+    deterministic tiebreak); each item goes to the TIGHTEST open bin
+    that holds it (ties broken by lowest bin id), found by bisect over
+    a capacity-sorted list — O(log bins) per choice, where a first-fit
+    linear scan over open bins is O(items·bins) pure Python and
+    quadratic at the ~10⁵-doc groups pack_bins targets. An item larger
+    than ``seq_len`` owns a closed solo bin (never reopened — a cap-0
+    entry would still admit zero-size items and break the
+    oversize-bins-are-solo contract); a bin filled exactly closes too.
+    Returns (bin index per item, oversize flag per item). Pure so the
+    packing invariants are property-testable without a Spark session."""
+    import bisect
+
+    open_bins: list[tuple[int, int]] = []  # (capacity, bin_id), sorted
+    n_bins = 0
     out_bin, out_over = [], []
     for n in sizes:
         if n > seq_len:
-            # Oversize item owns a CLOSED bin: -1 capacity matches no
-            # later item — not even a zero-size one, which cap=0 would
-            # admit and thereby break the oversize-bins-are-solo
-            # contract (caught by the hypothesis invariant test).
-            remaining.append(-1)
-            out_bin.append(len(remaining) - 1)
+            out_bin.append(n_bins)
             out_over.append(True)
+            n_bins += 1
             continue
-        for i, cap in enumerate(remaining):
-            if cap >= n:
-                remaining[i] = cap - n
-                out_bin.append(i)
-                break
+        i = bisect.bisect_left(open_bins, (n, -1))
+        if i == len(open_bins):
+            b, cap = n_bins, seq_len - n
+            n_bins += 1
         else:
-            remaining.append(seq_len - n)
-            out_bin.append(len(remaining) - 1)
+            cap, b = open_bins.pop(i)
+            cap -= n
+        if cap > 0:
+            bisect.insort(open_bins, (cap, b))
+        out_bin.append(b)
         out_over.append(False)
     return out_bin, out_over

@@ -33,20 +33,14 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
-def redact(col: Column | str) -> Column:
-    """The text with every PII match replaced by its token, applying the
-    patterns in PII_PATTERNS order (sequential regexp_replace — Spark
-    replaces all occurrences by default; oracles must pass 'g')."""
-    out = F.col(col) if isinstance(col, str) else col
-    for pat, token in PII_PATTERNS.values():
-        out = F.regexp_replace(out, pat, token)
-    return out
-
-
 def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document PII report + scrubbed text: id, one count per
-    pattern kind, ``has_pii``, and ``redacted``. Row-local projection —
-    composes with any upstream filter and keeps whole-stage codegen."""
+    pattern kind, ``has_pii``, and ``redacted`` (the text with every
+    match replaced by its kind token, in PII_PATTERNS order — Spark's
+    regexp_replace replaces all occurrences; oracles must pass 'g').
+    Row-local projection — composes with any upstream filter and keeps
+    whole-stage codegen. ``select(id, redacted)`` is the scrub,
+    ``filter(~has_pii)`` the strict drop-policy variant."""
     # Counts are STAGED: each kind counts over the text with all
     # earlier kinds already redacted, so n_<kind> always equals the
     # number of <KIND> tokens in the final redacted text. Counting every

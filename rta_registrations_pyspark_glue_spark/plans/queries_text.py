@@ -874,7 +874,7 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("packed_bins")
 def packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-respecting bin packing of the documents corpus into
-    128-token bins (operators/packing.pack_bins — first-fit-decreasing
+    128-token bins (operators/packing.pack_bins — best-fit-decreasing
     inside deterministic hash groups via applyInPandas; docs never
     straddle sequences, oversize docs flagged in solo bins). Rows-only:
     the assignment is iterative bin state, not SQL-expressible — the

@@ -183,8 +183,8 @@ def test_pack_bins_invariants_and_determinism(spark, sf_dir):
             assert len(rows) == 1
         else:
             assert tot <= seq_len, (b, tot)
-    # Utilization: FFD within groups wastes at most ~one bin per group
-    # plus the 2x FFD bound — far below the trivial one-doc-per-bin.
+    # Utilization: BFD within groups wastes at most ~one bin per group
+    # plus the 2x any-fit bound — far below the trivial one-doc-per-bin.
     total = sum(r["n_tokens"] for r in out if not r["oversize"])
     n_bins = len({r["bin_id"] for r in out if not r["oversize"]})
     lower = -(-total // seq_len)

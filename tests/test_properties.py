@@ -134,18 +134,19 @@ def test_stratified_split_quota_property(spark, rows):
 )
 @settings(max_examples=200, deadline=None)
 def test_ffd_invariants(sizes, seq_len):
-    """Pure FFD core (operators/packing.first_fit_decreasing): every
-    item assigned exactly once; no regular bin over capacity; oversize
-    items alone in closed bins; bin count within the FFD guarantee
-    (< 2·OPT lower bound + 1 suffices for the classical first-fit
-    argument: no two non-oversize bins can both be ≤ half full)."""
+    """Pure packing core (operators/packing.bin_pack_decreasing,
+    best-fit-decreasing): every item assigned exactly once; no regular
+    bin over capacity; oversize items alone in closed bins; bin count
+    within the any-fit guarantee (< 2·OPT lower bound + 1: a new bin
+    opens only when the item fits NO open bin, so no two non-oversize
+    bins can both be ≤ half full)."""
     from rta_registrations_pyspark_glue_spark.operators.packing import (
-        first_fit_decreasing,
+        bin_pack_decreasing,
     )
 
     order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
     ordered = [sizes[i] for i in order]
-    bins, over = first_fit_decreasing(ordered, seq_len)
+    bins, over = bin_pack_decreasing(ordered, seq_len)
     assert len(bins) == len(ordered) == len(over)
     fill: dict[int, int] = {}
     members: dict[int, list[int]] = {}
