@@ -8,7 +8,7 @@ CASE (not SUM) for conditional counts so both engines emit BIGINT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.operators import windows

@@ -4,7 +4,6 @@ with DuckDB oracles."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.operators import analytics, dedup
 from rta_registrations_pyspark_glue_spark.plans.registry import register
