@@ -38,7 +38,11 @@ from rta_registrations_pyspark_glue_spark.operators.text import tokens
 
 
 def _doc_token_frame(
-    df: DataFrame, id_col: str, text_col: str, token_count_col: str | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_count_col: str | None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, n_tokens, __okey): the shared input projection of both
     packers — token counts from ``token_count_col`` if given, else
@@ -56,8 +60,54 @@ def _doc_token_frame(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("__okey"),
+    )
+
+
+def _with_stream_offset(
+    d: DataFrame, order_cols: list, num_partitions: int | None = None
+) -> DataFrame:
+    """Attach ``stream_offset`` — the running sum of ``n_tokens`` over
+    all rows strictly preceding each row in the ``order_cols`` total
+    order — via the distributed two-level scan (see module docstring):
+    range-repartition on the order, collect one per-partition sum
+    (bounded by partition count), broadcast the prefix offsets back as
+    a literal map, finish with a within-partition window. Never a
+    single-task global sort. ``order_cols`` must be a total order or
+    offsets are nondeterministic."""
+    nparts = num_partitions or int(
+        d.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    d = tracked_persist(
+        d.repartitionByRange(nparts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    psums = {
+        r["__pid"]: r["s"]
+        for r in d.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.withColumn(
+        "stream_offset", off_expr + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
 
 
@@ -84,40 +134,13 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     d = _doc_token_frame(df, id_col, text_col, token_count_col)
-    nparts = num_partitions or int(
-        d.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    d = _with_stream_offset(
+        d, [F.col("__okey"), F.col(id_col)], num_partitions
     )
-    d = tracked_persist(
-        d.repartitionByRange(nparts, F.col("__okey"), F.col(id_col)).withColumn(
-            "__pid", F.spark_partition_id()
-        )
-    )
-    psums = {
-        r["__pid"]: r["s"]
-        for r in d.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
-    off_expr = (
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
-            F.col("__pid"),
-        )
-        if offsets
-        else F.lit(0)
-    )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy("__okey", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    stream_offset = off_expr + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return d.select(
         F.col(id_col),
         F.col("n_tokens"),
-        stream_offset.alias("stream_offset"),
+        F.col("stream_offset"),
     ).select(
         id_col,
         "n_tokens",
@@ -235,3 +258,51 @@ def bin_pack_decreasing(
         out_bin.append(b)
         out_over.append(False)
     return out_bin, out_over
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    priority_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget corpus curation: flag the highest-priority documents
+    whose tokens fit a global budget — "take the best N billion tokens"
+    (priority is typically a quality score; any numeric column works).
+
+    Selection rule is PREFIX TRUNCATION over the (priority DESC, id)
+    total order: a document is selected iff its cumulative token count
+    INCLUDING itself is within the budget. Because the cumulative sum is
+    monotone, the selected set is a clean prefix — deterministic,
+    engine-reproducible, and expressible as the same distributed
+    two-level prefix sum pack_sequences uses (one range shuffle, no
+    single-task global sort). This is deliberately NOT a knapsack
+    back-fill: once the first document overflows the budget, nothing
+    after it is taken, so the selected token total never exceeds
+    ``budget_tokens`` and never depends on iterative state.
+
+    Output: (id_col, priority_col, n_tokens, stream_offset, selected);
+    ``filter(selected)`` is the curated corpus, and stream_offset gives
+    each selected doc's position in the curated token stream."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    d = _doc_token_frame(
+        df, id_col, text_col, token_count_col, extra_cols=(priority_col,)
+    )
+    d = _with_stream_offset(
+        d,
+        [F.col(priority_col).desc(), F.col(id_col)],
+        num_partitions,
+    )
+    return d.select(
+        F.col(id_col),
+        F.col(priority_col),
+        F.col("n_tokens"),
+        F.col("stream_offset"),
+        ((F.col("stream_offset") + F.col("n_tokens")) <= budget_tokens).alias(
+            "selected"
+        ),
+    )

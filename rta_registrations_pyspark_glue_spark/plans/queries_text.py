@@ -835,6 +835,13 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textdedup.decontaminate(train, ev, max_shingle_df=50)
 
 
+#: Token budget for the packed_sequences 'budget' rows — sized so the
+#: prefix cut lands strictly inside the corpus at every gate sf
+#: (500-doc corpora hold ~22k whitespace tokens; sf0.1's 5000 docs far
+#: more), exercising both selected and cut documents.
+_CURATION_BUDGET = 20_000
+
+
 @register(
     "packed_sequences",
     oracle=r"""
@@ -850,25 +857,63 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                    AS stream_offset
         FROM d
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), quality AS (  -- identical formula to the text_metrics oracle
+        SELECT doc_id,
+               (CASE WHEN len(t) >= 5 AND len(t) <= 100000 THEN 0.4 ELSE 0.0 END
+                + least(CAST(len(list_filter(t, x -> lower(x) IN
+                      ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                      / len(t) * 3, 0.3)
+                + least(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 0.3))
+                   AS quality_score
+        FROM toks
+    ), bc AS (
+        SELECT q.doc_id, q.quality_score, d.n_tokens,
+               CAST(COALESCE(SUM(d.n_tokens) OVER (
+                   ORDER BY q.quality_score DESC, q.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS stream_offset
+        FROM quality q JOIN d USING (doc_id)
     )
-    SELECT doc_id, n_tokens, stream_offset,
+    SELECT 'pack' AS kind, doc_id, n_tokens, stream_offset,
            stream_offset // 512 AS seq_first,
            CASE WHEN n_tokens > 0 THEN (stream_offset + n_tokens - 1) // 512
                 ELSE stream_offset // 512 END AS seq_last,
            stream_offset % 512 AS offset_in_seq
     FROM c
-    """,
+    UNION ALL BY NAME
+    SELECT 'budget' AS kind, doc_id, quality_score,
+           CAST(n_tokens AS BIGINT) AS n_tokens, stream_offset,
+           (stream_offset + n_tokens) <= {budget} AS selected
+    FROM bc
+    """.replace("{budget}", str(_CURATION_BUDGET)),
 )
 def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style sequence packing of the documents corpus into 512-token
-    sequences (operators/packing.pack_sequences — distributed prefix sum
-    via range repartition + per-partition offsets, never a single-task
-    global window; the oracle's single-task window over the whole corpus
-    is exactly what the operator avoids at scale). Oracle-backed since
-    round 5; layout invariants also pinned by
-    tests/test_extensions.py::test_pack_sequences_*."""
+    """Both distributed-prefix-sum products under one union-tagged slot:
+    - 'pack' rows: GPT-style sequence packing into 512-token sequences
+      (operators/packing.pack_sequences — range repartition +
+      per-partition offsets, never a single-task global window; the
+      oracle's single-task window over the whole corpus is exactly what
+      the operator avoids at scale). Layout invariants also pinned by
+      tests/test_extensions.py::test_pack_sequences_*.
+    - 'budget' rows: token-budget curation (packing.select_token_budget)
+      — the corpus prefix-truncated to _CURATION_BUDGET tokens in
+      (quality_score DESC, id) order; the hash pins every
+      selected/cut decision and each selected doc's offset in the
+      curated stream. The oracle recomputes the quality priority with
+      the same formula the text_metrics oracle pins."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    return packing.pack_sequences(docs, seq_len=512)
+    pack = packing.pack_sequences(docs, seq_len=512).select(
+        F.lit("pack").alias("kind"), "*"
+    )
+    scored = docs.join(
+        text.quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    budget = packing.select_token_budget(
+        scored, _CURATION_BUDGET, "quality_score"
+    ).select(F.lit("budget").alias("kind"), "*")
+    return pack.unionByName(budget, allowMissingColumns=True)
 
 
 @register("packed_bins")

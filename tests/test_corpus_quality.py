@@ -254,3 +254,77 @@ def test_weighted_mixture_rejects_bad_rates(spark):
     df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit("s").alias("source"))
     with pytest.raises(ValueError, match=r"\[0,1\]"):
         sampling.weighted_mixture(df, {"s": 1.5})
+
+
+# ------------------------------------------------------- token budget
+
+
+def test_select_token_budget_hand_and_mirror(spark, sf_dir):
+    from rta_registrations_pyspark_glue_spark.operators import packing
+
+    # Hand case: priorities 3>2>1, sizes 5,4,6, budget 9 → docs with
+    # priority 3 (5 tokens) and 2 (4 tokens) fill it exactly; the
+    # priority-1 doc overflows and is cut.
+    df = spark.createDataFrame(
+        [(1, 1.0, 6), (2, 3.0, 5), (3, 2.0, 4)], ["doc_id", "q", "n"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in packing.select_token_budget(
+            df, 9, "q", token_count_col="n", text_col="n"
+        ).collect()
+    }
+    assert out[2]["selected"] and out[2]["stream_offset"] == 0
+    assert out[3]["selected"] and out[3]["stream_offset"] == 5
+    assert not out[1]["selected"]
+    assert sum(r["n_tokens"] for r in out.values() if r["selected"]) <= 9
+
+    # DuckDB mirror over the real corpus with quality_score priority:
+    # identical prefix rule via a single window (the oracle-style check;
+    # the operator's distributed scan must agree exactly).
+    import duckdb
+
+    from rta_registrations_pyspark_glue_spark.operators import text as t_ops
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = t_ops.quality_score(docs).select("doc_id", "quality_score")
+    corpus = docs.select("doc_id", "text").join(scored, "doc_id")
+    budget = 20_000
+    got = (
+        packing.select_token_budget(corpus, budget, "quality_score")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"create view docs as select * from '{sf_dir}/documents.parquet'"
+    )
+    qs = {r["doc_id"]: r["quality_score"] for _, r in got.iterrows()}
+    # Mirror uses the operator's own priority values (they are pinned by
+    # the text_metrics oracle elsewhere); what we verify here is the
+    # ordering + cumulative-budget arithmetic.
+    con.execute("create table pri (doc_id bigint, q double)")
+    con.executemany("insert into pri values (?, ?)", list(qs.items()))
+    exp = con.execute(
+        r"""
+        WITH d AS (
+            SELECT p.doc_id, p.q,
+                   CASE WHEN trim(t.text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(t.text), '\s+')) END AS n
+            FROM pri p JOIN docs t USING (doc_id)
+        ), c AS (
+            SELECT doc_id,
+                   COALESCE(SUM(n) OVER (ORDER BY q DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+                   n
+            FROM d
+        )
+        SELECT doc_id, off, (off + n) <= {budget} AS selected
+        FROM c ORDER BY doc_id
+        """.replace("{budget}", str(budget))
+    ).df()
+    assert got["stream_offset"].astype("int64").tolist() == exp["off"].astype("int64").tolist()
+    assert got["selected"].tolist() == exp["selected"].tolist()
+    assert got["selected"].any() and not got["selected"].all()
