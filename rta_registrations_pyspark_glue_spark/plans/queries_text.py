@@ -415,7 +415,12 @@ def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
     )
     SELECT c.doc_id, c.cluster_id, s.cluster_size,
-           c.doc_id = c.cluster_id AS is_canonical
+           c.doc_id = c.cluster_id AS is_canonical,
+           CASE WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
     FROM comp c JOIN sizes s USING (cluster_id)
     """,
     expensive=True,
@@ -426,12 +431,18 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation, operators/graph.py) → one cluster id per document,
     cluster sizes, and a deterministic canonical survivor (minimum id)
     per cluster. ``filter(is_canonical)`` IS the deduplicated corpus.
-    The oracle mirrors the fixpoint with a recursive transitive-closure
+    The ``split`` column is the LEAKAGE-SAFE train/val/test split: the
+    hash_split keyed on cluster_id rather than doc_id, so every member
+    of a near-dup cluster lands in the same split — a near-duplicate of
+    a training document can never leak into the test set (the
+    split-time complement of decontamination's audit-time check). The
+    oracle mirrors the fixpoint with a recursive transitive-closure
     CTE over the identical verified pair set."""
     corpus = tracked_persist(_near_dup_corpus(spark, sf_dir))
     cands = textdedup.minhash_lsh_candidates(corpus)
     pairs = textdedup.jaccard_verify(cands, corpus, threshold=0.35)
-    return graph.dedup_clusters(corpus.select("doc_id"), pairs)
+    clusters = graph.dedup_clusters(corpus.select("doc_id"), pairs)
+    return sampling.hash_split(clusters, "cluster_id")
 
 
 # Mixture rates for the dataset_split 'mixture' rows: the 20 testdata

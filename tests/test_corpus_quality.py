@@ -328,3 +328,21 @@ def test_select_token_budget_hand_and_mirror(spark, sf_dir):
     assert got["stream_offset"].astype("int64").tolist() == exp["off"].astype("int64").tolist()
     assert got["selected"].tolist() == exp["selected"].tolist()
     assert got["selected"].any() and not got["selected"].all()
+
+
+def test_leakage_safe_split_is_cluster_consistent(spark, sf_dir):
+    """Every member of a near-dup cluster gets the same split label (the
+    whole point: no near-duplicate can straddle train/test)."""
+    from rta_registrations_pyspark_glue_spark.plans import registry
+
+    out = registry.queries()["near_dup_clusters"](spark, sf_dir).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # And multi-member clusters exist, so the property is not vacuous.
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in out)
+    assert max(sizes.values()) >= 2
+    assert {r["split"] for r in out} == {"train", "val", "test"}
