@@ -43,11 +43,14 @@ def _doc_token_frame(
     text_col: str,
     token_count_col: str | None,
     extra_cols: tuple[str, ...] = (),
+    with_okey: bool = True,
 ) -> DataFrame:
-    """(id, n_tokens, __okey): the shared input projection of both
-    packers — token counts from ``token_count_col`` if given, else
-    whitespace tokenization (empty/blank text = 0 tokens), and the
-    deterministic md5 order key. NULL counts (null text, or a null entry
+    """(id[, extras], n_tokens[, __okey]): the shared input projection
+    of the packers — token counts from ``token_count_col`` if given,
+    else whitespace tokenization (empty/blank text = 0 tokens), plus the
+    deterministic md5 order key when the caller's order needs one
+    (select_token_budget orders by priority instead and skips the md5 +
+    32 shuffled bytes per row). NULL counts (null text, or a null entry
     in token_count_col) pack as 0 tokens: without the coalesce a
     partition of all-null counts sums to NULL and the driver offset
     arithmetic crashes, while mixed nulls would silently skew offsets."""
@@ -58,12 +61,14 @@ def _doc_token_frame(
             F.size(tokens(text_col))
         )
     )
-    return df.select(
+    cols = [
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
-        F.md5(F.col(id_col).cast("string")).alias("__okey"),
-    )
+    ]
+    if with_okey:
+        cols.append(F.md5(F.col(id_col).cast("string")).alias("__okey"))
+    return df.select(*cols)
 
 
 def _with_stream_offset(
@@ -290,7 +295,12 @@ def select_token_budget(
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     d = _doc_token_frame(
-        df, id_col, text_col, token_count_col, extra_cols=(priority_col,)
+        df,
+        id_col,
+        text_col,
+        token_count_col,
+        extra_cols=(priority_col,),
+        with_okey=False,
     )
     d = _with_stream_offset(
         d,

@@ -65,6 +65,19 @@ SQL_NEAR_CORPUS = r"""
 _BPE_SQL_LIT = "'" + text.BPE_TOKEN_PATTERN.replace("'", "''") + "'"
 
 
+def _quality_sql(t: str) -> str:
+    """The quality_score formula over a token-array SQL identifier —
+    ONE fragment shared by the text_metrics and packed_sequences
+    oracles, so the 0.4/0.3/0.3 weights and the exact double-arithmetic
+    shape (division before the *3, matching operators/text.quality_score
+    bit-for-bit) can never drift between the two mirrors."""
+    return f"""(CASE WHEN len({t}) >= 5 AND len({t}) <= 100000 THEN 0.4 ELSE 0.0 END
+            + least(CAST(len(list_filter({t}, x -> lower(x) IN
+                  ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                  / len({t}) * 3, 0.3)
+            + least(CAST(len(list_distinct({t})) AS DOUBLE) / len({t}), 0.3))"""
+
+
 @register(
     "text_metrics",
     oracle=rf"""
@@ -98,10 +111,8 @@ _BPE_SQL_LIT = "'" + text.BPE_TOKEN_PATTERN.replace("'", "''") + "'"
     FROM stats
     UNION ALL BY NAME
     SELECT 'quality' AS kind, doc_id,
-           (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
-            + least(stopword_ratio * 3, 0.3)
-            + least(unique_ratio, 0.3)) AS quality_score
-    FROM stats
+           {_quality_sql("t")} AS quality_score
+    FROM toks
     UNION ALL BY NAME
     SELECT 'lang' AS kind, doc_id, score_en, score_es, score_de, score_fr,
            CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
@@ -870,14 +881,8 @@ _CURATION_BUDGET = 20_000
         FROM d
     ), toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-    ), quality AS (  -- identical formula to the text_metrics oracle
-        SELECT doc_id,
-               (CASE WHEN len(t) >= 5 AND len(t) <= 100000 THEN 0.4 ELSE 0.0 END
-                + least(CAST(len(list_filter(t, x -> lower(x) IN
-                      ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-                      / len(t) * 3, 0.3)
-                + least(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 0.3))
-                   AS quality_score
+    ), quality AS (
+        SELECT doc_id, {q} AS quality_score
         FROM toks
     ), bc AS (
         SELECT q.doc_id, q.quality_score, d.n_tokens,
@@ -898,7 +903,9 @@ _CURATION_BUDGET = 20_000
            CAST(n_tokens AS BIGINT) AS n_tokens, stream_offset,
            (stream_offset + n_tokens) <= {budget} AS selected
     FROM bc
-    """.replace("{budget}", str(_CURATION_BUDGET)),
+    """.replace("{budget}", str(_CURATION_BUDGET)).replace(
+        "{q}", _quality_sql("t")
+    ),
 )
 def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both distributed-prefix-sum products under one union-tagged slot:
@@ -915,14 +922,24 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       curated stream. The oracle recomputes the quality priority with
       the same formula the text_metrics oracle pins."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    pack = packing.pack_sequences(docs, seq_len=512).select(
-        F.lit("pack").alias("kind"), "*"
+    # ONE whitespace-tokenization pass feeds both prefix-sum products:
+    # base carries the 0-convention token count (blank text = 0, the
+    # packers' contract — token_stats' array count says 1 there, so its
+    # n_tokens is NOT reused) and the quality priority, persisted since
+    # both branches and their shuffles read it.
+    n0 = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(text.tokens("text"))
     )
-    scored = docs.join(
-        text.quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+    base = tracked_persist(
+        docs.select("doc_id", "text", n0.alias("n_tokens")).join(
+            text.quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+        )
     )
+    pack = packing.pack_sequences(
+        base, seq_len=512, token_count_col="n_tokens"
+    ).select(F.lit("pack").alias("kind"), "*")
     budget = packing.select_token_budget(
-        scored, _CURATION_BUDGET, "quality_score"
+        base, _CURATION_BUDGET, "quality_score", token_count_col="n_tokens"
     ).select(F.lit("budget").alias("kind"), "*")
     return pack.unionByName(budget, allowMissingColumns=True)
 
