@@ -46,7 +46,12 @@ HEADLINE = [
     "text_metrics",
     "near_dup_clusters",
     # round 4 additions — keep earlier names stable for cross-round
-    # comparison; the judge sums the common subset.
+    # comparison (the common subset is summed across rounds). Scope
+    # grew under stable names in round 5: packed_sequences added the
+    # token-budget 'budget' rows (2× rows), dataset_split added the
+    # 'mixture' rows, near_dup_clusters added the leakage-safe split
+    # column — their per-query times rose with the added work, not from
+    # a regression.
     "embedding_near_dup_bucketed",
     "simhash_suite",
     "dataset_split",
