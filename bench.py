@@ -63,6 +63,7 @@ HEADLINE = [
     "corpus_vocabulary",
     "semantic_dedup_survivors",
     "packed_bins",
+    "embedding_near_dup_bucketed_fast",
 ]
 
 

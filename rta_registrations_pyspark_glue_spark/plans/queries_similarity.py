@@ -461,3 +461,18 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(idx, threshold=0.35).select(
         F.col(idx.corpus_id).alias("vec_id"), "kept", "n_dups_smaller", "max_dup_cosine"
     )
+
+
+@register("embedding_near_dup_bucketed_fast")
+def embedding_near_dup_bucketed_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH near-dup pipeline with BLAS verification
+    (similarity.cosine_verify_fast): identical hyperplane-bucketed
+    candidates, cosine computed as one vectorized numpy row-dot per
+    Arrow batch instead of an interpreted fold per pair — the
+    production variant when candidate volume dominates. Rows-only by
+    the same contract as cosine_topk_bruteforce_fast: numpy sums
+    pairwise, so scores differ from the fold oracle in the last ulp;
+    pair-set equality vs the fold path is pytest-pinned instead."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cands = similarity.hyperplane_lsh_candidates(emb)
+    return similarity.cosine_verify_fast(cands, emb, threshold=0.35)

@@ -346,3 +346,23 @@ def test_leakage_safe_split_is_cluster_consistent(spark, sf_dir):
     sizes = Counter(r["cluster_id"] for r in out)
     assert max(sizes.values()) >= 2
     assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
+def test_cosine_verify_fast_matches_fold(spark, sf_dir):
+    """The BLAS verification variant must produce the same pair set as
+    the fold path (scores may differ in the last ulp; no corpus pair
+    sits on the threshold boundary)."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cands = similarity.hyperplane_lsh_candidates(emb)
+    fold = similarity.cosine_verify(cands, emb, threshold=0.35)
+    fast = similarity.cosine_verify_fast(cands, emb, threshold=0.35)
+    fold_pairs = {(r["id_a"], r["id_b"]) for r in fold.collect()}
+    fast_rows = fast.collect()
+    assert {(r["id_a"], r["id_b"]) for r in fast_rows} == fold_pairs
+    assert len(fold_pairs) > 0
+    # Scores agree to float tolerance.
+    fold_scores = {(r["id_a"], r["id_b"]): r["cosine"] for r in fold.collect()}
+    for r in fast_rows:
+        assert abs(r["cosine"] - fold_scores[(r["id_a"], r["id_b"])]) < 1e-9
