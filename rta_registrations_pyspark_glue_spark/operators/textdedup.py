@@ -51,6 +51,40 @@ def exact_duplicates(
     )
 
 
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the production dedup mode for a
+    continuously-growing corpus: dedup only the NEW batch, against both
+    itself and the existing corpus, without ever regrouping the full
+    history. A new document survives iff (a) its normalized content hash
+    appears nowhere in ``existing`` (one left-anti equi-join — at scale
+    the existing side is the persisted fingerprint table
+    text.fingerprint writes, scanned by hash, never re-tokenized) and
+    (b) it is the minimum-id holder of its hash within the batch
+    (one batch-local aggregate — batches carry their own internal
+    dupes). Output: the surviving rows of ``new_batch`` with their
+    ``content_key``; append them (and their fingerprints) to the corpus
+    and the fingerprint table respectively.
+
+    Cost shape: O(|batch|) work plus one anti-join probe of the
+    fingerprint store — never O(|corpus|) recomputation, which is the
+    whole point versus re-running exact_duplicates over history."""
+    key = F.md5(normalize_text(text_col))
+    new_keyed = new_batch.withColumn("content_key", key)
+    batch_winners = new_keyed.groupBy("content_key").agg(
+        F.min(id_col).alias("__winner")
+    )
+    dedup_in_batch = new_keyed.join(batch_winners, "content_key").filter(
+        F.col(id_col) == F.col("__winner")
+    ).drop("__winner")
+    existing_keys = existing.select(key.alias("content_key")).distinct()
+    return dedup_in_batch.join(existing_keys, "content_key", "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

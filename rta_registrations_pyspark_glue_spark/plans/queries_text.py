@@ -173,29 +173,83 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "exact_dedup_documents",
-    oracle=f"""
+    oracle=rf"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 2000000 AS doc_id, text
         FROM documents WHERE doc_id % 10 = 0
+    ), pert AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               (x, i) -> i % 5 != 0), ' ') AS text
+        FROM documents WHERE doc_id % 3 = 1
+    ), batch AS (
+        SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text FROM pert
+        UNION ALL
+        SELECT doc_id + 4000000 AS doc_id, text FROM pert
+    ), bk AS (
+        SELECT doc_id, md5({SQL_NORM}) AS content_key FROM batch
+    ), bw AS (
+        SELECT content_key, MIN(doc_id) AS w FROM bk GROUP BY 1
+    ), ek AS (
+        SELECT DISTINCT md5({SQL_NORM}) AS content_key FROM documents
     )
-    SELECT md5({SQL_NORM}) AS content_key,
+    SELECT 'groups' AS kind, md5({SQL_NORM}) AS content_key,
            MIN(doc_id) AS representative_id,
            COUNT(*) AS n_copies
     FROM corpus
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL BY NAME
+    SELECT 'incremental' AS kind, b.doc_id, b.content_key
+    FROM bk b
+    JOIN bw ON b.content_key = bw.content_key AND b.doc_id = bw.w
+    WHERE b.content_key NOT IN (SELECT content_key FROM ek)
     """,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash over a corpus with injected exact
-    copies — every 10th doc appears twice, and must collapse to one
-    group with n_copies=2."""
+    """Exact dedup, batch AND incremental modes under one slot:
+    - 'groups' rows: full-corpus dedup by content hash over a corpus
+      with injected exact copies — every 10th doc appears twice and
+      must collapse to one group with n_copies=2
+      (textdedup.exact_duplicates).
+    - 'incremental' rows: the production mode
+      (textdedup.incremental_exact_dedup) — a synthetic new batch
+      carrying re-submissions of existing docs (every 3rd, shifted ids,
+      must ALL be dropped by the anti-join against the corpus's
+      content keys), genuinely new content (every-5th-token-dropped
+      variants of the %3==1 docs, must survive), and batch-internal
+      duplicates of that new content (must collapse to the min-id
+      survivor). The hash pins every survive/drop decision without
+      ever regrouping the existing corpus."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
-    return textdedup.exact_duplicates(docs.unionByName(copies))
+    groups = textdedup.exact_duplicates(docs.unionByName(copies)).select(
+        F.lit("groups").alias("kind"), "content_key", "representative_id", "n_copies"
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    # Spark filter lambda index is 0-based; DuckDB's is 1-based — i+1.
+    pert = F.concat_ws(" ", F.filter(toks, lambda x, i: (i + 1) % 5 != 0))
+    fresh = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", pert.alias("text"))
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        .unionByName(
+            fresh.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            fresh.select((F.col("doc_id") + 4000000).alias("doc_id"), "text")
+        )
+    )
+    inc = textdedup.incremental_exact_dedup(batch, docs).select(
+        F.lit("incremental").alias("kind"), "doc_id", "content_key"
+    )
+    return groups.unionByName(inc, allowMissingColumns=True)
 
 
 def _minhash_sig_sql(num_hashes: int = 8) -> str:

@@ -366,3 +366,24 @@ def test_cosine_verify_fast_matches_fold(spark, sf_dir):
     fold_scores = {(r["id_a"], r["id_b"]): r["cosine"] for r in fold.collect()}
     for r in fast_rows:
         assert abs(r["cosine"] - fold_scores[(r["id_a"], r["id_b"])]) < 1e-9
+
+
+def test_incremental_exact_dedup_decisions(spark):
+    from rta_registrations_pyspark_glue_spark.operators import textdedup
+
+    existing = spark.createDataFrame(
+        [(1, "old content one"), (2, "old content two")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old content one"),   # resubmission → dropped vs existing
+            (11, "brand new words"),   # fresh → survives
+            (12, "brand new words"),   # batch-internal dup → dropped (11 wins)
+            (13, "Old  CONTENT two!"), # same normalized content → dropped
+            (14, "other fresh text"),  # fresh → survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = textdedup.incremental_exact_dedup(batch, existing).collect()
+    assert {r["doc_id"] for r in out} == {11, 14}
+    assert all(r["content_key"] for r in out)
