@@ -50,8 +50,9 @@ HEADLINE = [
     # grew under stable names in round 5: packed_sequences added the
     # token-budget 'budget' rows (2× rows), dataset_split added the
     # 'mixture' rows, near_dup_clusters added the leakage-safe split
-    # column — their per-query times rose with the added work, not from
-    # a regression.
+    # column, exact_dedup_documents added the incremental-batch rows —
+    # their per-query times rose with the added work, not from a
+    # regression.
     "embedding_near_dup_bucketed",
     "simhash_suite",
     "dataset_split",

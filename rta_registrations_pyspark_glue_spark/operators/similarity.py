@@ -278,17 +278,12 @@ def hyperplane_lsh_candidates(
     return pairs.select("id_a", "id_b").distinct()
 
 
-def cosine_verify(
-    candidates: DataFrame,
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.35,
+def _attach_pair_vectors(
+    candidates: DataFrame, df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Exact cosine on candidate pairs only (never all pairs): joins the
-    candidate list back to the corpus twice by id (equi-joins), computes
-    the deterministic fold cosine, keeps pairs >= threshold.
-    Output: (id_a, id_b, cosine)."""
+    """Join the corpus vectors (+ fold norms) onto (id_a, id_b) candidate
+    pairs — the shared front half of both verification variants, so the
+    zero-norm filter and the __ea/__na column protocol live once."""
     v = (
         df.select(F.col(id_col), as_double(vec_col).alias("__e"))
         .withColumn("__n", dot("__e", "__e"))
@@ -300,10 +295,22 @@ def cosine_verify(
     b = v.select(
         F.col(id_col).alias("id_b"), F.col("__e").alias("__eb"), F.col("__n").alias("__nb")
     )
-    out = (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cosine", dot("__ea", "__eb") / (F.sqrt("__na") * F.sqrt("__nb")))
+    return candidates.join(a, "id_a").join(b, "id_b")
+
+
+def cosine_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact cosine on candidate pairs only (never all pairs): joins the
+    candidate list back to the corpus twice by id (equi-joins), computes
+    the deterministic fold cosine, keeps pairs >= threshold.
+    Output: (id_a, id_b, cosine)."""
+    out = _attach_pair_vectors(candidates, df, id_col, vec_col).withColumn(
+        "cosine", dot("__ea", "__eb") / (F.sqrt("__na") * F.sqrt("__nb"))
     )
     return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
@@ -335,18 +342,7 @@ def cosine_verify_fast(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    v = (
-        df.select(F.col(id_col), as_double(vec_col).alias("__e"))
-        .withColumn("__n", dot("__e", "__e"))
-        .filter(F.col("__n") > 0)
-    )
-    a = v.select(
-        F.col(id_col).alias("id_a"), F.col("__e").alias("__ea"), F.col("__n").alias("__na")
-    )
-    b = v.select(
-        F.col(id_col).alias("id_b"), F.col("__e").alias("__eb"), F.col("__n").alias("__nb")
-    )
-    joined = candidates.join(a, "id_a").join(b, "id_b")
+    joined = _attach_pair_vectors(candidates, df, id_col, vec_col)
     id_a_type = joined.schema["id_a"].dataType
     id_b_type = joined.schema["id_b"].dataType
     out_schema = StructType(
@@ -366,7 +362,12 @@ def cosine_verify_fast(
             cos = np.einsum("ij,ij->i", ea, eb) / (
                 np.sqrt(pdf["__na"].to_numpy()) * np.sqrt(pdf["__nb"].to_numpy())
             )
-            keep = cos >= threshold
+            # ~(cos < t), not (cos >= t): a NaN cosine (NaN-poisoned
+            # embedding that slipped past the norm filter — Spark orders
+            # NaN above every number, so __n > 0 keeps it) must KEEP the
+            # pair, matching the fold variant's Spark comparison
+            # semantics; numpy's >= would silently drop it.
+            keep = ~(cos < threshold)
             yield pd.DataFrame(
                 {
                     "id_a": pdf["id_a"].to_numpy()[keep],

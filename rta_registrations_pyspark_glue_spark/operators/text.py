@@ -64,6 +64,18 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(out)
 
 
+def content_norm(col: Column | str) -> Column:
+    """normalize_text with NULL folded to '' — THE text identity used by
+    every content-keyed operator (fingerprints, exact dedup, incremental
+    dedup). The fold matters for the join-based paths: a NULL key never
+    matches in an equi-join, so a NULL-text row would silently vanish
+    from an anti-join dedup instead of deterministically grouping with
+    the other content-empty rows. One rule everywhere keeps the
+    fingerprint store and its probes key-compatible."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(normalize_text(c), F.lit(""))
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token statistics: counts, unique ratio, average token
     length, stopword ratio — the standard quality-scoring signals."""
@@ -125,9 +137,11 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Content fingerprints over the normalized text: md5 (dedup key) and
-    sha256 (collision-paranoid key)."""
-    norm = normalize_text(text_col)
+    """Content fingerprints over the normalized text (content_norm —
+    NULL folds to ''): md5 (dedup key; key-compatible with
+    textdedup.incremental_exact_dedup's probe) and sha256
+    (collision-paranoid key)."""
+    norm = content_norm(text_col)
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("fp_md5"),

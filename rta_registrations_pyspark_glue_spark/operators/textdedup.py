@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import tracked_persist
 
-from rta_registrations_pyspark_glue_spark.operators.text import normalize_text, word_shingles
+from rta_registrations_pyspark_glue_spark.operators.text import (
+    content_norm,
+    normalize_text,
+    word_shingles,
+)
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
@@ -38,9 +42,10 @@ DEFAULT_BAND_SIZE = 2
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact dedup over the normalized content hash: one row per distinct
-    content, with the representative (min id) and copy count."""
-    key = F.md5(normalize_text(text_col))
+    """Exact dedup over the normalized content hash (content_norm —
+    NULL folds to ''): one row per distinct content, with the
+    representative (min id) and copy count."""
+    key = F.md5(content_norm(text_col))
     return (
         df.select(F.col(id_col), key.alias("content_key"))
         .groupBy("content_key")
@@ -56,24 +61,29 @@ def incremental_exact_dedup(
     existing: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    existing_key_col: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup — the production dedup mode for a
     continuously-growing corpus: dedup only the NEW batch, against both
     itself and the existing corpus, without ever regrouping the full
     history. A new document survives iff (a) its normalized content hash
-    appears nowhere in ``existing`` (one left-anti equi-join — at scale
-    the existing side is the persisted fingerprint table
-    text.fingerprint writes, scanned by hash, never re-tokenized) and
+    appears nowhere in ``existing`` (one left-anti equi-join) and
     (b) it is the minimum-id holder of its hash within the batch
     (one batch-local aggregate — batches carry their own internal
     dupes). Output: the surviving rows of ``new_batch`` with their
     ``content_key``; append them (and their fingerprints) to the corpus
     and the fingerprint table respectively.
 
-    Cost shape: O(|batch|) work plus one anti-join probe of the
-    fingerprint store — never O(|corpus|) recomputation, which is the
-    whole point versus re-running exact_duplicates over history."""
-    key = F.md5(normalize_text(text_col))
+    ``existing_key_col`` names a PRECOMPUTED content-hash column on
+    ``existing`` — pass the persisted fingerprint table
+    (text.fingerprint's fp_md5 is this exact key) so the probe scans
+    hashes, never re-normalizing history. Without it, ``existing`` must
+    carry raw ``text_col`` and gets re-hashed on every call — fine for
+    one-offs, NOT the incremental contract: the cost shape the operator
+    exists for is O(|batch|) work plus one hash-probe anti-join, never
+    O(|corpus|) recomputation. NULL text keys as content_norm's '' (a
+    NULL key would silently drop the row at the equi-joins)."""
+    key = F.md5(content_norm(text_col))
     new_keyed = new_batch.withColumn("content_key", key)
     batch_winners = new_keyed.groupBy("content_key").agg(
         F.min(id_col).alias("__winner")
@@ -81,7 +91,11 @@ def incremental_exact_dedup(
     dedup_in_batch = new_keyed.join(batch_winners, "content_key").filter(
         F.col(id_col) == F.col("__winner")
     ).drop("__winner")
-    existing_keys = existing.select(key.alias("content_key")).distinct()
+    existing_keys = (
+        existing.select(F.col(existing_key_col).alias("content_key"))
+        if existing_key_col
+        else existing.select(key.alias("content_key"))
+    ).distinct()
     return dedup_in_batch.join(existing_keys, "content_key", "left_anti")
 
 

@@ -28,14 +28,29 @@ from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
 
+def _drop_every_kth_token(text_col: str, k: int) -> "F.Column":
+    """Text with every k-th token removed — the deterministic
+    perturbation both engines reproduce (the near-dup corpus uses k=7,
+    the incremental-dedup batch k=5). Spark filter lambda index is
+    0-based; DuckDB's is 1-based — hence i+1 here and bare i in
+    _drop_every_kth_token_sql, the one subtle correspondence kept in
+    exactly one place."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    return F.concat_ws(" ", F.filter(toks, lambda x, i: (i + 1) % k != 0))
+
+
+def _drop_every_kth_token_sql(k: int) -> str:
+    """DuckDB mirror of _drop_every_kth_token over a ``text`` column."""
+    return (
+        r"array_to_string(list_filter(string_split_regex(trim(text), '\s+'),"
+        rf" (x, i) -> i % {k} != 0), ' ')"
+    )
+
+
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ token-dropped copies of every 5th doc."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    toks = F.split(F.trim("text"), r"\s+")
-    # Spark filter lambda index is 0-based; DuckDB's is 1-based — hence i+1.
-    perturbed = F.concat_ws(
-        " ", F.filter(toks, lambda x, i: (i + 1) % 7 != 0)
-    )
+    perturbed = _drop_every_kth_token("text", 7)
     copies = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), perturbed.alias("text"))
@@ -49,13 +64,11 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NEAR_CORPUS = r"""
+SQL_NEAR_CORPUS = f"""
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,
-               array_to_string(
-                   list_filter(string_split_regex(trim(text), '\s+'),
-                               (x, i) -> i % 7 != 0), ' ') AS text
+               {_drop_every_kth_token_sql(7)} AS text
         FROM documents WHERE doc_id % 5 = 0
 """
 
@@ -161,8 +174,8 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     oracle=f"""
     SELECT doc_id,
-           md5({SQL_NORM}) AS fp_md5,
-           sha256({SQL_NORM}) AS fp_sha256
+           md5(COALESCE({SQL_NORM}, '')) AS fp_md5,
+           sha256(COALESCE({SQL_NORM}, '')) AS fp_sha256
     FROM documents
     """,
 )
@@ -180,10 +193,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id + 2000000 AS doc_id, text
         FROM documents WHERE doc_id % 10 = 0
     ), pert AS (
-        SELECT doc_id,
-               array_to_string(
-                   list_filter(string_split_regex(trim(text), '\s+'),
-                               (x, i) -> i % 5 != 0), ' ') AS text
+        SELECT doc_id, {_drop_every_kth_token_sql(5)} AS text
         FROM documents WHERE doc_id % 3 = 1
     ), batch AS (
         SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
@@ -192,13 +202,13 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id + 4000000 AS doc_id, text FROM pert
     ), bk AS (
-        SELECT doc_id, md5({SQL_NORM}) AS content_key FROM batch
+        SELECT doc_id, md5(COALESCE({SQL_NORM}, '')) AS content_key FROM batch
     ), bw AS (
         SELECT content_key, MIN(doc_id) AS w FROM bk GROUP BY 1
     ), ek AS (
-        SELECT DISTINCT md5({SQL_NORM}) AS content_key FROM documents
+        SELECT DISTINCT md5(COALESCE({SQL_NORM}, '')) AS content_key FROM documents
     )
-    SELECT 'groups' AS kind, md5({SQL_NORM}) AS content_key,
+    SELECT 'groups' AS kind, md5(COALESCE({SQL_NORM}, '')) AS content_key,
            MIN(doc_id) AS representative_id,
            COUNT(*) AS n_copies
     FROM corpus
@@ -207,7 +217,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'incremental' AS kind, b.doc_id, b.content_key
     FROM bk b
     JOIN bw ON b.content_key = bw.content_key AND b.doc_id = bw.w
-    WHERE b.content_key NOT IN (SELECT content_key FROM ek)
+    -- NOT EXISTS, not NOT IN: one NULL in the probe side would make
+    -- NOT IN return zero rows for the whole branch.
+    WHERE NOT EXISTS (SELECT 1 FROM ek WHERE ek.content_key = b.content_key)
     """,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,9 +244,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = textdedup.exact_duplicates(docs.unionByName(copies)).select(
         F.lit("groups").alias("kind"), "content_key", "representative_id", "n_copies"
     )
-    toks = F.split(F.trim("text"), r"\s+")
-    # Spark filter lambda index is 0-based; DuckDB's is 1-based — i+1.
-    pert = F.concat_ws(" ", F.filter(toks, lambda x, i: (i + 1) % 5 != 0))
+    pert = _drop_every_kth_token("text", 5)
     fresh = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", pert.alias("text"))
     batch = (
         docs.filter(F.col("doc_id") % 3 == 0)
@@ -246,9 +256,12 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             fresh.select((F.col("doc_id") + 4000000).alias("doc_id"), "text")
         )
     )
-    inc = textdedup.incremental_exact_dedup(batch, docs).select(
-        F.lit("incremental").alias("kind"), "doc_id", "content_key"
-    )
+    # Probe the FINGERPRINT STORE, not raw history — the operator's
+    # production contract (fp_md5 IS the content key).
+    store = text.fingerprint(docs).select("fp_md5")
+    inc = textdedup.incremental_exact_dedup(
+        batch, store, existing_key_col="fp_md5"
+    ).select(F.lit("incremental").alias("kind"), "doc_id", "content_key")
     return groups.unionByName(inc, allowMissingColumns=True)
 
 

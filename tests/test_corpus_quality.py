@@ -356,14 +356,13 @@ def test_cosine_verify_fast_matches_fold(spark, sf_dir):
 
     emb = load_table(spark, "embeddings", sf_dir)
     cands = similarity.hyperplane_lsh_candidates(emb)
-    fold = similarity.cosine_verify(cands, emb, threshold=0.35)
-    fast = similarity.cosine_verify_fast(cands, emb, threshold=0.35)
-    fold_pairs = {(r["id_a"], r["id_b"]) for r in fold.collect()}
-    fast_rows = fast.collect()
+    fold_rows = similarity.cosine_verify(cands, emb, threshold=0.35).collect()
+    fast_rows = similarity.cosine_verify_fast(cands, emb, threshold=0.35).collect()
+    fold_pairs = {(r["id_a"], r["id_b"]) for r in fold_rows}
     assert {(r["id_a"], r["id_b"]) for r in fast_rows} == fold_pairs
     assert len(fold_pairs) > 0
     # Scores agree to float tolerance.
-    fold_scores = {(r["id_a"], r["id_b"]): r["cosine"] for r in fold.collect()}
+    fold_scores = {(r["id_a"], r["id_b"]): r["cosine"] for r in fold_rows}
     for r in fast_rows:
         assert abs(r["cosine"] - fold_scores[(r["id_a"], r["id_b"])]) < 1e-9
 
