@@ -46,13 +46,10 @@ HEADLINE = [
     "text_metrics",
     "near_dup_clusters",
     # round 4 additions — keep earlier names stable for cross-round
-    # comparison (the common subset is summed across rounds). Scope
-    # grew under stable names in round 5: packed_sequences added the
-    # token-budget 'budget' rows (2× rows), dataset_split added the
-    # 'mixture' rows, near_dup_clusters added the leakage-safe split
-    # column, exact_dedup_documents added the incremental-batch rows —
-    # their per-query times rose with the added work, not from a
-    # regression.
+    # comparison (the common subset is summed across rounds). When a
+    # query's WORK grows under its stable name, its SCOPES version below
+    # is bumped — cross-round tooling should only sum queries whose
+    # scope version matches.
     "embedding_near_dup_bucketed",
     "simhash_suite",
     "dataset_split",
@@ -66,6 +63,21 @@ HEADLINE = [
     "packed_bins",
     "embedding_near_dup_bucketed_fast",
 ]
+
+#: Per-query SCOPE VERSION, emitted in the bench JSON ("scopes") so
+#: cross-round time comparisons stay apples-to-apples: a version bump
+#: declares "this name now does more work than last round" (round 5:
+#: exact_dedup_documents +incremental-batch rows, packed_sequences
+#: +token-budget rows, dataset_split +mixture rows, near_dup_clusters
+#: +leakage-safe split column; round 6: pii_scrub +credit-card/intl-
+#: phone/SSN patterns). Queries not listed are scope version 1.
+SCOPES = {
+    "exact_dedup_documents": 2,
+    "packed_sequences": 2,
+    "dataset_split": 2,
+    "near_dup_clusters": 2,
+    "pii_scrub": 2,
+}
 
 
 def main() -> None:
@@ -116,6 +128,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "scopes": {n: SCOPES.get(n, 1) for n in HEADLINE},
                 "cold_start_sec": cold_start,
                 "sf": sf,
             }

@@ -26,7 +26,18 @@ _HOOKS: list[Callable[[], None]] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist() the frame and register it for ``release_tracked``."""
+    """persist() the frame and register it for ``release_tracked``.
+
+    No-op when the PLAN is already cached (``storageLevel`` consults the
+    session CacheManager by logical plan, not by DataFrame identity), so
+    two operators persisting the same intermediate — e.g. the IVF cell
+    assignment reused by both the ANN search and semantic dedup — don't
+    stack a second registration and a ``CacheManager: Asked to cache
+    already cached data`` warning. Whoever persisted first (tracked or
+    caller-owned) keeps release ownership."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
     df = df.persist()
     _LIVE.append(df)
     return df

@@ -269,9 +269,19 @@ def repetition_metrics(
     gram_chars = F.col("__cnt") * F.length("__g")
     per_doc = counts.groupBy(id_col).agg(
         F.max(F.when(F.col("__n") == 1, F.col("__cnt"))).alias("__top_word_cnt"),
+        # The Gopher metric is "chars covered by the MOST FREQUENT
+        # 2-gram": pick the repeating bigram by max count — via a
+        # lexicographic struct max, ties broken toward max char
+        # coverage (deterministic; both engines order structs
+        # field-by-field) — and report ITS char coverage, not the max
+        # coverage over all repeating bigrams (which could pick a
+        # longer-but-rarer gram).
         F.max(
-            F.when((F.col("__n") == 2) & (F.col("__cnt") > 1), gram_chars)
-        ).alias("__top_bigram_chars"),
+            F.when(
+                (F.col("__n") == 2) & (F.col("__cnt") > 1),
+                F.struct(F.col("__cnt").alias("c"), gram_chars.alias("ch")),
+            )
+        ).getField("ch").alias("__top_bigram_chars"),
         F.sum(
             F.when((F.col("__n") == 3) & (F.col("__cnt") > 1), gram_chars)
         ).alias("__dup_trigram_chars"),

@@ -668,7 +668,11 @@ _RT = text.REPETITION_THRESHOLDS
     ), perdoc AS (
         SELECT doc_id,
                MAX(CASE WHEN n = 1 THEN cnt END) AS topw,
-               MAX(CASE WHEN n = 2 AND cnt > 1 THEN cnt * length(g) END) AS topbg,
+               -- most-frequent repeating bigram's char coverage (struct
+               -- max: count first, char-coverage tiebreak) — mirrors the
+               -- operator's Gopher-spec selection exactly
+               struct_extract(MAX(CASE WHEN n = 2 AND cnt > 1
+                   THEN {{'c': cnt, 'ch': cnt * length(g)}} END), 'ch') AS topbg,
                SUM(CASE WHEN n = 3 AND cnt > 1 THEN cnt * length(g) END) AS duptg
         FROM cnts GROUP BY doc_id
     ), m AS (
@@ -728,6 +732,18 @@ def _pat(kind: str) -> str:
     return pii.PII_PATTERNS[kind][0]
 
 
+#: DuckDB mirror of operators/pii.luhn_valid, inlined into the oracle:
+#: same 1-based from-the-left index i, doubling when the position from
+#: the right (len - i) is odd.
+_CC_D = "replace(replace(m, ' ', ''), '-', '')"
+_LUHN_SQL = f"""list_sum(list_transform(range(1, length({_CC_D}) + 1),
+        i -> CASE WHEN (length({_CC_D}) - i) % 2 = 1
+                  THEN CASE WHEN CAST(substr({_CC_D}, i, 1) AS INT) * 2 > 9
+                            THEN CAST(substr({_CC_D}, i, 1) AS INT) * 2 - 9
+                            ELSE CAST(substr({_CC_D}, i, 1) AS INT) * 2 END
+                  ELSE CAST(substr({_CC_D}, i, 1) AS INT) END)) % 10 = 0"""
+
+
 @register(
     "pii_scrub",
     oracle=f"""
@@ -743,37 +759,65 @@ def _pat(kind: str) -> str:
                     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
                     ELSE '' END
+            || CASE WHEN doc_id % 17 = 0
+                    THEN CASE WHEN doc_id % 2 = 0 THEN ' card 4111 1111 1111 1111'
+                         ELSE ' card 1234-5678-9012-3456' END
+                    ELSE '' END
+            || CASE WHEN doc_id % 23 = 0
+                    THEN ' intl +44 20 7946 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 29 = 0
+                    THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
             AS text
         FROM documents
     )
-    , staged AS (  -- counts are staged exactly like the operator's
+    , s1 AS (  -- counts are staged exactly like the operator's
         SELECT doc_id, text,
                regexp_replace(text, '{_pat("email")}', '<EMAIL>', 'g') AS t1
         FROM corpus
-    ), staged2 AS (
-        SELECT doc_id, text, t1,
-               regexp_replace(t1, '{_pat("phone")}', '<PHONE>', 'g') AS t2
-        FROM staged
+    ), s2 AS (
+        SELECT *, regexp_replace(t1, '{_pat("cc")}', '<CC>', 'g') AS t2 FROM s1
+    ), s3 AS (
+        SELECT *, regexp_replace(t2, '{_pat("intl_phone")}', '<PHONE>', 'g') AS t3
+        FROM s2
+    ), s4 AS (
+        SELECT *, regexp_replace(t3, '{_pat("phone")}', '<PHONE>', 'g') AS t4 FROM s3
+    ), s5 AS (
+        SELECT *, regexp_replace(t4, '{_pat("ssn")}', '<SSN>', 'g') AS t5 FROM s4
+    ), cnts AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_pat("email")}'))::INT AS n_email,
+               len(regexp_extract_all(t1, '{_pat("cc")}'))::INT AS n_cc,
+               len(regexp_extract_all(t2, '{_pat("intl_phone")}'))::INT AS n_intl_phone,
+               len(regexp_extract_all(t3, '{_pat("phone")}'))::INT AS n_phone,
+               len(regexp_extract_all(t4, '{_pat("ssn")}'))::INT AS n_ssn,
+               len(regexp_extract_all(t5, '{_pat("ipv4")}'))::INT AS n_ipv4,
+               len(list_filter(regexp_extract_all(t1, '{_pat("cc")}'),
+                   m -> {_LUHN_SQL}))::INT AS n_cc_luhn_valid,
+               regexp_replace(t5, '{_pat("ipv4")}', '<IP>', 'g') AS redacted
+        FROM s5
     )
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{_pat("email")}'))::INT AS n_email,
-           len(regexp_extract_all(t1, '{_pat("phone")}'))::INT AS n_phone,
-           len(regexp_extract_all(t2, '{_pat("ipv4")}'))::INT AS n_ipv4,
-           (len(regexp_extract_all(text, '{_pat("email")}'))
-            + len(regexp_extract_all(t1, '{_pat("phone")}'))
-            + len(regexp_extract_all(t2, '{_pat("ipv4")}'))) > 0 AS has_pii,
-           regexp_replace(t2, '{_pat("ipv4")}', '<IP>', 'g') AS redacted
-    FROM staged2
+    SELECT doc_id, n_email, n_cc, n_intl_phone, n_phone, n_ssn, n_ipv4,
+           n_cc_luhn_valid,
+           (n_email + n_cc + n_intl_phone + n_phone + n_ssn + n_ipv4) > 0 AS has_pii,
+           redacted
+    FROM cnts
     """,
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/pii.scrub_pii): per-doc
-    email/phone/IPv4 counts, has_pii flag, and the redacted text itself
-    — the hash check verifies every replacement byte-for-byte. PII is
-    injected deterministically in both engines (every 7th doc an email,
-    11th a phone, 13th an IPv4; a doc can carry several). The oracle
-    interpolates the operator's own PII_PATTERNS so the two engines can
-    never drift."""
+    email / credit-card / intl-phone / NANP-phone / SSN / IPv4 counts,
+    the Luhn-validated card count, has_pii flag, and the redacted text
+    itself — the hash check verifies every replacement byte-for-byte.
+    PII is injected deterministically in both engines (every 7th doc an
+    email, 11th a phone, 13th an IPv4, 17th a card — alternating
+    Luhn-valid/invalid so both checksum branches are exercised — 23rd an
+    international phone, 29th an SSN; a doc can carry several). The
+    oracle interpolates the operator's own PII_PATTERNS and mirrors its
+    Luhn arithmetic so the two engines can never drift."""
     docs = load_table(spark, "documents", sf_dir)
     d = F.col("doc_id")
     injected = F.concat(
@@ -795,6 +839,29 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (d % 256).cast("string"),
                 F.lit("."),
                 ((d * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 17 == 0,
+            F.when(d % 2 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(
+                F.lit(" card 1234-5678-9012-3456")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 23 == 0,
+            F.concat(
+                F.lit(" intl +44 20 7946 "), F.lpad((d % 10000).cast("string"), 4, "0")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 29 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
             ),
         ).otherwise(F.lit("")),
     )

@@ -96,6 +96,42 @@ def test_pii_counts_and_redaction(spark):
     assert (out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0)
 
 
+def test_pii_extended_pack_and_luhn(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111 1111 1111 1111 now"),  # Luhn-valid test number
+            (2, "pay 1234-5678-9012-3456 now"),  # Luhn-invalid
+            (3, "call +44 20 7946 0958 and 415-555-0123"),
+            (4, "ssn 123-45-6789 here"),
+            (5, "digits 12345678901234567890 are not a card"),
+            (6, "+1-415-555-0123 is claimed whole by the intl pattern"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii.scrub_pii(df).collect()}
+    assert (out[1]["n_cc"], out[1]["n_cc_luhn_valid"]) == (1, 1)
+    assert out[1]["redacted"] == "pay <CC> now"
+    assert (out[2]["n_cc"], out[2]["n_cc_luhn_valid"]) == (1, 0)
+    assert (out[3]["n_intl_phone"], out[3]["n_phone"]) == (1, 1)
+    assert out[3]["redacted"] == "call <PHONE> and <PHONE>"
+    assert out[4]["n_ssn"] == 1 and out[4]["redacted"] == "ssn <SSN> here"
+    # \b guards: a longer digit run is never claimed as a card
+    assert out[5]["n_cc"] == 0 and out[5]["has_pii"] is False
+    # intl (listed before nanp) claims the whole +1- form exactly once
+    assert (out[6]["n_intl_phone"], out[6]["n_phone"]) == (1, 0)
+
+
+def test_pii_null_text_reports_clean(spark):
+    # NULL text folds to '' — zero counts, has_pii=False, redacted=''
+    # (the drop-policy filter(~has_pii) must not silently discard it).
+    df = spark.createDataFrame([(1, None), (2, "a@b.co")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii.scrub_pii(df).collect()}
+    assert out[1]["has_pii"] is False
+    assert out[1]["redacted"] == ""
+    assert all(out[1][c] == 0 for c in out[1].asDict() if c.startswith("n_"))
+    assert out[2]["has_pii"] is True
+
+
 def test_pii_counts_reconcile_with_redaction(spark):
     # The digit run inside the email would match the phone pattern on
     # the RAW text, but counts are staged over the progressively
