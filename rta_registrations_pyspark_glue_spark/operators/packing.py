@@ -30,6 +30,8 @@ partition-invariance test).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -161,13 +163,29 @@ def pack_sequences(
     )
 
 
+#: pack_bins sizing targets: a BFD group should hold well under one
+#: Arrow batch of (id, count) rows; 500k rows ≈ tens of MB in pandas —
+#: comfortable — while the 64-group floor keeps small corpora
+#: deterministic and parallel.
+BIN_GROUP_TARGET_DOCS = 500_000
+BIN_GROUPS_FLOOR = 64
+
+
+def derive_bin_groups(n_docs: int) -> int:
+    """Group count for pack_bins from the corpus size: enough groups
+    that each holds ~BIN_GROUP_TARGET_DOCS documents (the documented
+    fits-in-an-Arrow-batch bound), never fewer than the floor. Pure so
+    the sizing policy is unit-testable."""
+    return max(BIN_GROUPS_FLOOR, math.ceil(n_docs / BIN_GROUP_TARGET_DOCS))
+
+
 def pack_bins(
     df: DataFrame,
     seq_len: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count_col: str | None = None,
-    n_groups: int = 64,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Boundary-RESPECTING packing: documents never straddle sequences
     (the packing used when attention must not cross document boundaries
@@ -183,8 +201,19 @@ def pack_bins(
     quality loses only the tail bin of each group versus a global BFD
     (waste ≤ n_groups·seq_len tokens overall), while each group packs in
     RAM with no global state — the only shape that works when the corpus
-    outgrows one machine. Size ``n_groups`` so a group's (id, count)
-    rows fit an Arrow batch comfortably (~n_docs/500k at corpus scale).
+    outgrows one machine.
+
+    ``n_groups`` defaults to ``derive_bin_groups(df.count())`` — one
+    metadata-cheap count (parquet scans answer it from footers) sizes
+    groups to ~500k (id, count) rows each, ENFORCING the
+    fits-in-an-Arrow-batch bound instead of advising it; at 10⁹ docs the
+    old fixed 64 would have put ~16M rows in one pandas group. Pass
+    ``n_groups`` explicitly to skip the count (e.g. when the caller
+    already knows the corpus size) — note the derived default makes the
+    bin assignment a function of corpus SIZE too: the same corpus packs
+    identically across runs and partitionings, but growing it past a
+    500k-docs-per-group boundary re-shuffles group membership (fine for
+    a from-scratch packing pass; pin n_groups to compare across grows).
 
     A document longer than ``seq_len`` gets a bin of its own with
     ``oversize=True`` — the loader decides whether to truncate or
@@ -197,6 +226,8 @@ def pack_bins(
 
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_groups is None:
+        n_groups = derive_bin_groups(df.count())
     if n_groups <= 0:
         raise ValueError(f"n_groups must be positive, got {n_groups}")
     d = _doc_token_frame(df, id_col, text_col, token_count_col).withColumn(

@@ -232,6 +232,37 @@ def test_pack_bins_invariants_and_determinism(spark, sf_dir):
     }
 
 
+def test_pack_bins_group_sizing():
+    from rta_registrations_pyspark_glue_spark.operators import packing
+
+    # Floor holds for small corpora (keeps the gate corpus' packing
+    # stable at 64 groups)...
+    assert packing.derive_bin_groups(0) == 64
+    assert packing.derive_bin_groups(500) == 64
+    assert packing.derive_bin_groups(64 * 500_000) == 64
+    # ...and scales with the corpus so each BFD group stays ~500k docs
+    # (the documented Arrow-batch bound, now enforced not advised).
+    assert packing.derive_bin_groups(64 * 500_000 + 1) == 65
+    assert packing.derive_bin_groups(1_000_000_000) == 2000
+
+
+def test_pack_bins_derived_default_matches_floor(spark):
+    from rta_registrations_pyspark_glue_spark.operators import packing
+
+    # Omitting n_groups derives it from a count; for a small corpus the
+    # 64 floor applies, so the assignment equals an explicit 64.
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 23 + 1) for i in range(50)], ["doc_id", "n"]
+    )
+    auto = packing.pack_bins(df, seq_len=32, token_count_col="n", text_col="n")
+    manual = packing.pack_bins(
+        df, seq_len=32, token_count_col="n", text_col="n", n_groups=64
+    )
+    assert {(r["doc_id"], r["bin_id"]) for r in auto.collect()} == {
+        (r["doc_id"], r["bin_id"]) for r in manual.collect()
+    }
+
+
 def test_pack_bins_oversize_and_exact_fit(spark):
     from rta_registrations_pyspark_glue_spark.operators import packing
 
