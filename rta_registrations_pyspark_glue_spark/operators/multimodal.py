@@ -2,12 +2,13 @@
 columns with typed metadata, processed in Arrow-batched pandas via
 ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-environment — see ``decode_image``): what is real, tested, and
-scale-relevant is the Spark-side plumbing — schema contract, batch
-iteration shape, Arrow transfer, and the byte-level feature extraction
-path. Swapping the stub for PIL/torchaudio changes one function body and
-nothing in the plan.
+Image decode is REAL for the codec-free formats — PPM/PGM and
+uncompressed 24-bit BMP decode to HxWxC uint8 numpy arrays with no
+external library (``decode_image``); formats that need a codec
+(JPEG/PNG/...) raise NotImplementedError at the same call site, which
+is where PIL plugs in when available. Everything downstream of decode
+— schema contract, batch iteration shape, Arrow transfer, feature
+extraction — is payload-agnostic and identical for either decoder.
 
 Scale notes: mapInPandas streams Arrow batches — memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob
@@ -49,14 +50,98 @@ def synthesize_binary_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """Placeholder for the real decoder (PIL.Image.open etc.). The
-    container has no imaging libraries; raising keeps the contract
-    explicit rather than faking pixels."""
+def decode_image(content: bytes) -> "np.ndarray":
+    """REAL image decode, pure numpy — no external codec libraries:
+
+    - PPM ``P6`` (binary RGB) and PGM ``P5`` (binary grayscale),
+      maxval ≤ 255, full header grammar (whitespace runs + ``#``
+      comments between tokens, single whitespace byte before the
+      raster);
+    - BMP: uncompressed 24-bit BITMAPINFOHEADER (the baseline Windows
+      bitmap) — bottom-up or top-down rows, 4-byte row padding, BGR→RGB.
+
+    Returns an HxWxC uint8 array (C=3 RGB, C=1 grayscale). Raises
+    ValueError for malformed/truncated payloads of a recognized format
+    and NotImplementedError for formats that need an external codec
+    (JPEG/PNG/WebP...) — the plug-in boundary for PIL when available.
+    The decoded-pixel contract (bytes → HxWxC shape/dtype/values) is
+    pinned by tests and, for P6, by the analytic DuckDB oracle in
+    multimodal_suite's 'decode' rows."""
+    import numpy as np
+
+    if content[:2] in (b"P6", b"P5"):
+        return _decode_pnm(np, content)
+    if content[:2] == b"BM":
+        return _decode_bmp(np, content)
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; wire PIL/open here"
+        f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP "
+        "decode natively — JPEG/PNG need an external codec (wire PIL here)"
     )
+
+
+def _decode_pnm(np, content: bytes):
+    """P6/P5 parser: header tokens are whitespace-separated with ``#``
+    comments allowed between them; exactly one whitespace byte separates
+    maxval from the raster."""
+    magic = content[:2]
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(content) and content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(content[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PNM dimensions {width}x{height}")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    channels = 3 if magic == b"P6" else 1
+    n = width * height * channels
+    raster = content[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError(f"PNM raster truncated: {len(raster)} < {n}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+
+
+def _decode_bmp(np, content: bytes):
+    """Uncompressed 24-bit BITMAPINFOHEADER BMP → HxWx3 RGB."""
+    import struct
+
+    if len(content) < 54:
+        raise ValueError("BMP header truncated")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    stride = (width * 3 + 3) // 4 * 4
+    need = data_offset + stride * height
+    if len(content) < need:
+        raise ValueError(f"BMP raster truncated: {len(content)} < {need}")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def extract_meta(df: DataFrame) -> DataFrame:
@@ -103,6 +188,74 @@ def extract_features(df: DataFrame, frame_bytes: int = 1024) -> DataFrame:
     return df.select("doc_id", "content").mapInPandas(op, FEATURE_SCHEMA)
 
 
+DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, pixel_sum bigint, "
+    "decode_ok boolean"
+)
+
+
+def synthesize_ppm_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): a deterministic P6 image per document —
+    width 4+id%5, height 3+id%4, pixel byte i = (id*31 + i) % 256 —
+    so decoded statistics are ANALYTICALLY predictable (the DuckDB
+    oracle computes pixel_sum from the formula without ever decoding,
+    independently cross-checking the real decoder's header parse and
+    raster offset)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                raster = bytes((d * 31 + i) % 256 for i in range(w * h * 3))
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Decode the binary column with the REAL decoder and emit
+    pixel-level features: dimensions, channel count, and the exact
+    pixel sum. Rows whose payload is not a decodable image come back
+    with ``decode_ok=false`` and NULL features — a mixed-media corpus
+    never kills the job. Arrow-batched mapInPandas; decode parallelism
+    is partition parallelism."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, cs, sums, oks = [], [], [], [], []
+            for content in pdf["content"]:
+                try:
+                    arr = decode_image(bytes(content))
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    cs.append(arr.shape[2])
+                    sums.append(int(arr.sum()))
+                    oks.append(True)
+                except (ValueError, NotImplementedError):
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    sums.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                    "decode_ok": pd.array(oks, dtype="boolean"),
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(op, DECODE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_md5 string"
 RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary"
 
@@ -143,11 +296,12 @@ def sample_frames(
 
 
 def resize_media(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
-    """Resize plumbing with a DETERMINISTIC FAKE decoder (the container
-    has no imaging libraries — see decode_image): the payload is treated
+    """Resize plumbing with a DETERMINISTIC FAKE decoder for OPAQUE
+    payloads (arbitrary bytes, not necessarily an image format —
+    decode_image handles real PPM/PGM/BMP): the payload is treated
     as a square grayscale image (side = floor(sqrt(n_bytes))) and
     nearest-neighbor-sampled to ``width``×``height``. Swapping the fake
-    for PIL's decode+resize changes only the per-row body; the schema
+    for decode_image+resize changes only the per-row body; the schema
     contract, Arrow batch shape, and plan stay identical. Payloads too
     small for one pixel yield an all-zero tile (never a crash)."""
 

@@ -352,27 +352,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synthesize_binary_docs(docs))
 
 
+_MM_DECODE_ORACLE = """
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(list_sum(list_transform(
+               range(0, (4 + doc_id % 5) * (3 + doc_id % 4) * 3),
+               i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS pixel_sum,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Arrow/pandas path: each doc gets a
+    deterministic synthetic P6 image (multimodal.synthesize_ppm_docs),
+    the pure-numpy decoder parses header + raster, and the emitted
+    width/height/channels/pixel_sum are verified against the oracle's
+    ANALYTIC prediction (computed from the pixel formula, never by
+    decoding) — a header-parse or raster-offset bug in decode_image
+    shifts pixel_sum and fails the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.decode_image_features(multimodal.synthesize_ppm_docs(docs))
+
+
 @register(
     "multimodal_suite",
     oracle=f"""
     SELECT 'meta' AS kind, * FROM ({_MM_META_ORACLE})
     UNION ALL BY NAME
     SELECT 'features' AS kind, * FROM ({_MM_FEAT_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'decode' AS kind, * FROM ({_MM_DECODE_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both multimodal binary-column operators — metadata extraction
-    ('meta' rows) and byte-level feature extraction + frame chunking
-    ('features' rows), each through the full Arrow/pandas mapInPandas
-    path — union-tagged under one gate slot (separate slots through
-    round 4; consolidated in round 5 to free oracle capacity under the
-    50-row cap; every row of both still hash-verifies, pinning the
-    binary→Arrow→pandas round trip byte-for-byte)."""
+    """The multimodal binary-column operators — metadata extraction
+    ('meta' rows), byte-level feature extraction + frame chunking
+    ('features' rows), and REAL image decode over synthetic PPMs
+    ('decode' rows, added round 6 when decode_image gained its
+    pure-numpy PPM/PGM/BMP implementation), each through the full
+    Arrow/pandas mapInPandas path — union-tagged under one gate slot
+    (separate slots through round 4; consolidated in round 5 to free
+    oracle capacity under the 50-row cap; every row of all three still
+    hash-verifies, pinning the binary→Arrow→pandas round trip and the
+    decoder byte-for-byte)."""
     meta = multimodal_meta(spark, sf_dir).select(F.lit("meta").alias("kind"), "*")
     feats = multimodal_features(spark, sf_dir).select(
         F.lit("features").alias("kind"), "*"
     )
-    return meta.unionByName(feats, allowMissingColumns=True)
+    dec = multimodal_decode(spark, sf_dir).select(F.lit("decode").alias("kind"), "*")
+    return meta.unionByName(feats, allowMissingColumns=True).unionByName(
+        dec, allowMissingColumns=True
+    )
 
 
 def _ivf_pairs_prefix(threshold: float = 0.35, multi_probe: int = 2) -> str:

@@ -458,9 +458,86 @@ def test_resize_media_deterministic_tile(spark, sf_dir):
     assert bytes(rows[0].pixels) == bytes(16)
 
 
-def test_decode_stub_raises():
+def test_decode_unsupported_format_raises():
+    # Codec formats remain the plug-in boundary (PIL slots in here).
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
+
+
+def test_decode_ppm_pgm_contract():
+    import numpy as np
+
+    # P6 with a comment line in the header: 2x2 RGB, known pixels.
+    raster = bytes(range(12))
+    arr = multimodal.decode_image(b"P6\n# a comment\n2 2\n255\n" + raster)
+    assert arr.shape == (2, 2, 3) and arr.dtype == np.uint8
+    assert arr.tobytes() == raster
+    assert arr[1, 0, 2] == 8  # row 1, col 0, blue = byte 6+2
+    # P5 grayscale 3x2.
+    g = bytes([10, 20, 30, 40, 50, 60])
+    arr = multimodal.decode_image(b"P5 3 2 255 " + g)
+    assert arr.shape == (2, 3, 1) and arr.tobytes() == g
+    # Truncated raster and bad dims are ValueError, not garbage pixels.
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n2 2\n255\n" + raster[:-1])
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n0 2\n255\n")
+    # 16-bit maxval is a named unsupported case.
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def _bmp_bytes(pixels_rgb, top_down=False):
+    """Minimal uncompressed 24-bit BMP from an HxWx3 RGB nested list."""
+    import struct
+
+    h, w = len(pixels_rgb), len(pixels_rgb[0])
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    rows = pixels_rgb if top_down else pixels_rgb[::-1]
+    for row in rows:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])  # file order is BGR
+        line += bytes(stride - len(line))
+        raster += line
+    biheight = h if not top_down else -h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, biheight, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return bytes(header + raster)
+
+
+def test_decode_bmp_contract():
+    import numpy as np
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    for top_down in (False, True):
+        arr = multimodal.decode_image(_bmp_bytes(pixels, top_down=top_down))
+        assert arr.shape == (2, 3, 3) and arr.dtype == np.uint8
+        # Returned as RGB in top-down row order regardless of file order.
+        assert arr.tolist() == [[list(p) for p in row] for row in pixels]
+    with pytest.raises(ValueError):
+        multimodal.decode_image(_bmp_bytes(pixels)[:-3])
+
+
+def test_decode_image_features_mixed_media(spark):
+    # A decodable PPM next to an undecodable payload: the good row gets
+    # exact features, the bad row decode_ok=False with NULLs — a mixed
+    # corpus never kills the job.
+    ppm = b"P6\n2 1\n255\n" + bytes([9, 9, 9, 1, 2, 3])
+    df = spark.createDataFrame(
+        [(1, ppm), (2, b"not an image")], "doc_id bigint, content binary"
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_image_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (2, 1, 3)
+    assert out[1]["pixel_sum"] == 9 * 3 + 1 + 2 + 3 and out[1]["decode_ok"] is True
+    assert out[2]["decode_ok"] is False and out[2]["pixel_sum"] is None
 
 
 def test_connected_components_known_graph(spark):
