@@ -127,3 +127,80 @@ def test_stream_dedup_drops_replayed_events(spark, stream_path, tmp_path):
         mode="append",
     )
     assert {r.event_id for r in got_unbounded} == {r.event_id for r in got}
+
+
+# ------------------------------------------------- streaming dedup ingest
+
+DEDUP_ROOT = "/root/repo/.tmp/stream_dedup"
+
+
+def _dedup_paths():
+    import os
+
+    shutil.rmtree(DEDUP_ROOT, ignore_errors=True)
+    os.makedirs(f"{DEDUP_ROOT}/in", exist_ok=True)
+    return (
+        f"{DEDUP_ROOT}/in",
+        f"{DEDUP_ROOT}/corpus",
+        f"{DEDUP_ROOT}/fp",
+        f"{DEDUP_ROOT}/ckpt",
+    )
+
+
+def _drop_jsonl(indir: str, name: str, docs: list[tuple[int, str]]) -> None:
+    import json
+
+    with open(f"{indir}/{name}", "w") as f:
+        for doc_id, text in docs:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _drain(spark, indir, corpus, fp, ckpt):
+    from rta_registrations_pyspark_glue_spark.streaming import dedup as sd
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    q = sd.stream_dedup_ingest(stream, corpus, fp, ckpt)
+    q.awaitTermination(120)
+
+
+def test_stream_dedup_ingest_across_batches(spark):
+    indir, corpus, fp, ckpt = _dedup_paths()
+    # Drop 1: an in-batch duplicate pair (2 vs 3 — min id 2 wins).
+    _drop_jsonl(indir, "d1.jsonl", [(1, "alpha"), (2, "beta"), (3, "beta")])
+    _drain(spark, indir, corpus, fp, ckpt)
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()}
+    assert got == {(1, "alpha"), (2, "beta")}
+    # Drop 2: a history duplicate ('alpha') plus a new doc — the store
+    # probe kills the former, keeps the latter; the store grows.
+    _drop_jsonl(indir, "d2.jsonl", [(4, "alpha"), (5, "gamma")])
+    _drain(spark, indir, corpus, fp, ckpt)
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+    fps = spark.read.parquet(fp).collect()
+    assert len(fps) == 3 and {r.batch_id for r in fps} == {0, 1}
+
+
+def test_stream_dedup_replay_is_idempotent(spark):
+    from rta_registrations_pyspark_glue_spark.streaming.dedup import ingest_dedup_batch
+
+    indir, corpus, fp, ckpt = _dedup_paths()
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(3, "beta"), (4, "gamma")], ["doc_id", "text"])
+    ingest_dedup_batch(spark, b0, 0, corpus, fp)
+    ingest_dedup_batch(spark, b1, 1, corpus, fp)
+    want_corpus = {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()}
+    want_fp = {(r.doc_id, r.fp_md5) for r in spark.read.parquet(fp).collect()}
+    assert {d for d, _ in want_corpus} == {1, 2, 4}
+    # REPLAY batch 1 (the crashed-then-restarted foreachBatch case): its
+    # own already-written fingerprints are excluded from the probe, so
+    # the survivor set recomputes identically and the partition
+    # overwrite lands the same bytes — state converges, nothing lost,
+    # nothing doubled.
+    ingest_dedup_batch(spark, b1, 1, corpus, fp)
+    assert {
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()
+    } == want_corpus
+    assert {(r.doc_id, r.fp_md5) for r in spark.read.parquet(fp).collect()} == want_fp
+    shutil.rmtree(DEDUP_ROOT, ignore_errors=True)
