@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Build a k-times-scaled copy of a testdata SF directory for the
+scaling study (VERDICT r5 item 1: measure the sf0.1->sf1 curve).
+
+The driver's testdata tops out at sf0.1; this tool synthesizes sfN
+(N = k * base_sf) by writing k key-shifted replicas of every base
+table, preserving the statistical shape a real TPC-H-style scale-up
+has:
+
+- ``region``/``nation`` stay fixed-size (TPC-H dims do not grow with
+  SF); every other table grows linearly.
+- Foreign keys are shifted consistently (replica i's orders reference
+  replica i's customers), so join fan-outs and group sizes per key are
+  IDENTICAL to the base — only the number of keys grows. That is
+  exactly TPC-H's own scaling law.
+- ``documents.text`` gets a per-replica Caesar cipher over letters: a
+  bijection on characters, so every within-replica relationship
+  (exact-dup groups, shingle Jaccard, simhash distance, repetition
+  stats, lengths) is preserved verbatim, while cross-replica shingle
+  overlap drops to ~zero. Near-dup pair volume therefore scales
+  linearly in k — the honest corpus-growth model (duplicate density
+  per doc constant) — instead of the k^2 blowup naive replication
+  would cause.
+- ``embeddings.embedding`` gets a per-replica ORTHOGONAL transform
+  (deterministic sign-flips + circular roll): norms and all
+  within-replica dot products are preserved exactly, while
+  cross-replica vectors decorrelate. Same linear-growth argument.
+
+Usage:
+    python tools/make_scaled_data.py [--base /root/testdata/sf0.1] \
+        [--k 10] [--out /root/repo/.scale/sf1]
+
+Pure pyarrow/numpy — no Spark needed; sf1 is ~170 MB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+FIXED_DIMS = {"region", "nation"}
+
+#: table -> {column: stride_source_table}; each listed column is shifted
+#: by replica_index * (base max of the stride source's own key + 1).
+KEY_COLS = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "__events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+#: stride-source name -> (table, key column) to take max+1 from.
+STRIDE_KEY = {
+    "customer": ("customer", "c_custkey"),
+    "supplier": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "orders": ("orders", "o_orderkey"),
+    "events": ("events", "event_id"),
+    "__events_user": ("events", "user_id"),
+    "documents": ("documents", "doc_id"),
+    "embeddings": ("embeddings", "vec_id"),
+}
+
+
+def _caesar_table(shift: int) -> dict[int, int]:
+    """Character translation table: rotate a-z and A-Z by ``shift``."""
+    tbl = {}
+    for base in (ord("a"), ord("A")):
+        for j in range(26):
+            tbl[base + j] = base + (j + shift) % 26
+    return tbl
+
+
+def _transform_documents(tab: pa.Table, replica: int) -> pa.Table:
+    if replica == 0:
+        return tab
+    shift = (replica * 7) % 26 or 13  # nonzero for every replica >= 1
+    trans = _caesar_table(shift)
+    texts = tab.column("text").to_pylist()
+    new_texts = [t.translate(trans) if t is not None else None for t in texts]
+    idx = tab.schema.get_field_index("text")
+    return tab.set_column(idx, tab.schema.field(idx), pa.array(new_texts, pa.string()))
+
+
+def _transform_embeddings(tab: pa.Table, replica: int) -> pa.Table:
+    if replica == 0:
+        return tab
+    col = tab.column("embedding").combine_chunks()
+    mat = np.array(col.to_pylist(), dtype=np.float32)
+    d = mat.shape[1]
+    # Deterministic per-replica orthogonal op: diagonal +-1 then roll.
+    rng = np.random.default_rng(1_000_003 * replica)
+    signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=d)
+    mat = np.roll(mat * signs, shift=(replica * 5) % d or 1, axis=1)
+    arr = pa.array(list(mat), pa.list_(pa.float32()))
+    idx = tab.schema.get_field_index("embedding")
+    return tab.set_column(idx, tab.schema.field(idx), arr)
+
+
+def build(base: str, out: str, k: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    tabs = {t: pq.read_table(f"{base}/{t}.parquet") for t in TABLES}
+    strides = {
+        name: pc.max(tabs[t].column(c)).as_py() + 1
+        for name, (t, c) in STRIDE_KEY.items()
+    }
+    for t in TABLES:
+        dest = f"{out}/{t}.parquet"
+        if t in FIXED_DIMS:
+            shutil.copyfile(f"{base}/{t}.parquet", dest)
+            continue
+        base_tab = tabs[t]
+        replicas = []
+        for i in range(k):
+            tab = base_tab
+            for col, src in KEY_COLS.get(t, {}).items():
+                if i == 0:
+                    continue
+                idx = tab.schema.get_field_index(col)
+                field = tab.schema.field(idx)
+                shifted = pc.cast(
+                    pc.add(tab.column(col), i * strides[src]), field.type
+                )
+                tab = tab.set_column(idx, field, shifted)
+            if t == "documents":
+                tab = _transform_documents(tab, i)
+            elif t == "embeddings":
+                tab = _transform_embeddings(tab, i)
+            replicas.append(tab)
+        merged = pa.concat_tables(replicas)
+        pq.write_table(merged, dest, row_group_size=1 << 20)
+        print(f"{t}: {base_tab.num_rows} -> {merged.num_rows} rows")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    args = ap.parse_args()
+    build(args.base, args.out, args.k)
+
+
+if __name__ == "__main__":
+    main()
