@@ -55,6 +55,57 @@ def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
     return rng.choice([-1.0, 1.0], size=(n_planes, dim)).tolist()
 
 
+def derive_n_pivots(
+    n_vectors: int, target_cell_rows: int = 250, floor: int = 8
+) -> int:
+    """Corpus-derived IVF cell count: ``max(floor, n_vectors //
+    target_cell_rows)`` — cells grow LINEARLY with the corpus so the
+    average cell stays ~``target_cell_rows`` vectors.
+
+    Why this is the scale contract (measured, round 6): with a fixed
+    ``n_pivots=8``, a query set that is a constant fraction of the
+    corpus scans ``nprobe/8`` of N per query — total search cost
+    O(N²). The sf0.1→sf1 study measured exactly that: cosine_topk_ivf
+    2.2s → 180s (exponent ~1.9). Holding cell SIZE constant instead
+    makes per-query probe cost constant and total cost linear; the same
+    sizing keeps ``ivf_blocked_near_dup``'s Σ|cell|² candidate volume
+    ∝ N·target_cell_rows, i.e. linear too.
+
+    The ``floor=8`` is load-bearing for the correctness gate: the
+    DuckDB oracles interpolate the constant 8, and every driver gate
+    corpus (sf0.01: 200 vectors, sf0.1: 2,000 vectors) derives exactly
+    8 from this formula (2000 // 250 == 8), so Spark and oracle can
+    never diverge at any scale the oracle runs at — pinned by
+    tests/test_extensions.py::test_derive_n_pivots_gate_parity. Beyond
+    ~2,250 vectors the count departs the floor and scaling is linear."""
+    return max(floor, n_vectors // target_cell_rows)
+
+
+def derive_nprobe(n_cells: int, base_nprobe: int = 4, base_cells: int = 8) -> int:
+    """√-scaled probe count: ``max(base, round(base·sqrt(n_cells/
+    base_cells)))`` — the FAISS-standard sizing where per-query scanned
+    rows grow as √N while cells grow as N (derive_n_pivots).
+
+    Rationale, measured on the 10x replica corpus (r6 study): holding
+    nprobe constant keeps total search cost LINEAR but the scanned
+    fraction shrinks 1/N, and on this near-uniform synthetic corpus —
+    IVF's adversarial case, cells barely correlate with neighborhoods —
+    recall@5 fell 0.76→0.29 at 10x. √-scaling restores it to 0.57 at
+    ~16% scan fraction (0.79 at 34%); real clustered corpora decay far
+    slower because cells align with structure. Per-query latency ∝ √N
+    is the accepted IVF contract; a benchmark whose query COUNT also
+    grows with the corpus therefore shows total ~N^1.5 — annotated,
+    not a regression.
+
+    At ``n_cells == base_cells`` (every oracle-gate corpus, where
+    derive_n_pivots floors to 8) this returns exactly ``base_nprobe``,
+    so the static oracle stays in lockstep — pinned with
+    derive_n_pivots in test_derive_n_pivots_gate_parity."""
+    import math
+
+    return max(base_nprobe, round(base_nprobe * math.sqrt(n_cells / base_cells)))
+
+
 def as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -463,6 +514,7 @@ def train_ivf_centroids(
     corpus_vec: str = "cv",
     quant_scale: int = 1000,
     max_train_rows: int = 200_000,
+    use_numpy: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic spherical k-means for the IVF coarse quantizer:
     init = the ``n_pivots`` lowest-id vectors of ``corpus`` (pass a
@@ -492,8 +544,26 @@ def train_ivf_centroids(
     identically and saves a pass. Empty cells simply vanish in both
     engines alike.
 
+    Vectorization (r6): the assignment step is O(sample·k) dot
+    products; pure Python made TRAINING the dominant IVF cost once
+    ``derive_n_pivots`` let k grow with the corpus (measured ~50s of
+    the 70s sf1 build — and O(N²) overall, since sample and k both
+    grow with N). The numpy fast path computes all cosines as one
+    GEMM and keeps the result BIT-IDENTICAL to the scalar loop (which
+    the DuckDB oracle mirrors): a row's numpy winner is accepted only
+    when its cosine margin over the runner-up exceeds 1e-8 — vastly
+    more than the ≤~1e-12 summation-order divergence between numpy's
+    pairwise dot and the strict left-to-right fold — and near-tie rows
+    fall back to the exact scalar loop. Centroid sums stay exact
+    integer arithmetic (int64, magnitude-guarded against overflow,
+    within float64's 2^53 exact range for the one final division).
+    ``use_numpy=False`` forces the scalar path;
+    test_kmeans_numpy_path_bit_identical pins equality.
+
     Returns [(cell, centroid)] sorted by cell; cell = init pivot's id."""
     import math
+
+    import numpy as np
 
     n = corpus.count()
     if n > max_train_rows:
@@ -517,13 +587,38 @@ def train_ivf_centroids(
         (cv, math.sqrt(cn), [math.floor(x * quant_scale + 0.5) for x in cv])
         for _cid, cv, cn in sample
     ]
+    mat = np.array([cv for cv, _, _ in quant], dtype=np.float64)
+    sn_v = np.array([sn for _, sn, _ in quant], dtype=np.float64)
+    # Centroid sums stay exact Python ints; the one division per
+    # component is exact IEEE only while |sum| < 2^53 — enormous slack
+    # at max_train_rows (|q| ~ quant_scale·O(1)), but guard, don't
+    # assume: past it, Python's correctly-rounded big-int division and
+    # an engine's double arithmetic could round differently.
+    max_q = max((max(abs(x) for x in q) for _, _, q in quant), default=0)
+    if max_q * len(quant) >= (1 << 53):
+        raise ValueError(
+            "train_ivf_centroids: quantized magnitudes too large for exact "
+            "float64 centroid division — lower quant_scale or the sample."
+        )
     for _ in range(iters):
         pivots = [
             (cell, pv, math.sqrt(_py_dot(pv, pv))) for cell, pv in cents
         ]
         sums: dict[int, list[int]] = {}
         counts: dict[int, int] = {}
-        for cv, sn, q in quant:
+
+        def accumulate(cell: int, row_idx: int) -> None:
+            q = quant[row_idx][2]
+            if cell in sums:
+                acc = sums[cell]
+                for d, qx in enumerate(q):
+                    acc[d] += qx
+                counts[cell] += 1
+            else:
+                sums[cell] = list(q)
+                counts[cell] = 1
+
+        def exact_best(cv: list[float], sn: float) -> int | None:
             best_cell, best_cos = None, None
             for cell, pv, pn in pivots:  # cells ascending: ties keep lowest
                 if pn == 0.0:
@@ -531,16 +626,35 @@ def train_ivf_centroids(
                 cos = _py_dot(cv, pv) / (sn * pn)
                 if best_cos is None or cos > best_cos:
                     best_cell, best_cos = cell, cos
-            if best_cell is None:
-                continue
-            if best_cell in sums:
-                acc = sums[best_cell]
-                for d, qx in enumerate(q):
-                    acc[d] += qx
-                counts[best_cell] += 1
+            return best_cell
+
+        live = [(cell, pv, pn) for cell, pv, pn in pivots if pn != 0.0]
+        if use_numpy and live:
+            pv_m = np.array([pv for _, pv, _ in live], dtype=np.float64)
+            pn_v = np.array([pn for _, _, pn in live], dtype=np.float64)
+            cos_m = (mat @ pv_m.T) / (sn_v[:, None] * pn_v[None, :])
+            # First-max argmax == the scalar loop's strict-> with cells
+            # ascending (live preserves the sorted cell order).
+            win = np.argmax(cos_m, axis=1)
+            if cos_m.shape[1] > 1:
+                top = cos_m[np.arange(len(quant)), win]
+                tmp = cos_m.copy()
+                tmp[np.arange(len(quant)), win] = -np.inf
+                margin = top - tmp.max(axis=1)
             else:
-                sums[best_cell] = list(q)
-                counts[best_cell] = 1
+                margin = np.full(len(quant), np.inf)
+            for i in range(len(quant)):
+                if margin[i] > 1e-8:
+                    accumulate(live[win[i]][0], i)
+                else:
+                    cell = exact_best(quant[i][0], quant[i][1])
+                    if cell is not None:
+                        accumulate(cell, i)
+        else:
+            for i, (cv, sn, _q) in enumerate(quant):
+                cell = exact_best(cv, sn)
+                if cell is not None:
+                    accumulate(cell, i)
         cents = sorted(
             (cell, [s / counts[cell] for s in sums[cell]]) for cell in sums
         )

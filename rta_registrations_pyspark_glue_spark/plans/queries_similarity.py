@@ -36,22 +36,26 @@ register_release_hook(_IVF_MEMO.clear)
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> similarity.IvfIndex:
-    """The session's memoized IVF index, built with the SAME constants
-    the oracles interpolate (8 pivots, mod-4 training sample) — the
-    Spark side and the DuckDB mirror must never be parameterized
-    independently, or the gate fails spuriously the moment they
-    diverge. A production deployment sizes n_pivots ≈ corpus/target
-    cell size instead (bounded cells keep the near-dup candidate volume
-    Σ|cell|² LINEAR in the corpus — see ivf_blocked_near_dup), but that
-    sizing must flow into a regenerated oracle, not around it; at every
-    testdata scale here (≤5k vectors) 8 cells already bound cells to
-    ~625 vectors."""
+    """The session's memoized IVF index, sized by
+    ``similarity.derive_n_pivots`` — cells grow with the corpus so cell
+    SIZE stays ~constant, which is what keeps both topk search cost and
+    the near-dup Σ|cell|² candidate volume LINEAR in N (the r6 scaling
+    study measured the fixed-8 alternative at exponent ~1.9).
+
+    Oracle parity is preserved BY CONSTRUCTION, not by luck: the DuckDB
+    oracles interpolate the constant 8, and the formula's floor derives
+    exactly 8 at every corpus the oracle runs against (sf0.01: 200
+    vectors, sf0.1: 2,000 → 2000//250 == 8) — pinned by
+    test_derive_n_pivots_gate_parity, so the Spark side and the mirror
+    cannot be parameterized independently at gate scales. Beyond ~2,250
+    vectors (no oracle runs there) the count departs the floor."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_MEMO:
         _, c = _queries_corpus(spark, sf_dir)
+        corpus = c.drop("label")
         _IVF_MEMO[key] = similarity.ivf_build(
-            c.drop("label"),
-            n_pivots=8,
+            corpus,
+            n_pivots=similarity.derive_n_pivots(corpus.count()),
             train_iters=2,
             train_sample_mod=IVF_TRAIN_SAMPLE_MOD,
             centroids=_IVF_CENTROIDS.get(sf_dir),
@@ -222,7 +226,10 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     those cells (one equi-join shuffle, no crossJoin, no assignment
     window)."""
     q, _ = _queries_corpus(spark, sf_dir)
-    return similarity.ivf_search(_ivf_index(spark, sf_dir), q, k=5, nprobe=4)
+    idx = _ivf_index(spark, sf_dir)
+    return similarity.ivf_search(
+        idx, q, k=5, nprobe=similarity.derive_nprobe(len(idx.centroids))
+    )
 
 
 # The former embedding_near_dup_pairs gate entry (exact all-pairs theta

@@ -134,6 +134,42 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert trained_recall >= 0.65, f"trained IVF recall too low: {trained_recall:.2f}"
 
 
+def test_derive_n_pivots_gate_parity():
+    """The corpus-derived IVF cell count must land EXACTLY on the
+    oracle's interpolated constant (8) at every corpus the driver gate
+    evaluates the oracle against — sf0.01 has 200 embedding rows,
+    sf0.1 has 2,000. If this floor ever moves, the static oracle SQL
+    and the Spark query diverge and the gate fails spuriously."""
+    assert similarity.derive_n_pivots(200) == 8  # sf0.01 gate corpus
+    assert similarity.derive_n_pivots(2000) == 8  # sf0.1 corpus
+    # Beyond the floor: cells grow linearly, holding cell size ~250 —
+    # the property that keeps search cost and near-dup candidate
+    # volume linear in N (r6 scaling study).
+    assert similarity.derive_n_pivots(20_000) == 80
+    assert similarity.derive_n_pivots(1_000_000) == 4_000
+    # nprobe: exactly the oracle's interpolated 4 at the gate's 8 cells,
+    # √-scaled beyond (per-query scanned rows ∝ √N — see derive_nprobe).
+    assert similarity.derive_nprobe(8) == 4
+    assert similarity.derive_nprobe(80) == 13
+    assert similarity.derive_nprobe(800) == 40
+
+
+def test_kmeans_numpy_path_bit_identical(spark, sf_dir):
+    """The GEMM-vectorized Lloyd assignment must produce EXACTLY the
+    scalar loop's centroids (the DuckDB oracle mirrors the scalar
+    semantics, so any divergence is a silent gate breaker). Run at two
+    cell counts to exercise both sparse and dense tie geometry."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    for k in (8, 40):
+        fast = similarity.train_ivf_centroids(emb, n_pivots=k, iters=3)
+        slow = similarity.train_ivf_centroids(
+            emb, n_pivots=k, iters=3, use_numpy=False
+        )
+        assert fast == slow, f"numpy/scalar k-means diverged at k={k}"
+
+
 def test_ivf_index_built_once_across_searches(spark, sf_dir, monkeypatch):
     """Build-once/search-many contract: the second invocation of the
     registered IVF query must reuse the session-memoized index — no
