@@ -819,15 +819,169 @@ def ivf_search(
     nprobe: int = 2,
     query_id: str = "qid",
     query_vec: str = "qv",
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
-    """Search a built IVF index: each query picks its ``nprobe`` nearest
-    centroids scan-side (no crossJoin, no window), then exact top-k
-    within the probed cells only — the single shuffle is the cell
-    equi-join against the persisted assignment, scanning ~nprobe/n_cells
-    of the corpus per query.
+    """Search a built IVF index; exact top-k within each query's
+    ``nprobe`` nearest cells. Output: (qid, cid, rank, cosine) —
+    approximate (recall < 1) by design. Two physical strategies, same
+    bit-exact result (both mirror the oracle's fold arithmetic):
 
-    Output: (qid, cid, rank, cosine) — approximate (recall < 1) by
-    design."""
+    - BROADCAST-GEMM (default, query set ≤ ``max_broadcast_queries``):
+      queries are collected once, probed cells computed driver-side,
+      and the corpus ASSIGNMENT streams through mapInPandas — each
+      Arrow batch runs one column-fold GEMM per resident cell against
+      only the queries probing that cell, emits boundary-tie-safe local
+      top-k, and a final slim window merges. Work = the true candidate
+      volume Σ n_q(cell)·|cell|; the corpus transfers ONCE (no
+      per-pair vector duplication). The r6 study measured the
+      per-pair join alternative at 36s for 6.5M candidates at sf1 —
+      all join-materialization and Arrow width, not math.
+    - PER-PAIR JOIN (fallback for query sets too big to broadcast):
+      scan-side probe explode + cell equi-join + vectorized scoring;
+      one shuffle, scanning ~nprobe/n_cells of the corpus per query.
+
+    Driver-side probe ranking is O(n_q · n_cells) column-fold lanes —
+    fine to ~1e9 (e.g. 100k queries × 4k cells × 64 dims); past that,
+    lower ``max_broadcast_queries`` to force the join path."""
+    if 0 <= queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries:
+        return _ivf_search_broadcast(index, queries, k, nprobe, query_id, query_vec)
+    return _ivf_search_join(index, queries, k, nprobe, query_id, query_vec)
+
+
+def _ivf_search_broadcast(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """Broadcast-GEMM strategy (see ivf_search). Exactness notes: query
+    norms use the driver fold (_py_dot — identical to the Spark fold);
+    probe ranking mirrors _cell_scores_sql bit-for-bit (column-fold
+    cosine against the same centroid-norm literals, stable argsort on
+    negated cosine over cell-ascending centroids == array_sort's
+    (negcos, cell) order, numpy and Spark both placing NaN last);
+    pair scoring is the exact column fold; local top-k keeps every
+    score >= the k-th best so boundary ties always reach the final
+    window, which applies the same (cosine DESC, cid ASC) total
+    order."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    corpus_id = index.corpus_id
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array(
+        [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
+    )
+    qn = np.array([_py_dot(list(v), list(v)) for v in q_mat])
+    keep = qn > 0
+    q_ids, q_mat, qn = q_ids[keep], q_mat[keep], qn[keep]
+    q_sqrtn = np.sqrt(qn)
+
+    cells = np.array([cell for cell, _ in index.centroids], dtype=np.int64)
+    cent_m = np.array([cv for _, cv in index.centroids], dtype=np.float64)
+    cent_nrm = np.array(
+        [math.sqrt(_py_dot(cv, cv)) for _, cv in index.centroids]
+    )
+    # negcos[q, c] = -(fold_dot(qv, cv) / (sqrt(qn) * nrm_c)) — column
+    # fold keeps every lane bit-identical to the SQL expression;
+    # division by a zero centroid norm yields ±inf/NaN exactly as SQL.
+    acc = np.zeros((len(q_mat), len(cells)))
+    for d in range(q_mat.shape[1]):
+        acc += np.outer(q_mat[:, d], cent_m[:, d])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        negcos = -(acc / np.outer(q_sqrtn, cent_nrm))
+    # Stable argsort on negcos over cell-ascending columns == sorting
+    # (negcos, cell) ascending; NaN sorts last in numpy and Spark alike.
+    order = np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
+    cell2q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in cells[order[qi]]:
+            cell2q.setdefault(int(c), []).append(qi)
+    cell2q_np = {c: np.array(v) for c, v in cell2q.items()}
+
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_sqrtn, cell2q_np))
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(corpus_id, index.assignment.schema[corpus_id].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def op(batches):
+        ids, mat, sqrtn, c2q = bq.value
+        for pdf in batches:
+            by_cell = pdf.groupby("__cell", sort=False)
+            frames = []
+            for cell, grp in by_cell:
+                qidx = c2q.get(int(cell))
+                if qidx is None or len(grp) == 0:
+                    continue
+                c_ids = grp[corpus_id].to_numpy()
+                c_mat = np.stack(grp["__cv"].map(np.asarray)).astype(np.float64)
+                c_sqrtn = np.sqrt(grp["__cn"].to_numpy())
+                gacc = np.zeros((len(qidx), len(c_ids)))
+                for d in range(c_mat.shape[1]):
+                    gacc += np.outer(mat[qidx][:, d], c_mat[:, d])
+                cos = gacc / np.outer(sqrtn[qidx], c_sqrtn)
+                self_mask = ids[qidx][:, None] == c_ids[None, :]
+                # Local prune: keep >= the k-th best NON-SELF score per
+                # query (boundary ties all survive; the final window
+                # resolves them with the exact total order).
+                masked = np.where(self_mask, -np.inf, cos)
+                local_k = min(k, masked.shape[1])
+                kth = np.partition(masked, -local_k, axis=1)[:, -local_k]
+                keep_m = (masked >= kth[:, None]) & ~self_mask
+                qi_idx, ci_idx = np.nonzero(keep_m)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id: ids[qidx][qi_idx],
+                            corpus_id: c_ids[ci_idx],
+                            "cosine": cos[qi_idx, ci_idx],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    # STATIC pruning to the union of probed cells: a literal IN filter
+    # on the partition column, so a durable cell-partitioned index
+    # (ivf_read_index) skips unprobed cells at the file-listing level —
+    # the broadcast-path analogue of the join path's dynamic partition
+    # pruning — and the in-memory assignment drops them scan-side.
+    probed_cells = sorted(cell2q_np)
+    scored = (
+        index.assignment.select(corpus_id, "__cv", "__cn", "__cell")
+        .filter(F.col("__cell").isin(probed_cells))
+        .mapInPandas(op, schema=out_schema)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", "cosine")
+    )
+
+
+def _ivf_search_join(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Per-pair-join strategy (see ivf_search): scan-side probe explode,
+    cell equi-join against the persisted assignment, exact vectorized
+    scoring, window top-k."""
     corpus_id = index.corpus_id
     q = (
         queries.select(F.col(query_id), as_double(query_vec).alias("__qv"))

@@ -154,6 +154,28 @@ def test_derive_n_pivots_gate_parity():
     assert similarity.derive_nprobe(800) == 40
 
 
+def test_ivf_search_strategies_identical(spark, sf_dir):
+    """Broadcast-GEMM and per-pair-join search must return IDENTICAL
+    rows (ids, ranks, bit-equal cosines) — they are physical strategies
+    for one logical operator, and the oracle checks whichever runs."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    idx = similarity.ivf_build(c, n_pivots=8, train_iters=2, train_sample_mod=4)
+    fast = {
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity._ivf_search_broadcast(idx, q, 5, 4, "qid", "qv").collect()
+    }
+    join = {
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity._ivf_search_join(idx, q, k=5, nprobe=4).collect()
+    }
+    assert fast == join
+    assert len(fast) > 0
+
+
 def test_kmeans_numpy_path_bit_identical(spark, sf_dir):
     """The GEMM-vectorized Lloyd assignment must produce EXACTLY the
     scalar loop's centroids (the DuckDB oracle mirrors the scalar
@@ -216,11 +238,21 @@ def test_ivf_index_durable_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
     similarity.ivf_write_index(idx, path)
     loaded = similarity.ivf_read_index(spark, path)
     assert loaded.centroids == idx.centroids
+    # Broadcast-GEMM strategy: STATIC partition pruning — the literal
+    # probed-cell IN filter must reach the partitioned scan.
     out = similarity.ivf_search(loaded, q, k=5, nprobe=2)
     r2 = sorted((r.qid, r.cid, r.rank, r.cosine) for r in out.collect())
     assert r1 == r2 and len(r1) > 0
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan, plan
+    scan_part = plan.split("PartitionFilters: [")
+    filt = scan_part[1].split("]")[0] if len(scan_part) > 1 else ""
+    assert "cell" in filt and " IN (" in filt, plan
+    # Join strategy on the same loaded index: DYNAMIC partition pruning.
+    out_j = similarity._ivf_search_join(loaded, q, k=5, nprobe=2)
+    r3 = sorted((r.qid, r.cid, r.rank, r.cosine) for r in out_j.collect())
+    assert r1 == r3
+    plan_j = out_j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan_j, plan_j
 
 
 def test_embedding_near_dup_ivf_matches_duckdb_mirror(spark, sf_dir):
@@ -306,12 +338,21 @@ def test_ivf_search_plan_shape(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     idx = similarity.ivf_build(c, n_pivots=8, train_iters=1, train_sample_mod=4)
+    # Join strategy: the probe side must broadcast; never a nested loop.
     plan = (
-        similarity.ivf_search(idx, q, k=5, nprobe=2)
+        similarity._ivf_search_join(idx, q, k=5, nprobe=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # Broadcast-GEMM strategy (the default): no pair join exists at all —
+    # the corpus streams once through mapInPandas; still no nested loop.
+    plan_b = (
+        similarity.ivf_search(idx, q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_b, plan_b
+    assert "NestedLoop" not in plan_b and "Cartesian" not in plan_b, plan_b
 
 
 def test_fast_ann_matches_fold_pairs(spark, sf_dir):
