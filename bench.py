@@ -176,10 +176,32 @@ def main() -> None:
         "sf": sf,
     }
     scaling = measure_scaling(spark, qs, times)
-    if scaling is not None:
-        out["scaling"] = scaling
-    print(json.dumps(out))
     spark.stop()
+    emit(out, scaling)
+
+
+def emit(out: dict, scaling, sink=print) -> None:
+    """Publish bench results with the driver contract intact.
+
+    The scaling block is published SEPARATELY from the headline line:
+    r6 merged them into one line, the line outgrew the driver's tail
+    capture, and the round's official bench signal was lost
+    (BENCH_r06.json parsed:null). Now: scaling goes to its own stdout
+    line (prefixed ``SCALING ``, so no parser mistakes it for the
+    headline) AND to the scaling_bench.json sidecar (scaling.json stays
+    the curated full-study output of tools/scaling_study.py); the
+    compact headline JSON — metric/value/queries/scopes/cold_start/sf
+    only — is the LAST line printed.
+    """
+    if scaling is not None:
+        sink("SCALING " + json.dumps(scaling))
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scaling_bench.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(scaling, fh, indent=1)
+    allowed = {"metric", "value", "unit", "queries", "scopes", "cold_start_sec", "sf"}
+    sink(json.dumps({k: v for k, v in out.items() if k in allowed}))
 
 
 def measure_scaling(spark, qs, base_times: dict[str, float]):
@@ -202,18 +224,24 @@ def measure_scaling(spark, qs, base_times: dict[str, float]):
         return round(time.perf_counter() - t0, 3)
 
     t_bigs = {name: run(name) for name in SCALING_SUBSET}
+    passes = {name: 1 for name in SCALING_SUBSET}
     caching.release_tracked()
     # Adaptive re-measure: cold-pass/JVM-session noise at these absolute
     # times can read as a fake red flag (the r6 study measured
     # near_dup_clusters at exp 1.31 cold vs 0.80 isolated-warm). Queries
     # whose single-pass exponent exceeds 1.0 get up to two warm re-runs
     # (min wins) — a genuinely super-linear query stays super-linear
-    # warm, while JIT/page-cache/GC effects converge away.
+    # warm, while JIT/page-cache/GC effects converge away. Each row
+    # records how many passes produced its number ("passes") so readers
+    # can see which exponents got the min-of-N treatment (the estimator
+    # is one-sided by design: it only ever CLEARS red flags, never
+    # hides a warm-measured super-linear query).
     for name in t_bigs:
         for _try in range(2):
             if t_bigs[name] <= 10 * base_times[name]:
                 break
             t_bigs[name] = min(t_bigs[name], run(name))
+            passes[name] += 1
             caching.release_tracked()
     caching.release_tracked()
     rows = {
@@ -221,6 +249,7 @@ def measure_scaling(spark, qs, base_times: dict[str, float]):
             "t_base": base_times[name],
             "t_big": t_big,
             "exponent": round(math.log(t_big / base_times[name]) / math.log(10), 3),
+            "passes": passes[name],
         }
         for name, t_big in t_bigs.items()
     }

@@ -1,0 +1,96 @@
+"""Pin the bench.py output contract the driver depends on.
+
+Round-6 regression: the scaling block was merged into the single
+headline JSON line, the line outgrew the driver's tail capture, and
+BENCH_r06.json recorded ``parsed: null`` — the round's perf signal was
+lost. These tests pin the fixed contract:
+
+* the LAST line printed is the compact headline JSON (metric/value/
+  unit/queries/scopes/cold_start_sec/sf only — nothing else rides it);
+* the scaling block, when present, is its own earlier line with a
+  ``SCALING `` prefix so no tail parser confuses it for the headline,
+  and is mirrored to the scaling_bench.json sidecar;
+* the headline line stays small even with the full query roster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _fake_out():
+    times = {name: 1.234 for name in bench.HEADLINE}
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "scopes": {n: bench.SCOPES.get(n, 1) for n in bench.HEADLINE},
+        "cold_start_sec": 9.9,
+        "sf": 0.1,
+    }
+
+
+def _fake_scaling():
+    return {
+        "scale_factor_ratio": 10,
+        "big_dir": "/root/repo/.scale/sf1",
+        "queries": {
+            name: {"t_base": 1.0, "t_big": 10.0, "exponent": 1.0, "passes": 1}
+            for name in bench.SCALING_SUBSET
+        },
+        "excluded": bench.SCALING_EXCLUDED,
+    }
+
+
+def test_headline_is_last_line_and_parseable(tmp_path, monkeypatch):
+    lines = []
+    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append)
+    assert len(lines) == 2
+    last = json.loads(lines[-1])
+    assert last["metric"] == "headline_queries_total"
+    assert set(last) == {
+        "metric", "value", "unit", "queries", "scopes", "cold_start_sec", "sf"
+    }
+    assert "scaling" not in last
+
+
+def test_scaling_line_is_prefixed_and_valid_json():
+    lines = []
+    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append)
+    assert lines[0].startswith("SCALING ")
+    block = json.loads(lines[0][len("SCALING "):])
+    assert block["scale_factor_ratio"] == 10
+    assert set(block["queries"]) == set(bench.SCALING_SUBSET)
+
+
+def test_headline_line_stays_under_tail_capture():
+    lines = []
+    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append)
+    # The r6 merged line was >8 KiB and fell off the driver's tail
+    # capture; the compact headline must stay well inside it.
+    assert len(lines[-1]) < 4096
+
+
+def test_no_scaling_emits_single_headline_line():
+    lines = []
+    bench.emit(_fake_out(), None, sink=lines.append)
+    assert len(lines) == 1
+    assert json.loads(lines[0])["metric"] == "headline_queries_total"
+
+
+def test_sidecar_written(monkeypatch, tmp_path):
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    lines = []
+    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append)
+    sidecar = tmp_path / "scaling_bench.json"
+    assert sidecar.exists()
+    assert json.loads(sidecar.read_text())["scale_factor_ratio"] == 10
