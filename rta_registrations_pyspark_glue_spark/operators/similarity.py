@@ -334,7 +334,21 @@ def _attach_pair_vectors(
 ) -> DataFrame:
     """Join the corpus vectors (+ fold norms) onto (id_a, id_b) candidate
     pairs — the shared front half of both verification variants, so the
-    zero-norm filter and the __ea/__na column protocol live once."""
+    zero-norm filter and the __ea/__na column protocol live once.
+
+    The ``__n > 0`` filter is ALSO the null gate for the vectorized
+    scorers downstream: a NULL vector element nullifies the whole SQL
+    fold (acc + NULL = NULL, and NULL > 0 filters the row). This
+    matters because Arrow converts list nulls to NaN, and a NaN cosine
+    is KEPT by the >=-threshold semantics while the old NULL cosine was
+    dropped — without this gate the vectorized path would diverge from
+    the expression fold and the DuckDB mirror on null-bearing vectors.
+    Vectors with GENUINE NaN elements, by contrast, pass the gate
+    (Spark orders NaN above every number, so NaN > 0 is true) and keep
+    NaN-greatest semantics consistently on all three paths: SQL fold
+    (NaN cosine passes >=), numpy (~(cos < t) keeps NaN), and DuckDB
+    (NaN-greatest ordering). Pinned by
+    test_cosine_verify_null_vs_nan_vector_semantics."""
     v = (
         df.select(F.col(id_col), as_double(vec_col).alias("__e"))
         .withColumn("__n", dot("__e", "__e"))
@@ -418,6 +432,12 @@ def cosine_verify(
                 pdf["__na"].to_numpy(),
                 pdf["__nb"].to_numpy(),
             )
+            # NaN cosines here come only from GENUINE NaN data elements
+            # (null-element and zero-norm vectors were dropped by
+            # _attach_pair_vectors' __n > 0 gate — see its docstring);
+            # ~(cos < t) keeps them, exactly as the SQL fold's NaN
+            # cosine passes >= under Spark's NaN-greatest semantics and
+            # as DuckDB's NaN-greatest ordering does in the oracle.
             keep = ~(cos < threshold)
             yield pd.DataFrame(
                 {
@@ -848,6 +868,13 @@ def ivf_search(
     return _ivf_search_join(index, queries, k, nprobe, query_id, query_vec)
 
 
+#: Max queries per dense GEMM inside the broadcast search op. Bounds the
+#: per-cell scratch matrix at CHUNK x arrow_batch_rows x 8 bytes
+#: (~330 MB at the 10k default Arrow batch) even when probe skew sends
+#: every broadcast query into one hot cell.
+_GEMM_QUERY_CHUNK = 4096
+
+
 def _ivf_search_broadcast(
     index: IvfIndex,
     queries: DataFrame,
@@ -874,6 +901,22 @@ def _ivf_search_broadcast(
 
     corpus_id = index.corpus_id
     q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        # Zero queries: np.array([]) is 1-D, so the centroid GEMM's
+        # q_mat.shape[1] would raise; return the empty result with the
+        # search output schema directly (the join path did this
+        # naturally via an empty join).
+        from pyspark.sql.types import IntegerType
+
+        empty_schema = StructType(
+            [
+                StructField(query_id, queries.schema[query_id].dataType),
+                StructField(corpus_id, index.assignment.schema[corpus_id].dataType),
+                StructField("rank", IntegerType()),
+                StructField("cosine", DoubleType()),
+            ]
+        )
+        return queries.sparkSession.createDataFrame([], empty_schema)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array(
         [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
@@ -927,28 +970,37 @@ def _ivf_search_broadcast(
                 c_ids = grp[corpus_id].to_numpy()
                 c_mat = np.stack(grp["__cv"].map(np.asarray)).astype(np.float64)
                 c_sqrtn = np.sqrt(grp["__cn"].to_numpy())
-                gacc = np.zeros((len(qidx), len(c_ids)))
-                for d in range(c_mat.shape[1]):
-                    gacc += np.outer(mat[qidx][:, d], c_mat[:, d])
-                cos = gacc / np.outer(sqrtn[qidx], c_sqrtn)
-                self_mask = ids[qidx][:, None] == c_ids[None, :]
-                # Local prune: keep >= the k-th best NON-SELF score per
-                # query (boundary ties all survive; the final window
-                # resolves them with the exact total order).
-                masked = np.where(self_mask, -np.inf, cos)
-                local_k = min(k, masked.shape[1])
-                kth = np.partition(masked, -local_k, axis=1)[:, -local_k]
-                keep_m = (masked >= kth[:, None]) & ~self_mask
-                qi_idx, ci_idx = np.nonzero(keep_m)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id: ids[qidx][qi_idx],
-                            corpus_id: c_ids[ci_idx],
-                            "cosine": cos[qi_idx, ci_idx],
-                        }
+                # Chunk the query axis: a hot cell probed by Q queries
+                # against a B-row Arrow batch would otherwise allocate
+                # a dense Q x B float64 (multi-GB at Q=100k under probe
+                # skew). Each chunk bounds the scratch at
+                # _GEMM_QUERY_CHUNK x B x 8 bytes; the local top-k is
+                # per-query, so chunking the query axis changes nothing
+                # semantically.
+                for start in range(0, len(qidx), _GEMM_QUERY_CHUNK):
+                    qc = qidx[start : start + _GEMM_QUERY_CHUNK]
+                    gacc = np.zeros((len(qc), len(c_ids)))
+                    for d in range(c_mat.shape[1]):
+                        gacc += np.outer(mat[qc][:, d], c_mat[:, d])
+                    cos = gacc / np.outer(sqrtn[qc], c_sqrtn)
+                    self_mask = ids[qc][:, None] == c_ids[None, :]
+                    # Local prune: keep >= the k-th best NON-SELF score
+                    # per query (boundary ties all survive; the final
+                    # window resolves them with the exact total order).
+                    masked = np.where(self_mask, -np.inf, cos)
+                    local_k = min(k, masked.shape[1])
+                    kth = np.partition(masked, -local_k, axis=1)[:, -local_k]
+                    keep_m = (masked >= kth[:, None]) & ~self_mask
+                    qi_idx, ci_idx = np.nonzero(keep_m)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                query_id: ids[qc][qi_idx],
+                                corpus_id: c_ids[ci_idx],
+                                "cosine": cos[qi_idx, ci_idx],
+                            }
+                        )
                     )
-                )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

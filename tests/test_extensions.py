@@ -1051,3 +1051,78 @@ def test_bpe_token_count_cross_engine(spark):
             f"SELECT len(regexp_extract_all(?, '{lit}'))", [s]
         ).fetchone()
         assert got[i] == want, (i, repr(s), got[i], want)
+
+
+def test_ivf_search_broadcast_empty_queries(spark, sf_dir):
+    """Zero queries must return an empty DataFrame with the search
+    output schema, not IndexError — ivf_search's dispatch routes
+    count 0 to the broadcast path (ADVICE r6)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    idx = similarity.ivf_build(c, n_pivots=8, train_iters=2, train_sample_mod=4)
+    q = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = similarity.ivf_search(idx, q, k=5, nprobe=2)
+    assert out.columns == ["qid", "cid", "rank", "cosine"]
+    assert out.count() == 0
+    # Also the all-zero-norm degenerate: rows collected, all filtered.
+    qz = spark.createDataFrame(
+        [(1, [0.0] * 16)], "qid long, qv array<double>"
+    )
+    idx16 = similarity.ivf_build(
+        spark.createDataFrame(
+            [(i, [float(i + d) for d in range(16)]) for i in range(1, 30)],
+            "cid long, cv array<double>",
+        ),
+        n_pivots=4,
+        train_iters=1,
+    )
+    assert similarity._ivf_search_broadcast(idx16, qz, 5, 2, "qid", "qv").count() == 0
+
+
+def test_ivf_search_broadcast_chunked_identical(spark, sf_dir, monkeypatch):
+    """GEMM query-axis chunking (skew memory bound) must not change a
+    single row or bit of the search result: force a tiny chunk so every
+    cell splits into many GEMMs, compare against the join strategy."""
+    monkeypatch.setattr(similarity, "_GEMM_QUERY_CHUNK", 3)
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    idx = similarity.ivf_build(c, n_pivots=8, train_iters=2, train_sample_mod=4)
+    fast = {
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity._ivf_search_broadcast(idx, q, 5, 4, "qid", "qv").collect()
+    }
+    join = {
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity._ivf_search_join(idx, q, k=5, nprobe=4).collect()
+    }
+    assert fast == join and len(fast) > 0
+
+
+def test_cosine_verify_null_vs_nan_vector_semantics(spark):
+    """NULL-element vectors must never reach the Arrow scorers (their
+    fold norm is NULL, so _attach_pair_vectors' __n > 0 gate drops the
+    row — Arrow would convert the null to NaN and the NaN-greatest
+    keep-mask would KEEP a pair the old expression fold dropped; ADVICE
+    r6). Genuine-NaN-element vectors are the opposite case: Spark's
+    NaN-greatest comparison passes the norm gate AND the >= threshold,
+    identically on the fold, numpy, and DuckDB paths — so those pairs
+    are consistently kept. Zero-norm vectors are always dropped."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),          # exact dup of 1 → cosine 1.0
+        (3, [1.0, None, 0.0]),         # null element → gated out
+        (4, [float("nan"), 0.0, 0.0]), # genuine NaN → NaN-greatest, kept
+        (5, [0.0, 0.0, 0.0]),          # zero norm → gated out
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (3, 5)], "id_a long, id_b long"
+    )
+    for verify in (similarity.cosine_verify, similarity.cosine_verify_fast):
+        got = {(r.id_a, r.id_b) for r in verify(cands, df, threshold=0.5).collect()}
+        assert got == {(1, 2), (1, 4)}, f"{verify.__name__}: {got}"
