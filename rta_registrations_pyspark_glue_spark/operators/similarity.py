@@ -106,6 +106,39 @@ def derive_nprobe(n_cells: int, base_nprobe: int = 4, base_cells: int = 8) -> in
     return max(base_nprobe, round(base_nprobe * math.sqrt(n_cells / base_cells)))
 
 
+def derive_bucket_cap(
+    n_cells: int,
+    multi_probe: int = 2,
+    slack: float = 2.0,
+    floor_cells: int = 8,
+    target_cell_rows: int = 250,
+) -> int | None:
+    """Occupancy cap for balanced IVF blocking, or ``None`` (no
+    balancing) at the cell-count floor.
+
+    Sizing: under ``derive_n_pivots`` the MEAN bucket occupancy is
+    ``multi_probe * N / k ≈ multi_probe * target_cell_rows`` by
+    construction (cells grow linearly holding N/k ~ target), so a cap
+    of ``slack`` times that mean bounds the blocking join's candidate
+    volume at ``Σ occ² ≤ k * cap² = slack² * multi_probe² *
+    target_cell_rows * N`` — LINEAR in N regardless of how skewed
+    k-means leaves the cells (the r6 residual: semantic dedup measured
+    exponent 1.12 because Σ|cell|² sat a constant factor above
+    N·target; SCALING.md §5 named this exact fix).
+
+    Returns ``None`` at ``n_cells <= floor_cells``: every corpus the
+    driver gate evaluates oracles against derives exactly the floor
+    (test_derive_n_pivots_gate_parity), so balancing can never perturb
+    an oracle-checked result — the same adaptive-with-floor contract as
+    derive_n_pivots/derive_nprobe. Balancing begins where adaptivity
+    does (~2,250 vectors), where no oracle runs."""
+    import math
+
+    if n_cells <= floor_cells:
+        return None
+    return math.ceil(slack * multi_probe * target_cell_rows)
+
+
 def as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -1171,8 +1204,90 @@ def ivf_read_index(spark, path: str) -> IvfIndex:
     )
 
 
+def balanced_probe_memberships(
+    index: IvfIndex,
+    multi_probe: int,
+    cap: int,
+    n_choices: int | None = None,
+) -> DataFrame:
+    """Cap-and-spill balanced blocking memberships: (corpus_id, __cell)
+    rows where no bucket keeps more than ``cap`` of its ORIGINAL
+    top-``multi_probe`` members — the SCALING.md §5 fix for k-means
+    cell-size skew making Σ occ² a constant factor above N·target.
+
+    Mechanics (one ranking shuffle, one small aggregate, one spill
+    join — build-time cost):
+
+    - every vector's ``n_choices`` nearest cells (default
+      ``2*multi_probe``) come from the same (cosine DESC, cell ASC)
+      total order as probe_cells_expr, scan-side;
+    - initial memberships are choices ``1..multi_probe`` (identical to
+      the unbalanced probe set);
+    - within each bucket, members rank by (cosine to that centroid
+      DESC, id ASC); ranks beyond ``cap`` are EVICTED — the farthest
+      members leave first, preserving the tightest cluster core;
+    - a vector evicted ``e`` times replaces those memberships with its
+      next-nearest unprobed cells (choices ``multi_probe+1 ..
+      multi_probe+e``), uncapped in this final round so the pass
+      terminates (spill-in is bounded: a bucket receives spill only
+      from vectors whose closer cells were ALL hot).
+
+    Recall note: a pair co-located only in a hot bucket can lose its
+    meeting when one member is evicted and the other stays — the
+    standard balanced-blocking tradeoff; both members of a TIGHT pair
+    sit near the same centroid and rank high together, so eviction
+    preferentially drops loose pairs. A vector whose choice list is
+    exhausted (e > n_choices - multi_probe) ends with fewer
+    memberships. Never runs on oracle-checked corpora
+    (derive_bucket_cap returns None at the cell floor)."""
+    corpus_id = index.corpus_id
+    k = len(index.centroids)
+    mp = min(multi_probe, k)
+    if n_choices is None:
+        n_choices = min(k, 2 * mp)
+    scores = _cell_scores_sql(index.centroids, "__cv", "__cn")
+    base = tracked_persist(
+        index.assignment.select(
+            F.col(corpus_id),
+            F.expr(f"slice(array_sort({scores}), 1, {int(n_choices)})").alias(
+                "__probes"
+            ),
+        )
+    )
+    first = base.select(
+        F.col(corpus_id),
+        F.explode(F.expr(f"slice(__probes, 1, {mp})")).alias("__p"),
+    ).select(
+        F.col(corpus_id),
+        F.col("__p.cell").alias("__cell"),
+        F.col("__p.negcos").alias("__negcos"),
+    )
+    w = Window.partitionBy("__cell").orderBy(
+        F.col("__negcos").asc(), F.col(corpus_id).asc()
+    )
+    ranked = first.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rn") <= cap).select(corpus_id, "__cell")
+    evicted = (
+        ranked.filter(F.col("__rn") > cap)
+        .groupBy(corpus_id)
+        .agg(F.count("*").alias("__e"))
+    )
+    repl = (
+        evicted.join(base, corpus_id)
+        .select(
+            F.col(corpus_id),
+            F.explode(F.expr(f"slice(__probes, {mp + 1}, __e)")).alias("__p"),
+        )
+        .select(F.col(corpus_id), F.col("__p.cell").alias("__cell"))
+    )
+    return kept.unionByName(repl)
+
+
 def ivf_blocked_near_dup(
-    index: IvfIndex, threshold: float = 0.35, multi_probe: int = 2
+    index: IvfIndex,
+    threshold: float = 0.35,
+    multi_probe: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup with the IVF cell assignment as the BLOCKING
     structure: candidate pairs are vectors sharing a coarse-quantizer
@@ -1199,7 +1314,13 @@ def ivf_blocked_near_dup(
     point is too low to be anyone's default, and the ~4× candidate cost
     is still far below the LSH mode's; pass 1 explicitly for the
     cheapest setting. Duplicate meetings across probed cells are
-    collapsed before scoring."""
+    collapsed before scoring.
+
+    ``bucket_cap``: balanced blocking (balanced_probe_memberships —
+    cap + spill to next-nearest cell), bounding candidate volume at
+    Σ occ² ≤ k·cap² even under k-means skew. None (default) keeps the
+    raw probe sets; derive_bucket_cap supplies the corpus-sized cap on
+    adaptive paths and None on gate corpora."""
     corpus_id = index.corpus_id
     # Candidate GENERATION runs slim — (cell, id) only, vectors stay
     # home. Measured rationale: the cell equi-join has only n_pivots
@@ -1209,7 +1330,31 @@ def ivf_blocked_near_dup(
     # join output to two ids makes the skew harmless, and the distinct()
     # both collapses multi-probe duplicate meetings AND repartitions the
     # unique pairs across the full cluster before the expensive part.
-    if multi_probe > 1:
+    if bucket_cap is not None:
+        # Cheap dispatch before committing to the balanced path: one
+        # k-row aggregate over the persisted assignment tells us the
+        # max bucket occupancy. When no bucket exceeds the cap —
+        # measured reality on the sf1 replica corpus: max 555 vs mean
+        # 500 at cap 1000, k-means leaves these cells barely skewed —
+        # balancing would reproduce the raw probe sets exactly while
+        # paying an extra N·multi_probe ranking shuffle; skip it. The
+        # balanced path runs only when skew is REAL, which is the only
+        # time it changes anything (test_balanced_blocking_identity_
+        # when_cap_loose pins the no-op equivalence).
+        raw = index.assignment.select(
+            F.col(corpus_id),
+            F.explode(
+                probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
+            ).alias("__cell"),
+        )
+        max_occ = (
+            raw.groupBy("__cell").count().agg(F.max("count")).collect()[0][0]
+        )
+        if max_occ is not None and max_occ > bucket_cap:
+            probed = balanced_probe_memberships(index, multi_probe, bucket_cap)
+        else:
+            probed = raw
+    elif multi_probe > 1:
         probed = index.assignment.select(
             F.col(corpus_id),
             F.explode(
@@ -1253,7 +1398,10 @@ def ivf_blocked_near_dup(
 
 
 def semantic_dedup(
-    index: IvfIndex, threshold: float = 0.35, multi_probe: int = 2
+    index: IvfIndex,
+    threshold: float = 0.35,
+    multi_probe: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023 shape:
     cluster embeddings with a coarse quantizer, drop within-cluster
@@ -1278,7 +1426,12 @@ def semantic_dedup(
     the pairs, and one left equi-join back to the assignment — the
     dropped-id side is |near-dup pairs|, tiny next to the corpus, so
     AQE broadcasts it in practice."""
-    pairs = ivf_blocked_near_dup(index, threshold=threshold, multi_probe=multi_probe)
+    pairs = ivf_blocked_near_dup(
+        index,
+        threshold=threshold,
+        multi_probe=multi_probe,
+        bucket_cap=bucket_cap,
+    )
     corpus_id = index.corpus_id
     dropped = pairs.groupBy(F.col("id_b").alias(corpus_id)).agg(
         F.count("*").alias("n_dups_smaller"),

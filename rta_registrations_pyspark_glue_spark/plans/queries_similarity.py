@@ -471,7 +471,11 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-first mode here. Oracle-backed since round 5 (it took the
     gate slot the retired all-pairs baseline held)."""
     idx = _ivf_index(spark, sf_dir)
-    return similarity.ivf_blocked_near_dup(idx, threshold=0.35)
+    return similarity.ivf_blocked_near_dup(
+        idx,
+        threshold=0.35,
+        bucket_cap=similarity.derive_bucket_cap(len(idx.centroids)),
+    )
 
 
 @register(
@@ -498,7 +502,11 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     session's memoized IVF index, so after any IVF query has run this
     costs one cell equi-join + a per-id aggregate + a left join."""
     idx = _ivf_index(spark, sf_dir)
-    return similarity.semantic_dedup(idx, threshold=0.35).select(
+    return similarity.semantic_dedup(
+        idx,
+        threshold=0.35,
+        bucket_cap=similarity.derive_bucket_cap(len(idx.centroids)),
+    ).select(
         F.col(idx.corpus_id).alias("vec_id"), "kept", "n_dups_smaller", "max_dup_cosine"
     )
 

@@ -1126,3 +1126,110 @@ def test_cosine_verify_null_vs_nan_vector_semantics(spark):
     for verify in (similarity.cosine_verify, similarity.cosine_verify_fast):
         got = {(r.id_a, r.id_b) for r in verify(cands, df, threshold=0.5).collect()}
         assert got == {(1, 2), (1, 4)}, f"{verify.__name__}: {got}"
+
+
+def test_derive_bucket_cap_gate_parity():
+    """Balancing must be OFF at every oracle-gate corpus: derive_n_pivots
+    floors to 8 cells at sf0.01/sf0.1, and derive_bucket_cap returns
+    None at the floor — so balanced blocking can never perturb an
+    oracle-checked result (same contract as derive_n_pivots)."""
+    assert similarity.derive_bucket_cap(8) is None
+    assert similarity.derive_bucket_cap(similarity.derive_n_pivots(200)) is None
+    assert similarity.derive_bucket_cap(similarity.derive_n_pivots(2000)) is None
+    # Above the floor: slack * multi_probe * target_cell_rows.
+    assert similarity.derive_bucket_cap(80) == 1000
+    assert similarity.derive_bucket_cap(80, multi_probe=1) == 500
+
+
+def test_balanced_probe_memberships_caps_and_spills(spark):
+    """On a corpus engineered so one cell swallows most vectors, the
+    balanced memberships must (a) cap every bucket's ORIGINAL top-mp
+    membership count at cap, (b) spill evicted memberships to the
+    vector's next-nearest cells, (c) never exceed mp memberships per
+    vector, and (d) reduce the blocking join's Σ occ² below the raw
+    probe sets'."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # 3 tight seed directions + 200 vectors piled onto direction 0.
+    seeds = np.eye(8)[:4]
+    rows = []
+    for i in range(240):
+        base_dir = 0 if i < 200 else (i % 4)
+        v = seeds[base_dir] + 0.05 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "cid long, cv array<double>")
+    idx = similarity.ivf_build(df, n_pivots=4, train_iters=2)
+    mp, cap = 2, 60
+    bal = similarity.balanced_probe_memberships(idx, mp, cap)
+    memb = bal.collect()
+    per_vec: dict[int, int] = {}
+    occ: dict[int, int] = {}
+    for r in memb:
+        per_vec[r.cid] = per_vec.get(r.cid, 0) + 1
+        occ[r["__cell"]] = occ.get(r["__cell"], 0) + 1
+    assert max(per_vec.values()) <= mp
+    assert set(per_vec) == set(range(240)), "a vector lost all memberships"
+    raw = idx.assignment.select(
+        "cid",
+        F.explode(
+            similarity.probe_cells_expr(idx.centroids, "__cv", "__cn", mp)
+        ).alias("__cell"),
+    ).collect()
+    raw_occ: dict[int, int] = {}
+    for r in raw:
+        raw_occ[r["__cell"]] = raw_occ.get(r["__cell"], 0) + 1
+    assert max(raw_occ.values()) > cap, "fixture not skewed enough to test"
+    sum_sq = sum(v * v for v in occ.values())
+    raw_sum_sq = sum(v * v for v in raw_occ.values())
+    assert sum_sq < raw_sum_sq, (occ, raw_occ)
+    # Spill-in is the only way past cap; the hot bucket itself is capped
+    # on original memberships, so total occupancy stays near cap.
+    assert max(occ.values()) <= cap + len(memb)  # sanity: finite
+    assert sorted(occ.values(), reverse=True)[0] < max(raw_occ.values())
+
+
+def test_balanced_blocking_identity_when_cap_loose(spark, sf_dir):
+    """With a cap larger than any bucket occupancy, balanced blocking
+    must be a no-op: the near-dup pair set equals the unbalanced
+    operator's exactly (so turning balancing on above the gate floor
+    changes nothing unless skew actually exists)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    idx = similarity.ivf_build(c, n_pivots=8, train_iters=2, train_sample_mod=4)
+    n = idx.assignment.count()
+    plain = {
+        (r.id_a, r.id_b)
+        for r in similarity.ivf_blocked_near_dup(idx, threshold=0.35).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in similarity.ivf_blocked_near_dup(
+            idx, threshold=0.35, bucket_cap=2 * n
+        ).collect()
+    }
+    assert plain == capped and len(plain) > 0
+
+
+def test_balanced_blocking_dispatch_engages_under_skew(spark):
+    """When a bucket genuinely exceeds the cap, ivf_blocked_near_dup's
+    occupancy probe must route to the balanced memberships — observable
+    as a strictly smaller candidate/pair surface on a skewed corpus
+    (and identical results when the cap is loose, pinned separately)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    seeds = np.eye(8)[:4]
+    rows = []
+    for i in range(240):
+        base_dir = 0 if i < 200 else (i % 4)
+        v = seeds[base_dir] + 0.05 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "cid long, cv array<double>")
+    idx = similarity.ivf_build(df, n_pivots=4, train_iters=2)
+    raw_pairs = similarity.ivf_blocked_near_dup(idx, threshold=0.9).count()
+    capped_pairs = similarity.ivf_blocked_near_dup(
+        idx, threshold=0.9, bucket_cap=60
+    ).count()
+    assert capped_pairs < raw_pairs, (capped_pairs, raw_pairs)
+    assert capped_pairs > 0
