@@ -99,3 +99,27 @@ def test_embeddings_transform_is_orthogonal(tmp_path):
     g_base = base[sample] @ base[sample].T
     g_r1 = r1[sample] @ r1[sample].T
     np.testing.assert_allclose(g_base, g_r1, rtol=1e-5, atol=1e-4)
+
+
+def test_cipher_distinct_past_caesar_period(tmp_path):
+    """Regression for the k>26 wall: the old Caesar rotation repeated
+    with period 26, so replicas 26 apart were byte-identical and a
+    k=50 corpus (sf5) would carry quadratic cross-replica exact-dup
+    volume. The permutation cipher must keep replicas 1 and 27 (and 13
+    vs 26, the old 'or 13' collision) mutually distinct with ~zero
+    word overlap."""
+    from make_scaled_data import _letter_permutation_table
+
+    base_texts = [
+        t
+        for t in pq.read_table(f"{BASE}/documents.parquet")
+        .column("text")
+        .to_pylist()[:200]
+        if t
+    ]
+    for r_a, r_b in [(1, 27), (13, 26), (2, 28)]:
+        ta, tb = _letter_permutation_table(r_a), _letter_permutation_table(r_b)
+        a_words = set(" ".join(t.translate(ta) for t in base_texts).split())
+        b_words = set(" ".join(t.translate(tb) for t in base_texts).split())
+        overlap = len(a_words & b_words) / max(1, len(a_words))
+        assert overlap < 0.05, (r_a, r_b, overlap)

@@ -13,7 +13,7 @@ has:
   replica i's customers), so join fan-outs and group sizes per key are
   IDENTICAL to the base — only the number of keys grows. That is
   exactly TPC-H's own scaling law.
-- ``documents.text`` gets a per-replica Caesar cipher over letters: a
+- ``documents.text`` gets a per-replica random letter permutation: a
   bijection on characters, so every within-replica relationship
   (exact-dup groups, shingle Jaccard, simhash distance, repetition
   stats, lengths) is preserved verbatim, while cross-replica shingle
@@ -89,20 +89,28 @@ STRIDE_KEY = {
 }
 
 
-def _caesar_table(shift: int) -> dict[int, int]:
-    """Character translation table: rotate a-z and A-Z by ``shift``."""
+def _letter_permutation_table(replica: int) -> dict[int, int]:
+    """Seeded random permutation of a-z (applied to A-Z in lockstep):
+    a character bijection like the old Caesar rotation, but DISTINCT
+    for every replica index. Caesar's 26-shift period made replicas 26
+    apart byte-identical — extending the scale curve past k=26 (sf2.6)
+    would have injected quadratic cross-replica exact-dup volume. A
+    seeded permutation has no period; any non-identity permutation
+    drives multi-character shingle overlap to ~zero (a word survives
+    only if every letter is a fixed point)."""
+    rng = np.random.default_rng(7_000_003 * replica)
+    perm = rng.permutation(26)
     tbl = {}
     for base in (ord("a"), ord("A")):
         for j in range(26):
-            tbl[base + j] = base + (j + shift) % 26
+            tbl[base + j] = base + int(perm[j])
     return tbl
 
 
 def _transform_documents(tab: pa.Table, replica: int) -> pa.Table:
     if replica == 0:
         return tab
-    shift = (replica * 7) % 26 or 13  # nonzero for every replica >= 1
-    trans = _caesar_table(shift)
+    trans = _letter_permutation_table(replica)
     texts = tab.column("text").to_pylist()
     new_texts = [t.translate(trans) if t is not None else None for t in texts]
     idx = tab.schema.get_field_index("text")
