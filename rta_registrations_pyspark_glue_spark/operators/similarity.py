@@ -286,6 +286,121 @@ def brute_force_topk_fast(
     )
 
 
+@dataclass(frozen=True)
+class LshBankAdvice:
+    """Result of derive_lsh_bank: a sized hyperplane bank plus the
+    honesty fields — what recall the S-curve predicts, what fraction of
+    BACKGROUND (unrelated, p≈0.5) pairs the bank will surface as
+    candidates, and whether that makes the blocking super-linear (a
+    constant fraction of N² pairs) so the IVF-blocked path should run
+    instead. ``as_kwargs()`` feeds hyperplane_lsh_candidates directly."""
+
+    bits_per_band: int
+    n_bands: int
+    collision_p: float
+    expected_recall: float
+    background_candidate_rate: float
+    superlinear: bool
+    recommendation: str  # "lsh" | "ivf_blocked"
+
+    def as_kwargs(self) -> dict[str, int]:
+        return {"bits_per_band": self.bits_per_band, "n_bands": self.n_bands}
+
+
+def derive_lsh_bank(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_bands: int = 32,
+    background_budget: float = 0.25,
+) -> LshBankAdvice:
+    """Size a sign-random-projection LSH bank from (cosine threshold,
+    target recall) via the banding S-curve — the r6 SCALING.md §4
+    low-threshold wall turned from prose into enforced advice.
+
+    Calculus (standard SRP-LSH): a pair at cosine ``t`` agrees on one
+    sign bit with probability ``p = 1 - arccos(t)/π``; with ``b`` bits
+    per band and ``r`` bands, recall = ``1-(1-p^b)^r``. Derivation:
+
+    - ``b``: the LARGEST power-of-two band width whose minimal band
+      count for the target still fits ``max_bands`` — wide bands are
+      strictly better for precision (background per-band collisions
+      are ``2^-b``), so take the widest the recall constraint affords.
+      Power-of-two widths keep band keys packed integers.
+    - ``r``: the S-curve minimum ``ceil(ln(1-recall)/ln(1-p^b))``,
+      rounded UP to a multiple of 8 as recall margin — the analytic
+      curve assumes ideal Gaussian planes; measured Rademacher banks
+      run a few points under it.
+
+    At the two documented operating points this reproduces the banks
+    chosen by hand in round 4: ``derive_lsh_bank(0.35)`` → (4, 24)
+    (the gate corpus's near-orthogonal threshold; p≈0.61) and
+    ``derive_lsh_bank(0.9)`` → (8, 16) (dedup-grade; p≈0.86).
+
+    The honesty fields: ``background_candidate_rate`` is the S-curve
+    at p=0.5 — the fraction of UNRELATED pairs the bank surfaces. When
+    it exceeds ``background_budget`` the bank is generating a constant
+    fraction of all N² pairs and NO bank can fix it (lowering r kills
+    recall; raising b at this p explodes r) — blocking at such a
+    threshold is LSH's intrinsic failure mode, the recommendation
+    flips to ``ivf_blocked`` (ivf_blocked_near_dup + derive_bucket_cap
+    scale linearly at any threshold), and a UserWarning fires. The
+    (4,24) bank at threshold 0.35 triggers exactly this: background
+    rate 0.79 — measured in r6 as the 4.6s→570s O(N²) twin."""
+    import math
+    import warnings
+
+    if not -1.0 < threshold < 1.0:
+        raise ValueError(f"cosine threshold must be in (-1, 1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    p = 1.0 - math.acos(threshold) / math.pi
+
+    def min_bands(bits: int) -> int | None:
+        pb = p**bits
+        if pb <= 0.0 or pb >= 1.0:
+            return 1 if pb >= 1.0 else None
+        r = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
+        return max(1, r)
+
+    chosen = None
+    for bits in (16, 8, 4, 2):
+        r = min_bands(bits)
+        if r is not None and r <= max_bands:
+            chosen = (bits, r)
+            break
+    if chosen is None:
+        # Even 2-bit bands cannot reach the target within max_bands —
+        # p is too close to 0.5. Return the most-recall bank available
+        # and route to the linear path.
+        chosen = (2, max_bands)
+    bits, r = chosen
+    r = min(max_bands, ((r + 7) // 8) * 8)  # margin: round up to 8s
+    recall = 1.0 - (1.0 - p**bits) ** r
+    background = 1.0 - (1.0 - 0.5**bits) ** r
+    superlinear = background > background_budget
+    advice = LshBankAdvice(
+        bits_per_band=bits,
+        n_bands=r,
+        collision_p=round(p, 6),
+        expected_recall=round(recall, 6),
+        background_candidate_rate=round(background, 6),
+        superlinear=superlinear,
+        recommendation="ivf_blocked" if superlinear else "lsh",
+    )
+    if superlinear:
+        warnings.warn(
+            f"derive_lsh_bank: threshold {threshold} (per-bit p={p:.3f}) "
+            f"needs bank ({bits},{r}) whose background candidate rate "
+            f"{background:.2f} exceeds {background_budget} — the bucket "
+            "join will surface a constant fraction of ALL pairs (O(N²)). "
+            "Use ivf_blocked_near_dup (with derive_bucket_cap) for linear "
+            "scaling at this threshold.",
+            UserWarning,
+            stacklevel=2,
+        )
+    return advice
+
+
 def hyperplane_lsh_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1204,6 +1319,41 @@ def ivf_read_index(spark, path: str) -> IvfIndex:
     )
 
 
+def _raw_probes(index: IvfIndex, multi_probe: int) -> DataFrame:
+    """The unbalanced multi-probe memberships (corpus_id, __cell),
+    tracked-persisted: the blocking self-join reads this frame on BOTH
+    sides, and the probe ranking (k-centroid transform + array_sort
+    per row) is expensive enough that computing it twice showed up in
+    the sf1 study. Slim (two columns), released via release_tracked."""
+    return tracked_persist(
+        index.assignment.select(
+            F.col(index.corpus_id),
+            F.explode(
+                probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
+            ).alias("__cell"),
+        )
+    )
+
+
+def _index_max_occupancy(index: IvfIndex, multi_probe: int) -> int:
+    """Max probe-bucket occupancy for (index, multi_probe), memoized on
+    the index instance — one small aggregate job per index lifetime,
+    shared by every balanced-blocking dispatch against it."""
+    cache = getattr(index, "_occ_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(index, "_occ_cache", cache)
+    if multi_probe not in cache:
+        raw = index.assignment.select(
+            F.explode(
+                probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
+            ).alias("__cell")
+        )
+        mx = raw.groupBy("__cell").count().agg(F.max("count")).collect()[0][0]
+        cache[multi_probe] = int(mx or 0)
+    return cache[multi_probe]
+
+
 def balanced_probe_memberships(
     index: IvfIndex,
     multi_probe: int,
@@ -1333,34 +1483,24 @@ def ivf_blocked_near_dup(
     if bucket_cap is not None:
         # Cheap dispatch before committing to the balanced path: one
         # k-row aggregate over the persisted assignment tells us the
-        # max bucket occupancy. When no bucket exceeds the cap —
-        # measured reality on the sf1 replica corpus: max 555 vs mean
-        # 500 at cap 1000, k-means leaves these cells barely skewed —
-        # balancing would reproduce the raw probe sets exactly while
-        # paying an extra N·multi_probe ranking shuffle; skip it. The
-        # balanced path runs only when skew is REAL, which is the only
-        # time it changes anything (test_balanced_blocking_identity_
-        # when_cap_loose pins the no-op equivalence).
-        raw = index.assignment.select(
-            F.col(corpus_id),
-            F.explode(
-                probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
-            ).alias("__cell"),
-        )
-        max_occ = (
-            raw.groupBy("__cell").count().agg(F.max("count")).collect()[0][0]
-        )
-        if max_occ is not None and max_occ > bucket_cap:
+        # max bucket occupancy — MEMOIZED on the index (it is a pure
+        # property of (index, multi_probe); recomputing it per query
+        # invocation measurably dragged the sf1 study). When no bucket
+        # exceeds the cap — measured reality on the sf1 replica
+        # corpus: max 555 vs mean 500 at cap 1000, k-means leaves
+        # these cells barely skewed — balancing would reproduce the
+        # raw probe sets exactly while paying an extra N·multi_probe
+        # ranking shuffle; skip it. The balanced path runs only when
+        # skew is REAL, which is the only time it changes anything
+        # (test_balanced_blocking_identity_when_cap_loose pins the
+        # no-op equivalence).
+        max_occ = _index_max_occupancy(index, multi_probe)
+        if max_occ > bucket_cap:
             probed = balanced_probe_memberships(index, multi_probe, bucket_cap)
         else:
-            probed = raw
+            probed = _raw_probes(index, multi_probe)
     elif multi_probe > 1:
-        probed = index.assignment.select(
-            F.col(corpus_id),
-            F.explode(
-                probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
-            ).alias("__cell"),
-        )
+        probed = _raw_probes(index, multi_probe)
     else:
         probed = index.assignment.select(F.col(corpus_id), "__cell")
     a = probed.select("__cell", F.col(corpus_id).alias("id_a"))

@@ -1233,3 +1233,60 @@ def test_balanced_blocking_dispatch_engages_under_skew(spark):
     ).count()
     assert capped_pairs < raw_pairs, (capped_pairs, raw_pairs)
     assert capped_pairs > 0
+
+
+def test_derive_lsh_bank_reproduces_documented_banks():
+    """The S-curve derivation must land on the two banks chosen by hand
+    in round 4: (4,24) at the gate corpus's 0.35 threshold — flagged
+    super-linear with IVF advice (the SCALING.md §4 wall, enforced) —
+    and (8,16) at dedup-grade 0.9, recall ≈0.996, clean."""
+    with pytest.warns(UserWarning, match="ivf_blocked_near_dup"):
+        loose = similarity.derive_lsh_bank(0.35)
+    assert (loose.bits_per_band, loose.n_bands) == (4, 24)
+    assert loose.superlinear and loose.recommendation == "ivf_blocked"
+    assert loose.background_candidate_rate > 0.7
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tight = similarity.derive_lsh_bank(0.9)
+    assert (tight.bits_per_band, tight.n_bands) == (8, 16)
+    assert not tight.superlinear and tight.recommendation == "lsh"
+    assert abs(tight.expected_recall - 0.996) < 0.002
+    assert tight.background_candidate_rate < 0.1
+
+    # Recall monotonicity and feasibility fallback.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        near_random = similarity.derive_lsh_bank(0.05)
+    assert near_random.recommendation == "ivf_blocked"
+    for bad in (1.0, -1.0, 1.5):
+        with pytest.raises(ValueError):
+            similarity.derive_lsh_bank(bad)
+    with pytest.raises(ValueError):
+        similarity.derive_lsh_bank(0.5, target_recall=1.0)
+
+
+def test_hyperplane_lsh_accepts_derived_bank(spark):
+    """hyperplane_lsh_candidates(**advice.as_kwargs()) end-to-end: the
+    derived dedup-grade (8,16) bank must surface planted cosine≥0.9
+    near-dups on a small corpus at its predicted ~0.996 recall."""
+    import numpy as np
+
+    advice = similarity.derive_lsh_bank(0.9)
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((150, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 3 == 0:  # planted near-dup at cosine ~0.995
+            dup = v + 0.1 * rng.standard_normal(64)
+            rows.append((i + 10000, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = similarity.hyperplane_lsh_candidates(df, **advice.as_kwargs())
+    found = similarity.cosine_verify(cands, df, threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in found.collect()}
+    planted = {(i, i + 10000) for i in range(0, 150, 3)}
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.9, f"derived bank recall too low: {recall}"
