@@ -2,11 +2,13 @@
 columns with typed metadata, processed in Arrow-batched pandas via
 ``mapInPandas``.
 
-Image decode is REAL for the codec-free formats — PPM/PGM and
-uncompressed 24-bit BMP decode to HxWxC uint8 numpy arrays with no
-external library (``decode_image``); formats that need a codec
-(JPEG/PNG/...) raise NotImplementedError at the same call site, which
-is where PIL plugs in when available. Everything downstream of decode
+Image decode is REAL with no external library (``decode_image``):
+PPM/PGM, uncompressed 24-bit BMP, and — since round 7 — baseline
+sequential JPEG (pure-numpy Huffman + IDCT decoder, operators/jpeg.py)
+all decode to HxWxC uint8 numpy arrays; the remaining codec formats
+(PNG/WebP/progressive JPEG) raise NotImplementedError at the same call
+site, which is where PIL plugs in when available. Everything
+downstream of decode
 — schema contract, batch iteration shape, Arrow transfer, feature
 extraction — is payload-agnostic and identical for either decoder.
 
@@ -58,12 +60,17 @@ def decode_image(content: bytes) -> "np.ndarray":
       comments between tokens, single whitespace byte before the
       raster);
     - BMP: uncompressed 24-bit BITMAPINFOHEADER (the baseline Windows
-      bitmap) — bottom-up or top-down rows, 4-byte row padding, BGR→RGB.
+      bitmap) — bottom-up or top-down rows, 4-byte row padding, BGR→RGB;
+    - JPEG: baseline sequential DCT (SOF0/SOF1) via the pure-numpy
+      decoder in operators/jpeg.py — Huffman entropy decode,
+      dequantize, 8×8 IDCT, chroma upsample (4:4:4/4:2:2/4:2:0),
+      restart markers, YCbCr→RGB.
 
     Returns an HxWxC uint8 array (C=3 RGB, C=1 grayscale). Raises
     ValueError for malformed/truncated payloads of a recognized format
     and NotImplementedError for formats that need an external codec
-    (JPEG/PNG/WebP...) — the plug-in boundary for PIL when available.
+    (PNG/WebP/progressive JPEG) — the plug-in boundary for PIL when
+    available.
     The decoded-pixel contract (bytes → HxWxC shape/dtype/values) is
     pinned by tests and, for P6, by the analytic DuckDB oracle in
     multimodal_suite's 'decode' rows."""
@@ -73,9 +80,16 @@ def decode_image(content: bytes) -> "np.ndarray":
         return _decode_pnm(np, content)
     if content[:2] == b"BM":
         return _decode_bmp(np, content)
+    if content[:2] == b"\xff\xd8":
+        from rta_registrations_pyspark_glue_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+        )
+
+        return decode_baseline_jpeg(content)
     raise NotImplementedError(
-        f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP "
-        "decode natively — JPEG/PNG need an external codec (wire PIL here)"
+        f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP/"
+        "baseline-JPEG decode natively — PNG/WebP/progressive-JPEG need "
+        "an external codec (wire PIL here)"
     )
 
 
