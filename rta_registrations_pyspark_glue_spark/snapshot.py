@@ -161,6 +161,223 @@ def snapshot_commit(
     return sid
 
 
+#: ------------------------------------------------------------------
+#: Object-store commit variant: manifest-list reuse + put-if-absent.
+#:
+#: The posix mode above leans on two filesystem powers object stores
+#: don't have — atomic rename (os.replace) and hard links. This
+#: variant uses only operations every store offers:
+#:
+#: - data files are written once under their snapshot's own prefix and
+#:   NEVER renamed, linked, or rewritten;
+#: - a snapshot is a MANIFEST LIST (``_manifests/vNNNNNN.json``)
+#:   naming every data file in the snapshot; unchanged partitions are
+#:   carried forward by REFERENCE — their manifest entries keep
+#:   pointing at the older snapshot's files (Iceberg's manifest
+#:   reuse), zero data movement;
+#: - the COMMIT POINT is creating the manifest object with
+#:   put-if-absent (locally: open(O_CREAT|O_EXCL) — the stand-in for
+#:   S3 If-None-Match / GCS x-goog-if-generation-match:0). There is no
+#:   mutable "current" pointer at all: the committed snapshot IS the
+#:   highest manifest id that exists, so a crash before the put leaves
+#:   readers on the old snapshot and a half-written data prefix as
+#:   inert garbage — and two RACING writers can't lose updates (the
+#:   posix mode's documented caveat): the loser's put fails and it
+#:   retries its commit against the winner's snapshot.
+#: ------------------------------------------------------------------
+
+MANIFEST_DIR = "_manifests"
+
+
+def _put_if_absent(path: str, data: str) -> bool:
+    """Create ``path`` with ``data`` iff it does not exist — the local
+    stand-in for an object store's conditional PUT. Returns False when
+    the object already exists (CAS loss), True on success."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    return True
+
+
+def store_current(root: str) -> str | None:
+    """The committed snapshot id in store mode: the highest manifest
+    that EXISTS (existence is the commit, there is no pointer)."""
+    mdir = os.path.join(root, MANIFEST_DIR)
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        return None
+    ids = sorted(
+        n[: -len(".json")]
+        for n in names
+        if n.endswith(".json") and n.startswith("v") and n[1:-5].isdigit()
+    )
+    return ids[-1] if ids else None
+
+
+def _store_manifest(root: str, sid: str) -> dict:
+    import json
+
+    with open(os.path.join(root, MANIFEST_DIR, sid + ".json")) as f:
+        return json.load(f)
+
+
+def _entries_from_dir(root: str, sdir: str, depth: int) -> list[dict]:
+    """Manifest entries for every parquet file written under ``sdir``:
+    path relative to the table root plus the partition tuple parsed
+    from the hive-style leaf path."""
+    entries = []
+    for leaf in _partition_leaf_dirs(sdir, depth):
+        rel_leaf = os.path.relpath(leaf, sdir)
+        part = (
+            [seg.split("=", 1) for seg in rel_leaf.split(os.sep)]
+            if depth
+            else []
+        )
+        for name in sorted(os.listdir(leaf)):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                entries.append(
+                    {
+                        "path": os.path.relpath(os.path.join(leaf, name), root),
+                        "partition": dict(part),
+                    }
+                )
+    return entries
+
+
+def store_commit(
+    df: DataFrame,
+    root: str,
+    partition_by: list[str] | None = None,
+    replace_only: bool = False,
+    drop_partitions: list[tuple] | None = None,
+    target_mb: float = TARGET_FILE_SIZE_MB,
+    max_retries: int = 5,
+) -> str:
+    """snapshot_commit with object-store semantics — same API, same
+    old-or-new-never-mixed guarantee, no renames/links on data paths.
+
+    The new/changed partitions are written ONCE under the candidate
+    snapshot's own prefix; the manifest list carries unchanged
+    partitions forward by reference. The commit races put-if-absent on
+    the manifest object: on a CAS loss (another writer committed
+    first) the carry-forward is recomputed against the WINNER's
+    snapshot and the put retries under the next id — our data files
+    are under our own prefix, so they stay valid across retries. After
+    ``max_retries`` losses a RuntimeError surfaces the livelock
+    instead of spinning."""
+    import json
+
+    if replace_only and not partition_by:
+        raise ValueError("replace_only commits need partition_by")
+    mdir = os.path.join(root, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    depth = len(partition_by or [])
+    drops = {tuple(str(v) for v in p) for p in drop_partitions or []}
+
+    sid = _next_store_id(root)
+    sdir = os.path.join(root, sid)
+    shutil.rmtree(sdir, ignore_errors=True)  # a crashed attempt's leftovers
+    write_parquet(df, sdir, partition_by=partition_by, target_mb=target_mb)
+    own = [
+        e
+        for e in _entries_from_dir(root, sdir, depth)
+        if tuple(e["partition"].get(c) for c in partition_by or []) not in drops
+    ]
+    written_parts = {
+        tuple(e["partition"].get(c) for c in partition_by or []) for e in own
+    }
+
+    for _attempt in range(max_retries):
+        cur = store_current(root)
+        entries = list(own)
+        if replace_only and cur:
+            for e in _store_manifest(root, cur)["files"]:
+                part = tuple(e["partition"].get(c) for c in partition_by or [])
+                if part not in written_parts and part not in drops:
+                    entries.append(e)  # manifest reuse: reference, no copy
+        publish_id = _next_store_id(root)
+        manifest = json.dumps(
+            {"id": publish_id, "partition_by": partition_by or [], "files": entries}
+        )
+        if _put_if_absent(os.path.join(mdir, publish_id + ".json"), manifest):
+            df.sparkSession.catalog.refreshByPath(root)
+            return publish_id
+    raise RuntimeError(
+        f"store_commit lost the put-if-absent race {max_retries} times on {root}"
+    )
+
+
+def _next_store_id(root: str) -> str:
+    cur = store_current(root)
+    return f"v{(int(cur[1:]) + 1 if cur else 0):06d}"
+
+
+def store_read(spark: SparkSession, root: str) -> DataFrame:
+    """Scan the CURRENT store-mode snapshot: resolve the newest
+    manifest, then read exactly the files it names. Files are grouped
+    by their owning snapshot prefix so hive partition inference runs
+    per prefix (``basePath`` = that prefix) and the groups union — at
+    most one group per retained snapshot. The manifest is immutable,
+    so a long scan keeps a consistent view across concurrent commits."""
+    from functools import reduce
+
+    cur = store_current(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed store snapshot under {root}")
+    files = _store_manifest(root, cur)["files"]
+    by_prefix: dict[str, list[str]] = {}
+    for e in files:
+        prefix = e["path"].split(os.sep, 1)[0]
+        by_prefix.setdefault(prefix, []).append(os.path.join(root, e["path"]))
+    parts = [
+        spark.read.option("basePath", os.path.join(root, prefix)).parquet(*paths)
+        for prefix, paths in sorted(by_prefix.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def store_vacuum(root: str, keep: int = 2) -> list[str]:
+    """Store-mode vacuum: drop all but the newest ``keep`` manifests,
+    then delete every data file no RETAINED manifest references — the
+    object-store analogue of the posix mode's link-count survival
+    (manifest reference counting instead of inode counting). Returns
+    the removed snapshot ids."""
+    mdir = os.path.join(root, MANIFEST_DIR)
+    cur = store_current(root)
+    if cur is None:
+        return []
+    ids = sorted(
+        n[:-5]
+        for n in os.listdir(mdir)
+        if n.endswith(".json") and n.startswith("v") and n[1:-5].isdigit()
+    )
+    victims = ids[:-keep] if keep > 0 else ids[:-1]
+    retained = ids[len(victims):]
+    live = {
+        e["path"] for sid in retained for e in _store_manifest(root, sid)["files"]
+    }
+    for sid in victims:
+        os.remove(os.path.join(mdir, sid + ".json"))
+    for sid in victims:
+        sdir = os.path.join(root, sid)
+        if not os.path.isdir(sdir):
+            continue
+        for dirpath, _dirnames, filenames in os.walk(sdir, topdown=False):
+            for name in filenames:
+                full = os.path.join(dirpath, name)
+                if os.path.relpath(full, root) not in live:
+                    os.remove(full)
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+    return victims
+
+
 def snapshot_vacuum(root: str, keep: int = 2) -> list[str]:
     """Delete all but the newest ``keep`` snapshot directories AT OR
     BELOW the committed id (a half-built higher id is left for the next

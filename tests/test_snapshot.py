@@ -144,3 +144,154 @@ def test_empty_table_read_raises(spark):
     shutil.rmtree(ROOT, ignore_errors=True)
     with pytest.raises(FileNotFoundError):
         snapshot.snapshot_read(spark, ROOT)
+
+
+# ---------------- object-store mode (manifest-list + put-if-absent) ----
+
+
+STORE = "/root/repo/.tmp/snapshot_store_test"
+
+
+def _store_rows(spark):
+    return {
+        (r["k"], r["val"], r["year"])
+        for r in snapshot.store_read(spark, STORE).collect()
+    }
+
+
+def test_store_commit_read_carry_forward_by_reference(spark):
+    shutil.rmtree(STORE, ignore_errors=True)
+    v0 = snapshot.store_commit(
+        _mk(spark, [(1, "a", 2023), (2, "b", 2024)]), STORE, ["year"]
+    )
+    assert v0 == "v000000"
+    assert _store_rows(spark) == {(1, "a", 2023), (2, "b", 2024)}
+    v1 = snapshot.store_commit(
+        _mk(spark, [(2, "B", 2024), (3, "c", 2024)]),
+        STORE,
+        ["year"],
+        replace_only=True,
+    )
+    assert v1 == "v000001"
+    assert _store_rows(spark) == {(1, "a", 2023), (2, "B", 2024), (3, "c", 2024)}
+    # Carried 2023 partition exists ONLY under v000000's prefix — the
+    # new manifest references it; nothing was copied, linked, renamed.
+    assert not os.path.exists(os.path.join(STORE, "v000001", "year=2023"))
+    man = snapshot._store_manifest(STORE, "v000001")
+    prefixes = {e["path"].split(os.sep, 1)[0] for e in man["files"]}
+    assert prefixes == {"v000000", "v000001"}
+    # And every data file under both prefixes has link count 1.
+    for prefix in prefixes:
+        for dirpath, _d, files in os.walk(os.path.join(STORE, prefix)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    assert os.stat(os.path.join(dirpath, f)).st_nlink == 1
+
+
+def test_store_kill_mid_commit_readers_see_old_never_mixed(spark, monkeypatch):
+    shutil.rmtree(STORE, ignore_errors=True)
+    snapshot.store_commit(
+        _mk(spark, [(1, "a", 2023), (2, "b", 2024), (3, "c", 2025)]),
+        STORE,
+        ["year"],
+    )
+    before = _store_rows(spark)
+
+    # Crash AFTER the data write, BEFORE the manifest put — the commit
+    # point in store mode. No manifest object appears, so the committed
+    # snapshot is unchanged and readers see the old table whole.
+    def die(path, data):
+        raise RuntimeError("killed before manifest put")
+
+    monkeypatch.setattr(snapshot, "_put_if_absent", die)
+    with pytest.raises(RuntimeError):
+        snapshot.store_commit(
+            _mk(spark, [(2, "B", 2024), (9, "z", 2025)]),
+            STORE,
+            ["year"],
+            replace_only=True,
+        )
+    assert snapshot.store_current(STORE) == "v000000"
+    assert _store_rows(spark) == before
+    # The next commit succeeds normally over the leftover garbage.
+    monkeypatch.undo()
+    snapshot.store_commit(
+        _mk(spark, [(2, "B", 2024)]), STORE, ["year"], replace_only=True
+    )
+    assert _store_rows(spark) == {(1, "a", 2023), (2, "B", 2024), (3, "c", 2025)}
+
+
+def test_store_cas_loss_retries_against_winner(spark, monkeypatch):
+    """A racing writer's manifest appearing between our write and our
+    put must NOT be lost: the loser recomputes carry-forward against
+    the winner's snapshot and commits on top (the posix mode's
+    documented lost-update caveat, closed by CAS)."""
+    import json
+
+    shutil.rmtree(STORE, ignore_errors=True)
+    snapshot.store_commit(_mk(spark, [(1, "a", 2023), (2, "b", 2024)]), STORE, ["year"])
+
+    real_put = snapshot._put_if_absent
+    state = {"raced": False}
+
+    def racing_put(path, data):
+        if not state["raced"]:
+            state["raced"] = True
+            # Winner lands v000001 first: replaces 2023 with (7, "w").
+            win_dir = os.path.join(STORE, "v000001", "year=2023")
+            os.makedirs(win_dir)
+            src = None
+            for dirpath, _d, files in os.walk(os.path.join(STORE, "v000000")):
+                for f in files:
+                    if f.endswith(".parquet") and "2023" in dirpath:
+                        src = os.path.join(dirpath, f)
+            # Reuse a real parquet file for the winner's partition so
+            # reads stay valid; rows are the same (1, 'a', 2023).
+            shutil.copyfile(src, os.path.join(win_dir, "part-w.parquet"))
+            man = {
+                "id": "v000001",
+                "partition_by": ["year"],
+                "files": [
+                    {
+                        "path": os.path.join("v000001", "year=2023", "part-w.parquet"),
+                        "partition": {"year": "2023"},
+                    }
+                ],
+            }
+            real_put(
+                os.path.join(STORE, snapshot.MANIFEST_DIR, "v000001.json"),
+                json.dumps(man),
+            )
+        return real_put(path, data)
+
+    monkeypatch.setattr(snapshot, "_put_if_absent", racing_put)
+    sid = snapshot.store_commit(
+        _mk(spark, [(5, "e", 2024)]), STORE, ["year"], replace_only=True
+    )
+    assert sid == "v000002"  # retried past the winner
+    # Final table: winner's 2023 carried forward, our 2024 replacement.
+    assert _store_rows(spark) == {(1, "a", 2023), (5, "e", 2024)}
+
+
+def test_store_vacuum_keeps_referenced_files(spark):
+    shutil.rmtree(STORE, ignore_errors=True)
+    snapshot.store_commit(_mk(spark, [(1, "a", 2023), (2, "b", 2024)]), STORE, ["year"])
+    snapshot.store_commit(
+        _mk(spark, [(2, "B", 2024)]), STORE, ["year"], replace_only=True
+    )
+    snapshot.store_commit(
+        _mk(spark, [(3, "c", 2025)]), STORE, ["year"], replace_only=True
+    )
+    removed = snapshot.store_vacuum(STORE, keep=2)
+    assert removed == ["v000000"]
+    # v000000's 2023 file is still referenced by retained manifests and
+    # must survive; reads stay whole.
+    assert _store_rows(spark) == {(1, "a", 2023), (2, "B", 2024), (3, "c", 2025)}
+    man = snapshot._store_manifest(STORE, "v000002")
+    assert any(e["path"].startswith("v000000") for e in man["files"])
+
+
+def test_store_empty_read_raises(spark):
+    shutil.rmtree(STORE, ignore_errors=True)
+    with pytest.raises(FileNotFoundError):
+        snapshot.store_read(spark, STORE)
