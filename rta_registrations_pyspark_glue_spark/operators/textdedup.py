@@ -99,7 +99,7 @@ def incremental_exact_dedup(
     return dedup_in_batch.join(existing_keys, "content_key", "left_anti")
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -107,22 +107,22 @@ def minhash_lsh_candidates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the MinHash signature become
-    a candidate pair (id_a < id_b, distinct).
-
-    Plan shape at scale: signature computation is scan-side; explode to
-    (band_idx, band_key) rows — num_bands rows per doc — then a self
-    equi-join on the bucket key. Catalyst hashes on (band_idx, band_key),
-    so only same-bucket docs ever meet; AQE splits skewed buckets."""
+    """(id_col, band_idx, band_key) bucket memberships — the MinHash
+    LSH "index" rows. Shared by the batch candidate join
+    (minhash_lsh_candidates) and the streaming near-dup ingest's
+    persistent bucket store (streaming/dedup.py): both must bucket
+    IDENTICALLY or a replayed/late document would probe different
+    buckets than it was stored under. Not persisted here — callers
+    own the lifecycle (tracked_persist for the self-join, parquet for
+    the store)."""
     df = df.withColumn("__norm", normalize_text(text_col)).withColumn(
         "__sh", word_shingles("__norm", shingle_n)
     )
-    # Signature via explode + min-aggregate rather than 8 array_min
-    # expressions over the same array column: projection collapse would
-    # inline the whole shingle expression into every component (8x the
-    # work); exploding computes shingles once, hashes each shingle once
-    # per seed, and the min() partial-aggregates map-side — the shuffle
-    # carries num_hashes digests per doc per partition.
+    # Signature via explode + min-aggregate rather than num_hashes
+    # array_min expressions over the same array column: projection
+    # collapse would inline the whole shingle expression into every
+    # component; exploding computes shingles once, hashes each shingle
+    # once per seed, and the min() partial-aggregates map-side.
     exploded = df.filter(F.size("__sh") > 0).select(
         F.col(id_col), F.explode("__sh").alias("__shingle")
     )
@@ -143,13 +143,38 @@ def minhash_lsh_candidates(
             for b in range(num_bands)
         ]
     )
+    return sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become
+    a candidate pair (id_a < id_b, distinct).
+
+    Plan shape at scale: signature computation is scan-side; explode to
+    (band_idx, band_key) rows — num_bands rows per doc — then a self
+    equi-join on the bucket key. Catalyst hashes on (band_idx, band_key),
+    so only same-bucket docs ever meet; AQE splits skewed buckets."""
     # Persist the bucket index: both sides of the self-join read it, and
     # without it the whole shingle→signature pipeline executes twice.
     # (num_bands small rows per doc — this is the LSH "index" any real
     # deployment materializes.) Lifecycle: tracked — callers done with a
     # batch of invocations release it via caching.release_tracked().
     buckets = tracked_persist(
-        sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key"))
+        minhash_band_buckets(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            band_size=band_size,
+        )
     )
     a = buckets.select(
         F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")

@@ -169,3 +169,192 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ingest_near_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    bucket_store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """One micro-batch of the streaming NEAR-dup ingest (the
+    ``foreachBatch`` body of ``stream_near_dedup_ingest``): the exact
+    variant's replay contract, with MinHash-LSH banding + exact Jaccard
+    verification in place of the md5 fingerprint equality.
+
+    Per batch:
+
+    1. the batch's band buckets come from the SAME bucketing as the
+       batch operator (``textdedup.minhash_band_buckets`` — identical
+       bucketing is what makes the persistent store probe-able);
+    2. WITHIN-batch near-dups collapse by greedy min-id dominance (the
+       semantic_dedup survivor rule: a doc drops when any smaller-id
+       near-dup exists in the batch);
+    3. the survivors probe the PERSISTENT bucket store (``batch_id <
+       N``, so a crashed attempt's own rows never suppress its replay):
+       bucket-key equi-join → candidate (history, new) pairs → exact
+       Jaccard against the history docs' text (semi-joined out of the
+       corpus store, bounded by candidate volume). Any verified match
+       drops the NEW doc — history always wins regardless of id order
+       (first-committed-wins is the streaming rule; min-id is only a
+       within-batch tiebreak);
+    4. remaining survivors land in ``corpus_path`` and their bucket
+       rows in ``bucket_store_path``, both dynamic-partition overwrites
+       of the batch's OWN ``batch_id=N`` partition — replays converge
+       to identical state (same argument as ingest_dedup_batch).
+
+    Scale shape: per-batch work is the batch's own shingling plus one
+    equi-join probe whose build side (the batch's buckets) broadcasts;
+    the store is scanned but never shuffled. The parquet bucket store
+    is the file-based stand-in for the key-value store a continuous
+    deployment would use — the bucketing, probe, and verification
+    semantics are what this module pins."""
+    from rta_registrations_pyspark_glue_spark import io
+    from rta_registrations_pyspark_glue_spark.operators import textdedup
+
+    def buckets_of(df: DataFrame) -> DataFrame:
+        return textdedup.minhash_band_buckets(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            band_size=band_size,
+        )
+
+    batch_df = batch_df.persist()
+    pinned = [batch_df]
+    try:
+        new_buckets = buckets_of(batch_df).persist()
+        pinned.append(new_buckets)
+        # 1+2: within-batch collapse, min-id wins.
+        a = new_buckets.select(
+            "band_idx", "band_key", F.col(id_col).alias("id_a")
+        )
+        b = new_buckets.select(
+            F.col("band_idx").alias("bi_b"),
+            F.col("band_key").alias("bk_b"),
+            F.col(id_col).alias("id_b"),
+        )
+        in_cands = (
+            a.join(
+                b,
+                (F.col("band_idx") == F.col("bi_b"))
+                & (F.col("band_key") == F.col("bk_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        in_matched = textdedup.jaccard_verify(
+            in_cands, batch_df, text_col=text_col, id_col=id_col,
+            shingle_n=shingle_n, threshold=threshold,
+        )
+        dominated = in_matched.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(dominated, id_col, "left_anti").persist()
+        pinned.append(survivors)
+        # 3: history probe (store rows of EARLIER batches only).
+        if io.table_exists(bucket_store_path):
+            store = spark.read.parquet(bucket_store_path).filter(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+            surv_buckets = new_buckets.join(
+                survivors.select(id_col), id_col, "left_semi"
+            )
+            hist_cands = (
+                store.join(
+                    F.broadcast(
+                        surv_buckets.select(
+                            "band_idx",
+                            "band_key",
+                            F.col(id_col).alias("id_b"),
+                        )
+                    ),
+                    ["band_idx", "band_key"],
+                )
+                .select(F.col(id_col).alias("id_a"), "id_b")
+                .distinct()
+            )
+            hist_docs = (
+                spark.read.parquet(corpus_path)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .join(
+                    hist_cands.select(F.col("id_a").alias(id_col)),
+                    id_col,
+                    "left_semi",
+                )
+                .select(id_col, text_col)
+            )
+            both = hist_docs.unionByName(survivors.select(id_col, text_col))
+            hist_matched = textdedup.jaccard_verify(
+                hist_cands, both, text_col=text_col, id_col=id_col,
+                shingle_n=shingle_n, threshold=threshold,
+            )
+            hist_dominated = hist_matched.select(
+                F.col("id_b").alias(id_col)
+            ).distinct()
+            survivors = survivors.join(hist_dominated, id_col, "left_anti").persist()
+            pinned.append(survivors)
+        # 4: land survivors + their bucket rows under batch_id=N.
+        out = survivors.withColumn("batch_id", F.lit(batch_id))
+        io.write_parquet(
+            out, corpus_path, partition_by=["batch_id"], dynamic_partitions=True
+        )
+        out_buckets = (
+            new_buckets.join(survivors.select(id_col), id_col, "left_semi")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        io.write_parquet(
+            out_buckets,
+            bucket_store_path,
+            partition_by=["batch_id"],
+            dynamic_partitions=True,
+        )
+    finally:
+        for frame in pinned:
+            frame.unpersist()
+
+
+def stream_near_dedup_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    bucket_store_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Continuous near-dup-filtered corpus ingestion: every micro-batch
+    is MinHash-banded, collapsed within itself, probed against the
+    persistent LSH bucket store of all prior batches, and exact-Jaccard
+    verified before landing — the streaming composition of
+    minhash_lsh_candidates + jaccard_verify (see ingest_near_dedup_batch
+    for the per-batch contract and replay semantics). Returns the
+    StreamingQuery."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_near_dedup_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            corpus_path,
+            bucket_store_path,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(body).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -204,3 +204,91 @@ def test_stream_dedup_replay_is_idempotent(spark):
     } == want_corpus
     assert {(r.doc_id, r.fp_md5) for r in spark.read.parquet(fp).collect()} == want_fp
     shutil.rmtree(DEDUP_ROOT, ignore_errors=True)
+
+
+# -------------------------------------------- streaming NEAR-dup ingest
+
+NEAR_ROOT = "/root/repo/.tmp/stream_near_dedup"
+
+_T_FOX = "the quick brown fox jumps over the lazy dog in the sunny garden today"
+_T_FOX_NEAR = "the quick brown fox jumps over the lazy cat in the sunny garden today"
+_T_FOX_NEAR2 = "a quick brown fox jumps over the lazy dog in the sunny garden today"
+_T_NEWS = "markets rallied sharply this morning after the central bank held rates steady"
+_T_WEATHER = "heavy rain and strong winds are expected across the northern coast tonight"
+
+
+def _near_paths():
+    import os
+
+    shutil.rmtree(NEAR_ROOT, ignore_errors=True)
+    os.makedirs(f"{NEAR_ROOT}/in", exist_ok=True)
+    return (
+        f"{NEAR_ROOT}/in",
+        f"{NEAR_ROOT}/corpus",
+        f"{NEAR_ROOT}/buckets",
+        f"{NEAR_ROOT}/ckpt",
+    )
+
+
+def _near_drain(spark, indir, corpus, buckets, ckpt):
+    from rta_registrations_pyspark_glue_spark.streaming import dedup as sd
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(indir)
+    q = sd.stream_near_dedup_ingest(stream, corpus, buckets, ckpt)
+    q.awaitTermination(120)
+
+
+def test_stream_near_dedup_ingest_across_batches(spark):
+    indir, corpus, buckets, ckpt = _near_paths()
+    # Drop 1: docs 2 and 3 are near-dups (one word differs) — min id 2
+    # survives; doc 1 is unrelated.
+    _drop_jsonl(indir, "d1.jsonl", [(1, _T_NEWS), (2, _T_FOX), (3, _T_FOX_NEAR)])
+    _near_drain(spark, indir, corpus, buckets, ckpt)
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2}
+    # Drop 2: doc 4 is a near-dup of HISTORY doc 2 (different leading
+    # article) — the store probe kills it even though no exact hash
+    # matches; doc 5 is new and survives.
+    _drop_jsonl(indir, "d2.jsonl", [(4, _T_FOX_NEAR2), (5, _T_WEATHER)])
+    _near_drain(spark, indir, corpus, buckets, ckpt)
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 5}
+    # The bucket store grew: rows for every SURVIVOR of both batches,
+    # none for dropped docs.
+    b = spark.read.parquet(buckets)
+    assert {r.batch_id for r in b.collect()} == {0, 1}
+    assert {r.doc_id for r in b.collect()} == {1, 2, 5}
+
+
+def test_stream_near_dedup_replay_is_idempotent(spark):
+    from rta_registrations_pyspark_glue_spark.streaming.dedup import (
+        ingest_near_dedup_batch,
+    )
+
+    _indir, corpus, buckets, _ckpt = _near_paths()
+    b0 = spark.createDataFrame([(1, _T_NEWS), (2, _T_FOX)], ["doc_id", "text"])
+    b1 = spark.createDataFrame(
+        [(3, _T_FOX_NEAR), (4, _T_WEATHER)], ["doc_id", "text"]
+    )
+    ingest_near_dedup_batch(spark, b0, 0, corpus, buckets)
+    ingest_near_dedup_batch(spark, b1, 1, corpus, buckets)
+    want_corpus = {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()}
+    want_buckets = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in spark.read.parquet(buckets).collect()
+    }
+    assert {d for d, _ in want_corpus} == {1, 2, 4}  # 3 near-dups history 2
+    # REPLAY batch 1: its own already-written bucket rows are excluded
+    # from the probe (batch_id < N), so the survivor set recomputes
+    # identically and both partition overwrites converge.
+    ingest_near_dedup_batch(spark, b1, 1, corpus, buckets)
+    assert {
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()
+    } == want_corpus
+    assert {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in spark.read.parquet(buckets).collect()
+    } == want_buckets
+    shutil.rmtree(NEAR_ROOT, ignore_errors=True)
