@@ -974,9 +974,16 @@ def ivf_build(
         .withColumn("__cn", dot("__cv", "__cv"))
         .filter(F.col("__cn") > 0)
     )
-    assignment = tracked_persist(
-        c.withColumn("__cell", best_cell_expr(cents, "__cv", "__cn"))
-    )
+    # Assignment strategy dispatch (bit-identical either way): the
+    # literal-expression transform is O(N·k·d) in interpreted lambdas
+    # and became the dominant build cost once k grew with the corpus
+    # (r7 sf5 study); past _VEC_ASSIGN_MIN_CELLS the Arrow-GEMM twin
+    # takes over. Gate corpora (k=8 floor) stay on the expression path.
+    if len(cents) > _VEC_ASSIGN_MIN_CELLS:
+        assigned = assign_cells_vectorized(c, cents, corpus_id)
+    else:
+        assigned = c.withColumn("__cell", best_cell_expr(cents, "__cv", "__cn"))
+    assignment = tracked_persist(assigned)
     return IvfIndex(centroids=cents, assignment=assignment, corpus_id=corpus_id)
 
 
@@ -1014,6 +1021,114 @@ def ivf_search(
     if 0 <= queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries:
         return _ivf_search_broadcast(index, queries, k, nprobe, query_id, query_vec)
     return _ivf_search_join(index, queries, k, nprobe, query_id, query_vec)
+
+
+#: Above this centroid count, cell assignment and probe ranking run as
+#: Arrow-GEMM mapInPandas ops instead of the literal-expression
+#: transform. The expression form evaluates ALL k centroids per row in
+#: interpreted Catalyst lambdas — O(N·k·d) that the r7 sf5 study
+#: measured as the dominant IVF cost once derive_n_pivots pushed k to
+#: 400 (exactly the "holds to k≈O(10³)" wall SCALING.md §5 predicted).
+#: The GEMM path is BIT-IDENTICAL (column-fold accumulation — see
+#: _exact_fold_cosine_np — same stable (negcos, cell) order), so the
+#: dispatch is pure performance; the floor-size gate corpora (8 cells)
+#: stay on the expression path the oracle mirrors.
+_VEC_ASSIGN_MIN_CELLS = 16
+
+
+def _centroid_arrays(np, centroids):
+    import math
+
+    cells = np.array([c for c, _ in centroids], dtype=np.int64)
+    cent_m = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cent_nrm = np.array([math.sqrt(_py_dot(cv, cv)) for _, cv in centroids])
+    return cells, cent_m, cent_nrm
+
+
+def _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, nprobe):
+    """Top-``nprobe`` centroid columns per row in the exact (cosine
+    DESC, cell ASC) total order of _cell_scores_sql: column-fold GEMM
+    (bit-identical per lane to the SQL aggregate/zip_with fold), then a
+    stable argsort on negated cosine over cell-ascending columns — the
+    same machinery _ivf_search_broadcast proved out; NaN (zero-norm
+    centroid) sorts last in numpy and Spark alike."""
+    acc = np.zeros((mat.shape[0], cent_m.shape[0]))
+    for d in range(mat.shape[1]):
+        acc += np.outer(mat[:, d], cent_m[:, d])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        negcos = -(acc / np.outer(sqrtn, cent_nrm))
+    return np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
+
+
+def assign_cells_vectorized(
+    c: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    corpus_id: str,
+) -> DataFrame:
+    """best_cell_expr's Arrow-GEMM twin: appends ``__cell`` to
+    (corpus_id, __cv, __cn) rows, bit-identical to the expression form
+    at any k (test-pinned). Centroids ride in the closure — k·dim
+    doubles, ~2 MB at k=4000; broadcast explicitly past ~10⁵ cells."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(c.schema.fields) + [StructField("__cell", LongType())])
+
+    def op(batches):
+        cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+            sqrtn = np.sqrt(pdf["__cn"].to_numpy())
+            order = _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, 1)
+            yield pdf.assign(__cell=cells[order[:, 0]])
+
+    return c.mapInPandas(op, schema=schema)
+
+
+def probe_memberships_vectorized(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str = "__cv",
+    norm_col: str = "__cn",
+) -> DataFrame:
+    """probe_cells_expr's Arrow-GEMM twin, pre-exploded: slim
+    (id_col, __cell) membership rows for each row's top-``nprobe``
+    cells, in the identical total order. The vectors stay inside the
+    op — only ids and cells cross Arrow on the way out."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("__cell", LongType()),
+        ]
+    )
+
+    def op(batches):
+        cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
+        k = min(nprobe, len(cells))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            sqrtn = np.sqrt(pdf[norm_col].to_numpy())
+            order = _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, k)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, k),
+                    "__cell": cells[order].reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col, norm_col).mapInPandas(op, schema=schema)
 
 
 #: Max queries per dense GEMM inside the broadcast search op. Bounds the
@@ -1188,16 +1303,44 @@ def _ivf_search_join(
         .withColumn("__qn", dot("__qv", "__qv"))
         .filter(F.col("__qn") > 0)
     )
-    probed = q.select(
-        F.col(query_id),
-        "__qv",
-        "__qn",
-        F.explode(
-            probe_cells_expr(index.centroids, "__qv", "__qn", nprobe)
-        ).alias("__cell"),
-    )
     import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if len(index.centroids) > _VEC_ASSIGN_MIN_CELLS:
+        # Arrow-GEMM probe ranking (bit-identical — see
+        # _VEC_ASSIGN_MIN_CELLS), vectors passed through so the cell
+        # equi-join needs no re-attach join.
+        import numpy as np
+
+        centroids = index.centroids
+        probe_schema = StructType(
+            list(q.schema.fields) + [StructField("__cell", LongType())]
+        )
+
+        def probe_op(batches):
+            cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
+            kk = min(nprobe, len(cells))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["__qv"].map(np.asarray)).astype(np.float64)
+                sqrtn = np.sqrt(pdf["__qn"].to_numpy())
+                order = _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, kk)
+                rep = pdf.iloc[np.repeat(np.arange(len(pdf)), kk)].reset_index(
+                    drop=True
+                )
+                yield rep.assign(__cell=cells[order].reshape(-1))
+
+        probed = q.mapInPandas(probe_op, schema=probe_schema)
+    else:
+        probed = q.select(
+            F.col(query_id),
+            "__qv",
+            "__qn",
+            F.explode(
+                probe_cells_expr(index.centroids, "__qv", "__qn", nprobe)
+            ).alias("__cell"),
+        )
 
     cands = probed.join(
         index.assignment.withColumnRenamed("__cell", "__ccell"),
@@ -1324,14 +1467,23 @@ def _raw_probes(index: IvfIndex, multi_probe: int) -> DataFrame:
     tracked-persisted: the blocking self-join reads this frame on BOTH
     sides, and the probe ranking (k-centroid transform + array_sort
     per row) is expensive enough that computing it twice showed up in
-    the sf1 study. Slim (two columns), released via release_tracked."""
-    return tracked_persist(
-        index.assignment.select(
-            F.col(index.corpus_id),
-            F.explode(
-                probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
-            ).alias("__cell"),
+    the sf1 study. Slim (two columns), released via release_tracked.
+    Same k-dispatch as ivf_build's assignment: past
+    _VEC_ASSIGN_MIN_CELLS the ranking runs as the bit-identical
+    Arrow-GEMM op instead of the O(N·k·d) expression."""
+    return tracked_persist(_probe_memberships(index, multi_probe))
+
+
+def _probe_memberships(index: IvfIndex, multi_probe: int) -> DataFrame:
+    if len(index.centroids) > _VEC_ASSIGN_MIN_CELLS:
+        return probe_memberships_vectorized(
+            index.assignment, index.centroids, multi_probe, index.corpus_id
         )
+    return index.assignment.select(
+        F.col(index.corpus_id),
+        F.explode(
+            probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
+        ).alias("__cell"),
     )
 
 
@@ -1344,11 +1496,7 @@ def _index_max_occupancy(index: IvfIndex, multi_probe: int) -> int:
         cache = {}
         object.__setattr__(index, "_occ_cache", cache)
     if multi_probe not in cache:
-        raw = index.assignment.select(
-            F.explode(
-                probe_cells_expr(index.centroids, "__cv", "__cn", multi_probe)
-            ).alias("__cell")
-        )
+        raw = _probe_memberships(index, multi_probe)
         mx = raw.groupBy("__cell").count().agg(F.max("count")).collect()[0][0]
         cache[multi_probe] = int(mx or 0)
     return cache[multi_probe]
@@ -1440,10 +1588,25 @@ def ivf_blocked_near_dup(
     bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup with the IVF cell assignment as the BLOCKING
-    structure: candidate pairs are vectors sharing a coarse-quantizer
-    cell (one equi-join on the persisted assignment — candidate volume
-    is sum(cell_size²), never corpus²), verified with the exact fold
-    cosine. Output: (id_a, id_b, cosine) with id_a < id_b.
+    structure: pairs are vectors sharing a coarse-quantizer cell —
+    pair work is sum(cell_size²), never corpus² — scored with the exact
+    fold cosine. Output: (id_a, id_b, cosine) with id_a < id_b.
+
+    Execution shape (rewritten round 7): the candidate pair stream is
+    NEVER materialized. Each bucket's members (vectors ride along —
+    N·multi_probe membership rows total) are scored IN-CELL by one
+    chunked column-fold GEMM inside applyInPandas, emitting only pairs
+    at/above the threshold; multi-probe duplicate meetings collapse
+    afterwards on the (small) survivor stream. The r7 sf5 study
+    measured why this matters: the previous shape attached two 64-dim
+    vectors to each of ~100M candidate pairs (~100 GB through the
+    verify join) — the join WIDTH, not the flop count, was the wall.
+    Scores are bit-identical to the expression fold (column-wise
+    accumulation, see _exact_fold_cosine_np), so the DuckDB oracle
+    checks this exact path. Per-cell memory is bounded by
+    _GEMM_QUERY_CHUNK × |cell| scratch; cells themselves are bounded
+    by derive_bucket_cap when balancing is wired (the registered
+    queries pass it).
 
     Recall = the probability both members of a near-dup pair quantize to
     the same cell, which rises with pair similarity: at dedup-grade
@@ -1472,14 +1635,6 @@ def ivf_blocked_near_dup(
     raw probe sets; derive_bucket_cap supplies the corpus-sized cap on
     adaptive paths and None on gate corpora."""
     corpus_id = index.corpus_id
-    # Candidate GENERATION runs slim — (cell, id) only, vectors stay
-    # home. Measured rationale: the cell equi-join has only n_pivots
-    # distinct keys, so everything computed inside it runs at
-    # parallelism ≤ n_pivots (8 tasks on a 32-core host) and every
-    # by-product it carries is duplicated per probe pair. Keeping the
-    # join output to two ids makes the skew harmless, and the distinct()
-    # both collapses multi-probe duplicate meetings AND repartitions the
-    # unique pairs across the full cluster before the expensive part.
     if bucket_cap is not None:
         # Cheap dispatch before committing to the balanced path: one
         # k-row aggregate over the persisted assignment tells us the
@@ -1503,38 +1658,62 @@ def ivf_blocked_near_dup(
         probed = _raw_probes(index, multi_probe)
     else:
         probed = index.assignment.select(F.col(corpus_id), "__cell")
-    a = probed.select("__cell", F.col(corpus_id).alias("id_a"))
-    b = probed.select(
-        F.col("__cell").alias("__cell_b"), F.col(corpus_id).alias("id_b")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # Vectors join onto the slim memberships by id — N·multi_probe rows
+    # total, the ONLY place vectors move for this operator.
+    memb = probed.join(
+        index.assignment.select(F.col(corpus_id), "__cv", "__cn"), corpus_id
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("__cell") == F.col("__cell_b")) & (F.col("id_a") < F.col("id_b")),
-            "inner",
+    out_schema = StructType(
+        [
+            StructField("id_a", index.assignment.schema[corpus_id].dataType),
+            StructField("id_b", index.assignment.schema[corpus_id].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(corpus_id)
+        ids = pdf[corpus_id].to_numpy()
+        mat = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+        sqrtn = np.sqrt(pdf["__cn"].to_numpy())
+        ia, ib, cs = [], [], []
+        col_idx = np.arange(n)
+        for start in range(0, n, _GEMM_QUERY_CHUNK):
+            stop = min(n, start + _GEMM_QUERY_CHUNK)
+            acc = np.zeros((stop - start, n))
+            for d in range(mat.shape[1]):
+                acc += np.outer(mat[start:stop, d], mat[:, d])
+            cos = acc / np.outer(sqrtn[start:stop], sqrtn)
+            gi = np.arange(start, stop)
+            # Upper triangle only (ids ascend with the sort, so j > i
+            # means id_b > id_a) and the same NaN-keeping mask as every
+            # oracle-checked keep: ~(cos < t).
+            keep = (col_idx[None, :] > gi[:, None]) & ~(cos < threshold)
+            r, c = np.nonzero(keep)
+            ia.append(ids[gi[r]])
+            ib.append(ids[c])
+            cs.append(cos[r, c])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ia),
+                "id_b": np.concatenate(ib),
+                "cosine": np.concatenate(cs),
+            }
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # VERIFICATION attaches vectors to unique candidates only (two
-    # id-equi-joins against the persisted assignment — the cosine_verify
-    # shape) and folds the exact cosine once per unique pair, at full
-    # parallelism. At corpus scale the assignment side shuffles by id;
-    # here AQE broadcasts it.
-    va = index.assignment.select(
-        F.col(corpus_id).alias("id_a"),
-        F.col("__cv").alias("__ea"),
-        F.col("__cn").alias("__na"),
-    )
-    vb = index.assignment.select(
-        F.col(corpus_id).alias("id_b"),
-        F.col("__cv").alias("__eb"),
-        F.col("__cn").alias("__nb"),
-    )
-    pairs = cand.join(va, "id_a").join(vb, "id_b").withColumn(
-        "cosine", dot("__ea", "__eb") / (F.sqrt("__na") * F.sqrt("__nb"))
-    )
-    return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+    pairs = memb.groupBy("__cell").applyInPandas(cell_pairs, schema=out_schema)
+    # Multi-probe duplicate meetings carry bit-identical cosines (same
+    # fold in every cell), so dropDuplicates on the pair key is
+    # deterministic.
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def semantic_dedup(

@@ -28,12 +28,14 @@ Layout::
 This is exactly the shape lakehouse formats use (snapshot = immutable
 file set, commit = atomic pointer swap, unchanged files REFERENCED not
 copied); hard links are the local-FS stand-in for Iceberg's manifest
-reuse. On an object store, swap the hard-link carry-forward for
-manifest-list reuse and the ``os.replace`` for the store's
-put-if-absent/CAS — the call sites keep their semantics. Vacuum
-deletes old snapshot dirs; shared files survive until their last
-referencing snapshot goes (link count), so readers mid-scan on the
-previous snapshot are never yanked.
+reuse. Vacuum deletes old snapshot dirs; shared files survive until
+their last referencing snapshot goes (link count), so readers mid-scan
+on the previous snapshot are never yanked.
+
+The OBJECT-STORE commit mode (``store_commit``/``store_read``/
+``store_vacuum``, round 7) implements the same API with manifest-list
+reuse in place of hard links and put-if-absent in place of
+``os.replace`` — see the section comment below for the full contract.
 """
 
 from __future__ import annotations

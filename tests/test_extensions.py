@@ -1290,3 +1290,45 @@ def test_hyperplane_lsh_accepts_derived_bank(spark):
     planted = {(i, i + 10000) for i in range(0, 150, 3)}
     recall = len(planted & got) / len(planted)
     assert recall >= 0.9, f"derived bank recall too low: {recall}"
+
+
+def test_vectorized_assignment_and_probes_bit_identical(spark, sf_dir, monkeypatch):
+    """The Arrow-GEMM assignment/probe-ranking twins must reproduce the
+    literal-expression forms EXACTLY (cells, order, every membership) —
+    they are physical strategies for one logical operator, and the
+    k-dispatch (_VEC_ASSIGN_MIN_CELLS) must never be observable in
+    results. Run at k=40 so the real dispatch takes the GEMM path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # Expression path (force by raising the dispatch threshold).
+    monkeypatch.setattr(similarity, "_VEC_ASSIGN_MIN_CELLS", 10**9)
+    idx_e = similarity.ivf_build(c, n_pivots=40, train_iters=2, train_sample_mod=4)
+    assign_e = {(r.cid, r["__cell"]) for r in idx_e.assignment.collect()}
+    probes_e = {
+        (r.cid, r["__cell"])
+        for r in similarity._probe_memberships(idx_e, 3).collect()
+    }
+    search_e = {
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity._ivf_search_join(idx_e, q, k=5, nprobe=4).collect()
+    }
+    # GEMM path (default threshold; reuse the SAME trained centroids).
+    monkeypatch.setattr(similarity, "_VEC_ASSIGN_MIN_CELLS", 16)
+    idx_v = similarity.ivf_build(
+        c, n_pivots=40, train_iters=2, train_sample_mod=4, centroids=idx_e.centroids
+    )
+    assign_v = {(r.cid, r["__cell"]) for r in idx_v.assignment.collect()}
+    probes_v = {
+        (r.cid, r["__cell"])
+        for r in similarity._probe_memberships(idx_v, 3).collect()
+    }
+    search_v = {
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity._ivf_search_join(idx_v, q, k=5, nprobe=4).collect()
+    }
+    assert assign_e == assign_v and len(assign_v) > 0
+    assert probes_e == probes_v and len(probes_v) > 0
+    assert search_e == search_v and len(search_v) > 0
