@@ -974,6 +974,18 @@ def ivf_build(
         .withColumn("__cn", dot("__cv", "__cv"))
         .filter(F.col("__cn") > 0)
     )
+    # Spread an under-partitioned corpus before assignment: embeddings
+    # are dense enough that a multi-GFLOP corpus fits one 128 MB scan
+    # split (the sf5 file is ~50 MB for 100k×64 vectors), which would
+    # run EVERY downstream GEMM — assignment, probe ranking, search
+    # scoring, in-cell pairs — on one task. The r7 decomposition
+    # measured exactly that: 17.5s single-task assignment that is ~1s
+    # wide. Guarded so an already-wide corpus (the 100 TB case) is
+    # never coalesced; the one-time shuffle is vectors-only and tiny
+    # relative to the compute it parallelizes.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
     # Assignment strategy dispatch (bit-identical either way): the
     # literal-expression transform is O(N·k·d) in interpreted lambdas
     # and became the dominant build cost once k grew with the corpus
