@@ -536,10 +536,13 @@ def test_resize_media_deterministic_tile(spark, sf_dir):
 
 
 def test_decode_unsupported_format_raises():
-    # Codec formats remain the plug-in boundary (PIL slots in here).
+    # PNG/WebP remain the plug-in boundary (PIL slots in here); JPEG
+    # decodes natively since round 7, so a JPEG-magic payload that is
+    # merely truncated is a MALFORMED stream (ValueError), not an
+    # unsupported format.
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
 
 
