@@ -1629,10 +1629,10 @@ def ivf_blocked_near_dup(
     n_pivots sharpens cells and lowers cost but trims recall.
 
     ``multi_probe > 1`` is the standard recall recovery: each vector
-    joins under its top-``multi_probe`` cells (scan-side
-    probe_cells_expr over the persisted assignment, exploded), so a pair
-    split across two adjacent cells still meets in either's probe set —
-    candidate volume grows ~multi_probe² worst-case. Measured on the
+    is a member of its top-``multi_probe`` cells (_probe_memberships —
+    expression form at the gate floor, Arrow-GEMM twin past 16 cells),
+    so a pair split across two adjacent cells still meets in either's
+    bucket — pair work grows ~multi_probe² worst-case. Measured on the
     sf0.001 gate corpus at threshold 0.35: recall 0.36 → 0.70 → 0.95
     for multi_probe 1/2/3 (precision stays 1.0 — exact verify). The
     default is 2: single-probe's 0.36 recall at the documented operating

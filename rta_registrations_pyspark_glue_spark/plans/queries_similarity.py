@@ -462,8 +462,9 @@ def _ivf_blocked_oracle(threshold: float = 0.35, multi_probe: int = 2) -> str:
 @register("embedding_near_dup_ivf", oracle=_ivf_blocked_oracle())
 def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with IVF cells as the blocking structure — the
-    cheapest of the three modes (reuses the session's built index; one
-    equi-join on the persisted assignment, candidate volume sum(cell²)).
+    cheapest of the three modes (reuses the session's built index;
+    per-cell GEMM scoring, pair work sum(cell²), vectors move once per
+    membership — no candidate-pair materialization).
     Runs at the operator's default multi_probe=2 (recall 0.70 at this
     corpus's near-orthogonal 0.35 threshold, precision 1.0 — exact
     verify); at dedup-grade thresholds co-location is near-certain, and
