@@ -231,6 +231,43 @@ def synthesize_ppm_docs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
 
 
+def synthesize_jpeg_docs(docs: DataFrame, size: int = 16) -> DataFrame:
+    """(doc_id, content): a deterministic solid-gray baseline JPEG per
+    document — ``size``×``size``, value ``(doc_id * 37) % 256``, unit
+    quantization table (operators/jpeg.encode_baseline_jpeg).
+
+    A solid image exercises the DC-only decode path, which is EXACT:
+    the DC coefficient of a constant block is 8·(v−128) — integral, so
+    quantize/round/dequantize round-trips bit-perfectly and the IDCT
+    reproduces the constant (pinned by test_solid_color_exact). The
+    decoded pixel sum is therefore ANALYTICALLY predictable —
+    ``size² · value`` — which is what lets the DuckDB oracle verify the
+    real Huffman+IDCT decoder without decoding anything itself. Only
+    256 distinct payloads exist, so encoding is memoized per value."""
+    from rta_registrations_pyspark_glue_spark.operators.jpeg import (
+        encode_baseline_jpeg,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                v = (int(doc_id) * 37) % 256
+                if v not in cache:
+                    cache[v] = encode_baseline_jpeg(
+                        np.full((size, size), v, dtype=np.uint8)
+                    )
+                payloads.append(cache[v])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
 def decode_image_features(df: DataFrame) -> DataFrame:
     """Decode the binary column with the REAL decoder and emit
     pixel-level features: dimensions, channel count, and the exact

@@ -372,6 +372,31 @@ _MM_DECODE_ORACLE = """
     """
 
 
+_MM_JPEG_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(256 * ((doc_id * 37) % 256) AS BIGINT) AS pixel_sum,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the Arrow/pandas path: each doc
+    gets a deterministic solid-gray 16×16 JPEG (encode_baseline_jpeg via
+    multimodal.synthesize_jpeg_docs), the pure-numpy Huffman+IDCT
+    decoder (operators/jpeg.py) parses the full marker/entropy stream,
+    and the emitted width/height/channels/pixel_sum are verified against
+    the oracle's ANALYTIC prediction 256·((doc_id·37)%256) — exact
+    because the DC-only path round-trips solid colors bit-perfectly. A
+    Huffman-table, zigzag, dequantize, or IDCT-scale bug shifts
+    pixel_sum and fails the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.decode_image_features(multimodal.synthesize_jpeg_docs(docs))
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the Arrow/pandas path: each doc gets a
     deterministic synthetic P6 image (multimodal.synthesize_ppm_docs),
@@ -392,6 +417,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'features' AS kind, * FROM ({_MM_FEAT_ORACLE})
     UNION ALL BY NAME
     SELECT 'decode' AS kind, * FROM ({_MM_DECODE_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'jpeg' AS kind, * FROM ({_MM_JPEG_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,7 +426,10 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('meta' rows), byte-level feature extraction + frame chunking
     ('features' rows), and REAL image decode over synthetic PPMs
     ('decode' rows, added round 6 when decode_image gained its
-    pure-numpy PPM/PGM/BMP implementation), each through the full
+    pure-numpy PPM/PGM/BMP implementation; 'jpeg' rows added round 7
+    when the baseline Huffman+IDCT decoder landed — solid-gray JPEGs
+    whose DC-only decode is exact, so the oracle predicts pixel sums
+    analytically), each through the full
     Arrow/pandas mapInPandas path — union-tagged under one gate slot
     (separate slots through round 4; consolidated in round 5 to free
     oracle capacity under the 50-row cap; every row of all three still
@@ -410,8 +440,13 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("features").alias("kind"), "*"
     )
     dec = multimodal_decode(spark, sf_dir).select(F.lit("decode").alias("kind"), "*")
-    return meta.unionByName(feats, allowMissingColumns=True).unionByName(
-        dec, allowMissingColumns=True
+    jpg = multimodal_decode_jpeg(spark, sf_dir).select(
+        F.lit("jpeg").alias("kind"), "*"
+    )
+    return (
+        meta.unionByName(feats, allowMissingColumns=True)
+        .unionByName(dec, allowMissingColumns=True)
+        .unionByName(jpg, allowMissingColumns=True)
     )
 
 
