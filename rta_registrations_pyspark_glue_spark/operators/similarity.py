@@ -1555,23 +1555,8 @@ def balanced_probe_memberships(
     mp = min(multi_probe, k)
     if n_choices is None:
         n_choices = min(k, 2 * mp)
-    scores = _cell_scores_sql(index.centroids, "__cv", "__cn")
-    base = tracked_persist(
-        index.assignment.select(
-            F.col(corpus_id),
-            F.expr(f"slice(array_sort({scores}), 1, {int(n_choices)})").alias(
-                "__probes"
-            ),
-        )
-    )
-    first = base.select(
-        F.col(corpus_id),
-        F.explode(F.expr(f"slice(__probes, 1, {mp})")).alias("__p"),
-    ).select(
-        F.col(corpus_id),
-        F.col("__p.cell").alias("__cell"),
-        F.col("__p.negcos").alias("__negcos"),
-    )
+    choices = tracked_persist(_ranked_choices(index, n_choices))
+    first = choices.filter(F.col("__choice") <= mp)
     w = Window.partitionBy("__cell").orderBy(
         F.col("__negcos").asc(), F.col(corpus_id).asc()
     )
@@ -1583,14 +1568,84 @@ def balanced_probe_memberships(
         .agg(F.count("*").alias("__e"))
     )
     repl = (
-        evicted.join(base, corpus_id)
-        .select(
-            F.col(corpus_id),
-            F.explode(F.expr(f"slice(__probes, {mp + 1}, __e)")).alias("__p"),
+        choices.join(evicted, corpus_id)
+        .filter(
+            (F.col("__choice") > mp) & (F.col("__choice") <= mp + F.col("__e"))
         )
-        .select(F.col(corpus_id), F.col("__p.cell").alias("__cell"))
+        .select(F.col(corpus_id), "__cell")
     )
     return kept.unionByName(repl)
+
+
+def _ranked_choices(index: IvfIndex, n_choices: int) -> DataFrame:
+    """(corpus_id, __choice (1-based), __cell, __negcos) — every
+    vector's ``n_choices`` nearest cells in the exact (cosine DESC,
+    cell ASC) total order, exploded. Same k-dispatch as assignment:
+    expression slice at the gate floor, Arrow-GEMM twin past
+    _VEC_ASSIGN_MIN_CELLS (negcos values bit-identical, so the
+    balanced ranking and spill decisions match either way)."""
+    corpus_id = index.corpus_id
+    if len(index.centroids) > _VEC_ASSIGN_MIN_CELLS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        centroids = index.centroids
+        schema = StructType(
+            [
+                StructField(corpus_id, index.assignment.schema[corpus_id].dataType),
+                StructField("__choice", IntegerType()),
+                StructField("__cell", LongType()),
+                StructField("__negcos", DoubleType()),
+            ]
+        )
+
+        def op(batches):
+            cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
+            k = min(n_choices, len(cells))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+                sqrtn = np.sqrt(pdf["__cn"].to_numpy())
+                acc = np.zeros((mat.shape[0], cent_m.shape[0]))
+                for d in range(mat.shape[1]):
+                    acc += np.outer(mat[:, d], cent_m[:, d])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    negcos = -(acc / np.outer(sqrtn, cent_nrm))
+                order = np.argsort(negcos, axis=1, kind="stable")[:, :k]
+                ids = pdf[corpus_id].to_numpy()
+                rows = np.arange(len(ids))[:, None]
+                yield pd.DataFrame(
+                    {
+                        corpus_id: np.repeat(ids, k),
+                        "__choice": np.tile(np.arange(1, k + 1), len(ids)),
+                        "__cell": cells[order].reshape(-1),
+                        "__negcos": negcos[rows, order].reshape(-1),
+                    }
+                )
+
+        return index.assignment.select(corpus_id, "__cv", "__cn").mapInPandas(
+            op, schema=schema
+        )
+    scores = _cell_scores_sql(index.centroids, "__cv", "__cn")
+    return index.assignment.select(
+        F.col(corpus_id),
+        F.posexplode(
+            F.expr(f"slice(array_sort({scores}), 1, {int(n_choices)})")
+        ).alias("__i", "__p"),
+    ).select(
+        F.col(corpus_id),
+        (F.col("__i") + 1).cast("int").alias("__choice"),
+        F.col("__p.cell").alias("__cell"),
+        F.col("__p.negcos").alias("__negcos"),
+    )
 
 
 def ivf_blocked_near_dup(

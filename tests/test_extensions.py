@@ -1335,3 +1335,33 @@ def test_vectorized_assignment_and_probes_bit_identical(spark, sf_dir, monkeypat
     assert assign_e == assign_v and len(assign_v) > 0
     assert probes_e == probes_v and len(probes_v) > 0
     assert search_e == search_v and len(search_v) > 0
+
+
+def test_balanced_memberships_gemm_parity(spark, monkeypatch):
+    """balanced_probe_memberships must produce the IDENTICAL membership
+    set whether the ranked-choice frame comes from the expression slice
+    or the Arrow-GEMM twin (_ranked_choices dispatch) — run on a skewed
+    corpus at k=20 so the real dispatch takes the GEMM path and the cap
+    actually binds."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    seeds = rng.standard_normal((20, 16))
+    rows = []
+    for i in range(600):
+        base_dir = 0 if i < 400 else (i % 20)
+        v = seeds[base_dir] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "cid long, cv array<double>")
+    idx = similarity.ivf_build(df, n_pivots=20, train_iters=2)
+    monkeypatch.setattr(similarity, "_VEC_ASSIGN_MIN_CELLS", 10**9)
+    expr = {
+        (r.cid, r["__cell"])
+        for r in similarity.balanced_probe_memberships(idx, 2, 50).collect()
+    }
+    monkeypatch.setattr(similarity, "_VEC_ASSIGN_MIN_CELLS", 16)
+    gemm = {
+        (r.cid, r["__cell"])
+        for r in similarity.balanced_probe_memberships(idx, 2, 50).collect()
+    }
+    assert expr == gemm and len(gemm) > 0
