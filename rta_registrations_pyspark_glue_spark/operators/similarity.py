@@ -277,7 +277,14 @@ def brute_force_topk_fast(
                     rows["cosine"].append(cos[qi, ci])
             yield pd.DataFrame(rows)
 
-    partials = corpus.select(corpus_id, corpus_vec).mapInPandas(op, out_schema)
+    c = corpus.select(corpus_id, corpus_vec)
+    # Same under-partitioned-corpus spread as ivf_build: a dense vector
+    # corpus fits one scan split long past the point the matmul is
+    # multi-core work; never coalesces an already-wide input.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
+    partials = c.mapInPandas(op, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
         partials.withColumn("rank", F.row_number().over(w))
@@ -1807,11 +1814,13 @@ def semantic_dedup(
     (NULL when kept). ``filter(kept)`` IS the semantically deduplicated
     corpus.
 
-    Plan shape at scale: the pair detection's cell equi-join (see
-    ivf_blocked_near_dup), a per-id partial-aggregated count/max over
-    the pairs, and one left equi-join back to the assignment — the
-    dropped-id side is |near-dup pairs|, tiny next to the corpus, so
-    AQE broadcasts it in practice."""
+    Plan shape at scale: the in-cell GEMM pair detection (see
+    ivf_blocked_near_dup — vectors move once per membership, only
+    ≥-threshold pairs leave the cells), a per-id partial-aggregated
+    count/max over the surviving pairs, and one left equi-join back to
+    the assignment — the dropped-id side is |near-dup pairs|, tiny next
+    to the corpus, so AQE broadcasts it in practice. Measured sf1→sf5
+    exponent 0.49 (SCALING.md §7)."""
     pairs = ivf_blocked_near_dup(
         index,
         threshold=threshold,

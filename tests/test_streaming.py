@@ -292,3 +292,49 @@ def test_stream_near_dedup_replay_is_idempotent(spark):
         for r in spark.read.parquet(buckets).collect()
     } == want_buckets
     shutil.rmtree(NEAR_ROOT, ignore_errors=True)
+
+
+def test_near_dedup_bucket_store_compacts(spark):
+    """The streaming near-dup bucket store accumulates one small
+    partition per micro-batch; io.compact_partitions must be applicable
+    as the maintenance pass (same as the exact variant's fingerprint
+    store) without changing the store's probe semantics."""
+    from rta_registrations_pyspark_glue_spark import io
+    from rta_registrations_pyspark_glue_spark.streaming.dedup import (
+        ingest_near_dedup_batch,
+    )
+
+    _indir, corpus, buckets, _ckpt = _near_paths()
+    texts = [_T_NEWS, _T_FOX, _T_WEATHER,
+             "completely different sentence about gardening tools and soil quality",
+             "a final unrelated sentence describing mountain trails and weather maps"]
+    for bid, (i, t) in enumerate(enumerate(texts)):
+        ingest_near_dedup_batch(
+            spark,
+            spark.createDataFrame([(i, t)], ["doc_id", "text"]),
+            bid,
+            corpus,
+            buckets,
+        )
+    before = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in spark.read.parquet(buckets).collect()
+    }
+    io.compact_partitions(spark, buckets, ["batch_id"], max_files_per_partition=0)
+    after = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in spark.read.parquet(buckets).collect()
+    }
+    assert before == after and len(after) > 0
+    # The store still probes correctly post-compaction: a near-dup of
+    # batch-1's doc arrives in a new batch and is dropped.
+    ingest_near_dedup_batch(
+        spark,
+        spark.createDataFrame([(99, _T_FOX_NEAR)], ["doc_id", "text"]),
+        len(texts),
+        corpus,
+        buckets,
+    )
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert 99 not in got
+    shutil.rmtree(NEAR_ROOT, ignore_errors=True)

@@ -65,7 +65,11 @@ def main() -> None:
     ap.add_argument("--queries", default="")
     args = ap.parse_args()
 
-    names = [q for q in args.queries.split(",") if q] or bench.HEADLINE
+    # Default to the LINEAR-CLAIM subset: the designed-O(N²) baselines
+    # in SCALING_EXCLUDED take hours at large scale ratios (they were
+    # run once, deliberately, for the r6 §4 exhibit) — measure them
+    # only on explicit --queries request.
+    names = [q for q in args.queries.split(",") if q] or bench.SCALING_SUBSET
     spark = get_spark("scaling-study")
     qs = registry.queries()
     # Warm the session so cold-start lands on neither scale's pass 1.
