@@ -141,6 +141,10 @@ def build(base: str, out: str, k: int) -> None:
     }
     for t in TABLES:
         dest = f"{out}/{t}.parquet"
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        elif os.path.exists(dest):
+            os.remove(dest)
         if t in FIXED_DIMS:
             shutil.copyfile(f"{base}/{t}.parquet", dest)
             continue
@@ -162,9 +166,19 @@ def build(base: str, out: str, k: int) -> None:
             elif t == "embeddings":
                 tab = _transform_embeddings(tab, i)
             replicas.append(tab)
-        merged = pa.concat_tables(replicas)
-        pq.write_table(merged, dest, row_group_size=1 << 20)
-        print(f"{t}: {base_tab.num_rows} -> {merged.num_rows} rows")
+        # One file per replica (a directory named <t>.parquet — Spark,
+        # pyarrow, and DuckDB all read it transparently; pyarrow datasets
+        # list files in sorted name order, so row order == replica order).
+        # A merged single file caps Spark's scan parallelism at
+        # size/maxPartitionBytes — sf5 documents (28 MB) was ONE input
+        # split, so every scan-side exponent measured single-task time.
+        # Real corpora arrive as many files; k files IS the honest layout.
+        os.makedirs(dest, exist_ok=True)
+        total = 0
+        for i, tab in enumerate(replicas):
+            pq.write_table(tab, f"{dest}/part-{i:05d}.parquet", row_group_size=1 << 20)
+            total += tab.num_rows
+        print(f"{t}: {base_tab.num_rows} -> {total} rows in {len(replicas)} files")
 
 
 def main() -> None:
