@@ -809,7 +809,9 @@ def train_ivf_centroids(
         raise ValueError(
             f"train_ivf_centroids collects the training sample to the driver: "
             f"{n} rows exceeds max_train_rows={max_train_rows}. Pass a smaller "
-            f"sample (ivf_build's train_sample_mod) or raise the bound."
+            f"sample (ivf_build's train_sample_mod), raise the bound, or use "
+            f"train_ivf_centroids_distributed (bit-identical, never collects "
+            f"the sample)."
         )
     rows = (
         corpus.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv"))
@@ -900,6 +902,146 @@ def train_ivf_centroids(
     return cents
 
 
+def train_ivf_centroids_distributed(
+    corpus: DataFrame,
+    n_pivots: int = 8,
+    iters: int = 2,
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+    quant_scale: int = 1000,
+) -> list[tuple[int, list[float]]]:
+    """train_ivf_centroids without the driver-side sample: the same
+    deterministic spherical k-means, but each Lloyd iteration runs as a
+    distributed job — BIT-IDENTICAL output to the driver trainer
+    (test-pinned), because every ingredient commutes or is order-fixed:
+
+    - assignment: the column-fold GEMM (_negcos_order) is per-lane
+      IEEE-identical to the scalar ``_py_dot`` fold the driver trainer
+      (and the DuckDB oracle mirror) uses, and its stable argsort over
+      cell-ascending columns reproduces the strict-first-max tie break;
+    - accumulation: centroid sums are EXACT int64 sums of quantized
+      components (``floor(x·quant_scale + 0.5)``) — integer addition is
+      associative/commutative, so partition order cannot matter (the
+      float sums a naive distributed mean would shuffle are exactly what
+      this quantization exists to avoid);
+    - division: one IEEE division per component, driver-side, after the
+      k aggregated rows are collected — same op as the driver trainer.
+
+    Scale shape: the driver trainer is the production choice while the
+    training sample fits in RAM (FAISS-style, one action total); this is
+    the ≥10⁹-vector path SCALING.md §5 watch-listed, where sample and k
+    both grow with N and O(sample·k·d) driver flops become the wall.
+    Per iteration: one scan of the corpus (mapInPandas GEMM emits ≤k
+    partial rows per Arrow batch), one small shuffle of those partials
+    keyed by cell, one ≤k-row collect. Nothing driver-side is ever
+    larger than k·dim.
+
+    Overflow/exactness guard (same bound as the driver trainer, checked
+    BEFORE any aggregation so int64 can never silently wrap):
+    max|quantized| · n_rows must stay under 2^53."""
+    import math
+
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = (
+        corpus.select(
+            F.col(corpus_id).alias("__id"), as_double(corpus_vec).alias("__cv")
+        )
+        .withColumn("__cn", dot("__cv", "__cv"))
+        .filter(F.col("__cn") > 0)
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = tracked_persist(base)
+    # Bound check first: one pass computing n and max|quantized q|.
+    qabs = F.array_max(
+        F.transform(
+            "__cv", lambda x: F.abs(F.floor(x * F.lit(float(quant_scale)) + 0.5))
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.max(qabs).alias("maxq")
+    ).collect()[0]
+    n_rows, max_q = int(stats["n"]), int(stats["maxq"] or 0)
+    if max_q * n_rows >= (1 << 53):
+        raise ValueError(
+            "train_ivf_centroids_distributed: quantized magnitudes too large "
+            "for exact int64/float64 centroid math — lower quant_scale."
+        )
+    init = base.orderBy("__id").limit(n_pivots).collect()
+    cents = [(int(r["__id"]), [float(x) for x in r["__cv"]]) for r in init]
+    if not cents:
+        return []
+
+    partial_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("cnt", LongType()),
+            StructField("sums", ArrayType(LongType())),
+        ]
+    )
+
+    def make_partials(centroids):
+        def op(batches):
+            cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+                sqrtn = np.sqrt(pdf["__cn"].to_numpy())
+                # Recompute negcos to mask rows whose winner is NaN
+                # (all-zero-norm centroids): the driver trainer drops
+                # such rows from the sums entirely.
+                acc = np.zeros((mat.shape[0], cent_m.shape[0]))
+                for d in range(mat.shape[1]):
+                    acc += np.outer(mat[:, d], cent_m[:, d])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    negcos = -(acc / np.outer(sqrtn, cent_nrm))
+                order = np.argsort(negcos, axis=1, kind="stable")
+                win = order[:, 0]
+                valid = ~np.isnan(negcos[np.arange(len(win)), win])
+                if not valid.any():
+                    continue
+                q = np.floor(mat * float(quant_scale) + 0.5).astype(np.int64)
+                rows = {"cell": [], "cnt": [], "sums": []}
+                for c in np.unique(win[valid]):
+                    mask = valid & (win == c)
+                    rows["cell"].append(int(cells[c]))
+                    rows["cnt"].append(int(mask.sum()))
+                    rows["sums"].append(q[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(rows)
+
+        return op
+
+    def reduce_cell(pdf):
+        arr = np.stack(pdf["sums"].map(np.asarray)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "cnt": [int(pdf["cnt"].sum())],
+                "sums": [arr.sum(axis=0).tolist()],
+            }
+        )
+
+    for _ in range(iters):
+        partials = base.mapInPandas(make_partials(cents), partial_schema)
+        final = partials.groupBy("cell").applyInPandas(reduce_cell, partial_schema)
+        rows = final.collect()
+        cents = sorted(
+            (int(r["cell"]), [int(s) / int(r["cnt"]) for s in r["sums"]])
+            for r in rows
+        )
+    return cents
+
+
 @dataclass
 class IvfIndex:
     """A built IVF index: driver-held coarse-quantizer centroids plus the
@@ -922,6 +1064,7 @@ def ivf_build(
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
     centroids: list[tuple[int, list[float]]] | None = None,
+    distributed_training: bool = False,
 ) -> IvfIndex:
     """Build the IVF index: train the coarse quantizer, then assign every
     corpus vector to its nearest centroid — scan-side, zero shuffle.
@@ -941,7 +1084,13 @@ def ivf_build(
     ``centroids``: pass previously-trained centroids to skip training
     entirely (they are a deterministic pure function of (corpus, params),
     so reusing them across sessions/cache-releases is sound — the
-    assignment is rebuilt against them lazily)."""
+    assignment is rebuilt against them lazily).
+
+    ``distributed_training``: route k-means through
+    train_ivf_centroids_distributed — bit-identical centroids, but each
+    Lloyd iteration runs as a distributed job instead of driver flops.
+    The ≥10⁹-vector path, where sample and k both grow with N and the
+    in-RAM trainer's O(sample·k·d) becomes the wall (SCALING.md §5)."""
     train_src = (
         corpus
         if train_sample_mod <= 1
@@ -949,6 +1098,14 @@ def ivf_build(
     )
     if centroids is not None:
         cents = centroids
+    elif train_iters > 0 and distributed_training:
+        cents = train_ivf_centroids_distributed(
+            train_src,
+            n_pivots=n_pivots,
+            iters=train_iters,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+        )
     elif train_iters > 0:
         cents = train_ivf_centroids(
             train_src,

@@ -192,6 +192,46 @@ def test_kmeans_numpy_path_bit_identical(spark, sf_dir):
         assert fast == slow, f"numpy/scalar k-means diverged at k={k}"
 
 
+def test_kmeans_distributed_bit_identical(spark, sf_dir):
+    """The distributed trainer (the ≥10⁹-vector path: per-iteration
+    distributed jobs, exact int64 partial sums, no driver sample) must
+    produce EXACTLY the driver trainer's centroids — same float bits.
+    Integer accumulation commutes, the column-fold assignment is
+    IEEE-identical to the scalar fold, and the final division is the
+    same single IEEE op, so equality is exact, not approximate."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    for k in (8, 40):
+        driver = similarity.train_ivf_centroids(emb, n_pivots=k, iters=2)
+        dist = similarity.train_ivf_centroids_distributed(
+            emb, n_pivots=k, iters=2
+        )
+        assert dist == driver, f"distributed k-means diverged at k={k}"
+    # Zero-norm vectors are dropped identically on both paths.
+    zero = spark.createDataFrame(
+        [(10**9, [0.0] * 64)], "cid bigint, cv array<double>"
+    )
+    driver = similarity.train_ivf_centroids(emb.unionByName(zero), n_pivots=8, iters=2)
+    dist = similarity.train_ivf_centroids_distributed(
+        emb.unionByName(zero), n_pivots=8, iters=2
+    )
+    assert dist == driver
+
+
+def test_ivf_build_distributed_training_same_index(spark, sf_dir):
+    """ivf_build(distributed_training=True) yields the same centroid
+    set, hence the same search results, as the driver-trained build."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    a = similarity.ivf_build(emb, n_pivots=8, train_iters=2)
+    b = similarity.ivf_build(
+        emb, n_pivots=8, train_iters=2, distributed_training=True
+    )
+    assert a.centroids == b.centroids
+
+
 def test_ivf_index_built_once_across_searches(spark, sf_dir, monkeypatch):
     """Build-once/search-many contract: the second invocation of the
     registered IVF query must reuse the session-memoized index — no
