@@ -24,6 +24,8 @@ is what lets the DuckDB oracle verify the operator bit-for-bit.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -256,37 +258,93 @@ def simhash_fingerprints(
     return bits.select(F.col(id_col), value.cast("long").alias("simhash"))
 
 
+def _simhash_blocks(n_blocks: int) -> tuple[list[int], list[int]]:
+    """Partition the 64 signature bits into ``n_blocks`` contiguous
+    blocks (widths differing by at most 1 — a PARTITION, because any
+    uncovered bit's errors would be invisible to banding and break the
+    pigeonhole guarantee). Returns (widths, offsets)."""
+    base, extra = divmod(SIMHASH_BITS, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    return widths, offsets
+
+
+def derive_simhash_scheme(
+    n_docs: int, max_hamming: int = 3, target_bucket_rows: int = 512
+) -> tuple[int, int]:
+    """Corpus-derived (n_blocks, r) for generalized simhash banding —
+    the same adaptive-with-floor pattern as ``derive_n_pivots``.
+
+    The (4 bands × 16 bits) floor holds one band table per block with
+    2^16 buckets; expected occupancy ~N/65536 makes in-bucket pair
+    volume quadratic past ~10⁸ docs (SCALING.md §5's watch-list entry).
+    Manku et al.'s generalization (WWW'07, §3): split into
+    ``max_hamming + r`` blocks and key each of the C(n_blocks, r) band
+    tables by the CONCATENATION of r blocks — ≤ max_hamming errors
+    dirty ≤ max_hamming blocks, leaving ≥ r clean, so some table
+    matches (recall guarantee intact at every r) while bucket count
+    grows to ~2^(r·64/n_blocks): (5,2)→2^25ish holds to ~10¹⁰ docs,
+    (6,3)→2^31ish to ~10¹², at the constant-factor cost of more tables
+    (10, 20, ...). Returns the smallest r whose expected occupancy is
+    ≤ ``target_bucket_rows``; every gate corpus derives the (4, 1)
+    floor, so oracle-checked results never change — and the final
+    pair set is scheme-INDEPENDENT anyway (exact banding + exact
+    hamming verify: test-pinned)."""
+    for r in range(1, 5):
+        n_blocks = max_hamming + r
+        widths, _ = _simhash_blocks(n_blocks)
+        key_bits = sum(sorted(widths)[:r])  # conservative: narrowest key
+        if n_docs / float(1 << key_bits) <= target_bucket_rows or r == 4:
+            return n_blocks, r
+    return max_hamming + 4, 4
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    r: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with EXACT multi-band
     bucketing (Manku et al.'s permuted-table idea in band form): the 64
-    bits split into ``n_bands`` contiguous slices; two fingerprints
-    within Hamming distance ``n_bands - 1`` must agree on at least one
-    whole slice (pigeonhole), so joining per (band, slice) loses nothing
-    at ``max_hamming <= n_bands - 1`` — unlike a single prefix bucket,
-    which trades recall silently. Candidate count is bounded by slice-
-    collision rates (2^-16 per band for unrelated 64-bit fingerprints),
-    not corpus size²."""
-    if max_hamming > n_bands - 1:
+    bits split into ``n_bands`` contiguous blocks; each of the
+    C(n_bands, r) band tables is keyed by the concatenation of r
+    blocks. Two fingerprints within Hamming distance ``n_bands - r``
+    agree on some r whole blocks (pigeonhole), so the bucketing loses
+    nothing at ``max_hamming <= n_bands - r`` — unlike a single prefix
+    bucket, which trades recall silently. Candidate count is bounded by
+    key-collision rates (2^-16 per table at the (4,1) default; 2^-25ish
+    at (5,2)), not corpus size²; pass the (n_bands, r) from
+    ``derive_simhash_scheme`` to keep bucket occupancy bounded as the
+    corpus grows. The verified output is identical under every valid
+    scheme (only the candidate set varies), so adapting the scheme
+    never changes results."""
+    if max_hamming > n_bands - r:
         raise ValueError(
-            f"exact banding needs n_bands >= max_hamming + 1 "
-            f"(got n_bands={n_bands}, max_hamming={max_hamming})"
+            f"exact banding needs n_bands >= max_hamming + r "
+            f"(got n_bands={n_bands}, r={r}, max_hamming={max_hamming})"
         )
-    band_bits = SIMHASH_BITS // n_bands
-    mask = (1 << band_bits) - 1
+    widths, offsets = _simhash_blocks(n_bands)
     fp = tracked_persist(simhash_fingerprints(df, text_col, id_col))
+
     # (x >> s) & mask is shift-fill-agnostic, so arithmetic shift on the
     # signed long slices identically in Spark and the DuckDB oracle.
+    def block(j: int):
+        mask = (1 << widths[j]) - 1
+        return F.shiftright(F.col("simhash"), offsets[j]).bitwiseAND(F.lit(mask))
+
+    def table_key(combo: tuple[int, ...]):
+        key, shift = None, 0
+        for j in combo:
+            term = block(j) * F.lit(1 << shift).cast("long")
+            key = term if key is None else key + term
+            shift += widths[j]
+        return key
+
     slices = F.array(
-        *[
-            F.shiftright(F.col("simhash"), t * band_bits).bitwiseAND(F.lit(mask))
-            for t in range(n_bands)
-        ]
+        *[table_key(combo) for combo in itertools.combinations(range(n_bands), r)]
     )
     buckets = fp.select(
         F.col(id_col), F.col("simhash"), F.posexplode(slices).alias("band", "bkey")

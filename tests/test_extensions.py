@@ -80,8 +80,22 @@ def test_simhash_banding_is_exact_at_max_hamming(spark, docs):
         for r in textdedup.simhash_near_pairs(corpus, max_hamming=3, n_bands=4).collect()
     }
     assert got == truth  # exact: banding loses nothing at ham <= n_bands-1
+    # Scheme independence (the adaptivity safety property): every valid
+    # (n_bands, r) — wider keys, more tables — yields the IDENTICAL
+    # verified pair set, so derive_simhash_scheme can grow the scheme
+    # with the corpus without any result change.
+    for n_bands, r in [(5, 2), (6, 3)]:
+        alt = {
+            (p.id_a, p.id_b)
+            for p in textdedup.simhash_near_pairs(
+                corpus, max_hamming=3, n_bands=n_bands, r=r
+            ).collect()
+        }
+        assert alt == truth, (n_bands, r)
     with pytest.raises(ValueError):
         textdedup.simhash_near_pairs(corpus, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError):
+        textdedup.simhash_near_pairs(corpus, max_hamming=3, n_bands=5, r=3)
     # Candidate volume is bucket-bounded, far below the pair space.
     n = corpus.count()
     band_bits = textdedup.SIMHASH_BITS // 4
@@ -101,6 +115,24 @@ def test_simhash_banding_is_exact_at_max_hamming(spark, docs):
     ).collect()[0][0]
     assert n_cands < 0.05 * (n * (n - 1) / 2), (n_cands, n)
     assert biggest < 0.2 * n, biggest
+
+
+def test_derive_simhash_scheme():
+    """Floor at every gate corpus size; Manku-style widening past the
+    65k-bucket occupancy wall; key bits always partition-covered."""
+    # All driver-gate corpora (sf0.001..sf0.1 documents: 500..5,000 docs)
+    # and anything up to ~3e7 derive the (4,1) floor — oracle parity.
+    for n in (500, 5_000, 50_000, 10**7):
+        assert textdedup.derive_simhash_scheme(n) == (4, 1)
+    # Past the wall the scheme widens: more blocks, concatenated keys.
+    assert textdedup.derive_simhash_scheme(10**9) == (5, 2)
+    assert textdedup.derive_simhash_scheme(10**12) == (6, 3)
+    # Block widths always partition all 64 bits (uncovered bits would
+    # silently break the pigeonhole recall guarantee).
+    for n_blocks in range(2, 9):
+        widths, offsets = textdedup._simhash_blocks(n_blocks)
+        assert sum(widths) == textdedup.SIMHASH_BITS
+        assert offsets[0] == 0 and max(w for w in widths) - min(widths) <= 1
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
