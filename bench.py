@@ -180,7 +180,7 @@ def main() -> None:
     emit(out, scaling)
 
 
-def emit(out: dict, scaling, sink=print) -> None:
+def emit(out: dict, scaling, sink=print, sidecar: str | None = None) -> None:
     """Publish bench results with the driver contract intact.
 
     The scaling block is published SEPARATELY from the headline line:
@@ -195,9 +195,10 @@ def emit(out: dict, scaling, sink=print) -> None:
     """
     if scaling is not None:
         sink("SCALING " + json.dumps(scaling))
-        sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "scaling_bench.json"
-        )
+        if sidecar is None:
+            sidecar = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scaling_bench.json"
+            )
         with open(sidecar, "w") as fh:
             json.dump(scaling, fh, indent=1)
     allowed = {"metric", "value", "unit", "queries", "scopes", "cold_start_sec", "sf"}

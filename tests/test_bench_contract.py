@@ -49,9 +49,10 @@ def _fake_scaling():
     }
 
 
-def test_headline_is_last_line_and_parseable(tmp_path, monkeypatch):
+def test_headline_is_last_line_and_parseable(tmp_path):
     lines = []
-    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append)
+    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append,
+               sidecar=str(tmp_path / "scaling_bench.json"))
     assert len(lines) == 2
     last = json.loads(lines[-1])
     assert last["metric"] == "headline_queries_total"
@@ -61,18 +62,20 @@ def test_headline_is_last_line_and_parseable(tmp_path, monkeypatch):
     assert "scaling" not in last
 
 
-def test_scaling_line_is_prefixed_and_valid_json():
+def test_scaling_line_is_prefixed_and_valid_json(tmp_path):
     lines = []
-    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append)
+    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append,
+               sidecar=str(tmp_path / "scaling_bench.json"))
     assert lines[0].startswith("SCALING ")
     block = json.loads(lines[0][len("SCALING "):])
     assert block["scale_factor_ratio"] == 10
     assert set(block["queries"]) == set(bench.SCALING_SUBSET)
 
 
-def test_headline_line_stays_under_tail_capture():
+def test_headline_line_stays_under_tail_capture(tmp_path):
     lines = []
-    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append)
+    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append,
+               sidecar=str(tmp_path / "scaling_bench.json"))
     # The r6 merged line was >8 KiB and fell off the driver's tail
     # capture; the compact headline must stay well inside it.
     assert len(lines[-1]) < 4096
@@ -85,12 +88,10 @@ def test_no_scaling_emits_single_headline_line():
     assert json.loads(lines[0])["metric"] == "headline_queries_total"
 
 
-def test_sidecar_written(monkeypatch, tmp_path):
-    monkeypatch.setattr(
-        bench.os.path, "dirname", lambda p: str(tmp_path)
-    )
+def test_sidecar_written(tmp_path):
     lines = []
-    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append)
+    bench.emit(_fake_out(), _fake_scaling(), sink=lines.append,
+               sidecar=str(tmp_path / "scaling_bench.json"))
     sidecar = tmp_path / "scaling_bench.json"
     assert sidecar.exists()
     assert json.loads(sidecar.read_text())["scale_factor_ratio"] == 10
