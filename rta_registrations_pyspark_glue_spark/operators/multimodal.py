@@ -5,8 +5,10 @@ columns with typed metadata, processed in Arrow-batched pandas via
 Image decode is REAL with no external library (``decode_image``):
 PPM/PGM, uncompressed 24-bit BMP, and — since round 7 — baseline
 sequential JPEG (pure-numpy Huffman + IDCT decoder, operators/jpeg.py)
-all decode to HxWxC uint8 numpy arrays; the remaining codec formats
-(PNG/WebP/progressive JPEG) raise NotImplementedError at the same call
+and full static PNG (all filters/depths/colour types/Adam7,
+operators/png.py) all decode to HxWxC uint8 numpy arrays; the
+remaining codec formats (WebP/progressive JPEG) raise
+NotImplementedError at the same call
 site, which is where PIL plugs in when available. Everything
 downstream of decode
 — schema contract, batch iteration shape, Arrow transfer, feature
@@ -86,9 +88,13 @@ def decode_image(content: bytes) -> "np.ndarray":
         )
 
         return decode_baseline_jpeg(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from rta_registrations_pyspark_glue_spark.operators.png import decode_png
+
+        return decode_png(content)
     raise NotImplementedError(
         f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP/"
-        "baseline-JPEG decode natively — PNG/WebP/progressive-JPEG need "
+        "baseline-JPEG/PNG decode natively — WebP/progressive-JPEG need "
         "an external codec (wire PIL here)"
     )
 
@@ -261,6 +267,40 @@ def synthesize_jpeg_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                         np.full((size, size), v, dtype=np.uint8)
                     )
                 payloads.append(cache[v])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
+def synthesize_png_docs(docs: DataFrame, size: int = 16) -> DataFrame:
+    """(doc_id, content): a deterministic PNG per document — ``size``
+    rows of solid RGB value ``(doc_id*7 + y*13) % 256`` for row ``y``,
+    encoded with the scanline filter CYCLING 0→4 per row (None, Sub,
+    Up, Average, Paeth), so the driver gate's hash runs the decoder's
+    full unfilter matrix, CRC checks, and inflate path on every
+    document. Because PNG is lossless the decoded pixel sum is
+    ANALYTICALLY ``3·size·Σ_y (doc_id·7 + y·13) % 256`` — the DuckDB
+    oracle computes it from the formula without decoding anything."""
+    from rta_registrations_pyspark_glue_spark.operators.png import encode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (d * 7) % 256
+                if base not in cache:
+                    rows = (base + 13 * np.arange(size, dtype=np.int64)) % 256
+                    img = np.repeat(rows, size * 3).reshape(size, size, 3)
+                    cache[base] = encode_png(
+                        img.astype(np.uint8), filters=[0, 1, 2, 3, 4]
+                    )
+                payloads.append(cache[base])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )

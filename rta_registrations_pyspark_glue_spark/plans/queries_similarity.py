@@ -383,6 +383,33 @@ _MM_JPEG_ORACLE = """
     """
 
 
+_MM_PNG_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(48 * list_sum(list_transform(
+               range(0, 16), y -> (doc_id * 7 + y * 13) % 256)) AS BIGINT)
+               AS pixel_sum,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode through the Arrow/pandas path: each doc gets a
+    deterministic 16×16 RGB PNG whose row ``y`` is solid value
+    ``(doc_id·7 + y·13) % 256``, encoded with the scanline filter
+    CYCLING 0→4 per row (multimodal.synthesize_png_docs) — so the gate
+    hash runs chunk/CRC parsing, inflate, and ALL FIVE unfilter paths
+    (operators/png.py) on every document. PNG is lossless, so the
+    oracle predicts the pixel sum analytically (3·16·Σ row values); a
+    filter, CRC, or inflate-offset bug shifts pixel_sum and fails the
+    hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.decode_image_features(multimodal.synthesize_png_docs(docs))
+
+
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode through the Arrow/pandas path: each doc
     gets a deterministic solid-gray 16×16 JPEG (encode_baseline_jpeg via
@@ -419,6 +446,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'decode' AS kind, * FROM ({_MM_DECODE_ORACLE})
     UNION ALL BY NAME
     SELECT 'jpeg' AS kind, * FROM ({_MM_JPEG_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'png' AS kind, * FROM ({_MM_PNG_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,7 +458,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-numpy PPM/PGM/BMP implementation; 'jpeg' rows added round 7
     when the baseline Huffman+IDCT decoder landed — solid-gray JPEGs
     whose DC-only decode is exact, so the oracle predicts pixel sums
-    analytically), each through the full
+    analytically; 'png' rows added later in round 7 with the full
+    static PNG decoder — filter-cycling row-gradient PNGs decoded
+    losslessly against the analytic row formula), each through the full
     Arrow/pandas mapInPandas path — union-tagged under one gate slot
     (separate slots through round 4; consolidated in round 5 to free
     oracle capacity under the 50-row cap; every row of all three still
@@ -443,10 +474,14 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg = multimodal_decode_jpeg(spark, sf_dir).select(
         F.lit("jpeg").alias("kind"), "*"
     )
+    png = multimodal_decode_png(spark, sf_dir).select(
+        F.lit("png").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
         .unionByName(jpg, allowMissingColumns=True)
+        .unionByName(png, allowMissingColumns=True)
     )
 
 

@@ -608,11 +608,13 @@ def test_resize_media_deterministic_tile(spark, sf_dir):
 
 
 def test_decode_unsupported_format_raises():
-    # PNG/WebP remain the plug-in boundary (PIL slots in here); JPEG
-    # decodes natively since round 7, so a JPEG-magic payload that is
-    # merely truncated is a MALFORMED stream (ValueError), not an
-    # unsupported format.
+    # WebP remains the plug-in boundary (PIL slots in here); JPEG and
+    # PNG decode natively since round 7, so payloads with those magics
+    # that are merely truncated are MALFORMED streams (ValueError), not
+    # unsupported formats.
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")

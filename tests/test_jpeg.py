@@ -181,5 +181,7 @@ def test_decode_image_dispatches_jpeg():
     img = np.full((8, 8), 42, dtype=np.uint8)
     out = multimodal.decode_image(encode_baseline_jpeg(img))
     assert out.shape == (8, 8, 1) and int(out[0, 0, 0]) == 42
-    with pytest.raises(NotImplementedError, match="PNG"):
+    # PNG decodes natively since round 7 — a PNG-magic payload that is
+    # merely truncated is MALFORMED (ValueError), not unsupported
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
