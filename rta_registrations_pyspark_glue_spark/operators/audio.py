@@ -1,0 +1,284 @@
+"""Pure-Python/numpy WAV (RIFF) audio decode — no external codec.
+
+Makes the audio leg of the multimodal story REAL, the same move the
+image leg made with PPM/BMP/JPEG/PNG: a corpus's ``binary`` audio
+column decodes to numpy sample arrays executor-side with zero native
+dependencies. The WAV container and its standard uncompressed codecs
+are pure parsing (public format: RIFF/WAVE, Microsoft multimedia
+standards; G.711 §µ-law/A-law are public ITU tables):
+
+- RIFF chunk walk (even-byte padding honoured, unknown chunks
+  skipped), ``fmt `` + ``data`` required;
+- PCM (format 1): 8-bit unsigned, 16/24/32-bit little-endian signed;
+- IEEE float (format 3): float32/float64;
+- G.711 µ-law (format 7) and A-law (format 6): table-free bit
+  expansion to 16-bit PCM per the ITU definitions;
+- WAVE_FORMAT_EXTENSIBLE (0xFFFE): sub-format GUID unwrapped, then
+  routed as above.
+
+Compressed codecs (ADPCM, MP3-in-WAV, …) raise NotImplementedError —
+the same plug-in boundary contract as decode_image; malformed/
+truncated payloads raise ValueError.
+
+Scale note: decode runs inside Arrow-batched ``mapInPandas``
+(decode_audio_features) — bounded by the Arrow batch size, parallel
+by partition, all sample math vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """bytes → (samples, sample_rate).
+
+    ``samples`` is (n_frames, channels): int32 for integer codecs
+    (8-bit unsigned is re-centred to signed, µ/A-law expand to their
+    16-bit PCM values), float64 for IEEE-float payloads. Raises
+    ValueError for malformed payloads, NotImplementedError for
+    compressed codecs."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if len(content) < 12:
+        raise ValueError("truncated WAV header")
+    fmt = None
+    data = None
+    pos = 12
+    n = len(content)
+    while pos + 8 <= n:
+        ctag = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {ctag!r}")
+        if ctag == b"fmt ":
+            fmt = body
+        elif ctag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads chunks to even length
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_format, channels, rate, _brate, _balign, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if channels == 0 or rate == 0:
+        raise ValueError("bad WAV fmt (zero channels or rate)")
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        if len(fmt) < 40:
+            raise ValueError("short extensible fmt chunk")
+        (audio_format,) = struct.unpack_from("<H", fmt, 24)  # GUID lead bytes
+
+    if audio_format == 1:  # PCM
+        samples = _decode_pcm(data, bits)
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<f4"
+            ).astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8").astype(
+                np.float64
+            )
+        else:
+            raise ValueError(f"bad IEEE-float bit depth {bits}")
+    elif audio_format == 7:  # G.711 mu-law
+        samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 6:  # G.711 A-law
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise NotImplementedError(
+            f"compressed WAV codec (format tag {audio_format}) needs an "
+            "external decoder — PCM/float/mu-law/A-law decode natively"
+        )
+    frames = samples.reshape(-1, channels) if channels > 1 else samples[:, None]
+    return frames, rate
+
+
+def _decode_pcm(data: bytes, bits: int) -> np.ndarray:
+    if bits == 8:  # unsigned by convention; re-centre to signed
+        return np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    if bits == 16:
+        usable = len(data) // 2 * 2
+        return np.frombuffer(data[:usable], dtype="<i2").astype(np.int32)
+    if bits == 24:
+        usable = len(data) // 3 * 3
+        b = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3).astype(
+            np.int32
+        )
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        return np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+    if bits == 32:
+        usable = len(data) // 4 * 4
+        return np.frombuffer(data[:usable], dtype="<i4").astype(np.int32)
+    raise ValueError(f"bad PCM bit depth {bits}")
+
+
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """ITU G.711 µ-law byte → 16-bit linear PCM (vectorized)."""
+    u = (~u) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
+    magnitude -= 0x84
+    return np.where(sign != 0, -magnitude, magnitude).astype(np.int32)
+
+
+def _alaw_expand(a: np.ndarray) -> np.ndarray:
+    """ITU G.711 A-law byte → 16-bit linear PCM (vectorized)."""
+    a = a ^ 0x55
+    sign = a & 0x80
+    exponent = (a >> 4) & 0x07
+    mantissa = (a & 0x0F).astype(np.int32)
+    magnitude = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    # A-law sign convention is inverted vs µ-law: bit 7 SET = positive
+    return np.where(sign != 0, magnitude, -magnitude).astype(np.int32)
+
+
+def encode_wav(
+    samples: np.ndarray,
+    rate: int,
+    *,
+    bits: int = 16,
+    audio_format: int = 1,
+) -> bytes:
+    """Fixture-grade WAV writer for decoder tests and the oracle
+    fixtures: PCM 8/16/24/32, IEEE float32/64, µ-law/A-law raw bytes
+    (callers pass the already-companded byte stream for formats 6/7)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    flat = samples.reshape(-1)
+    if audio_format == 1:
+        if bits == 8:
+            payload = (flat + 128).astype(np.uint8).tobytes()
+        elif bits == 16:
+            payload = flat.astype("<i2").tobytes()
+        elif bits == 24:
+            v = flat.astype(np.int32)
+            v = np.where(v < 0, v + (1 << 24), v)
+            b = np.empty((len(v), 3), dtype=np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            payload = b.tobytes()
+        elif bits == 32:
+            payload = flat.astype("<i4").tobytes()
+        else:
+            raise ValueError(f"bad PCM bit depth {bits}")
+    elif audio_format == 3:
+        payload = flat.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif audio_format in (6, 7):
+        payload = flat.astype(np.uint8).tobytes()
+        bits = 8
+    else:
+        raise ValueError(f"unsupported encoder format {audio_format}")
+    balign = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", audio_format, channels, rate, rate * balign, balign, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def resample_linear(samples: np.ndarray, rate: int, target_rate: int) -> np.ndarray:
+    """Linear-interpolation resample of an (n, channels) sample array —
+    the cheap, dependency-free baseline (a real pipeline would plug a
+    polyphase filter into this exact signature). Vectorized numpy;
+    output length = round(n * target/rate)."""
+    n = samples.shape[0]
+    if n == 0 or rate == target_rate:
+        return samples.astype(np.float64)
+    out_n = max(1, int(round(n * target_rate / rate)))
+    x_new = np.arange(out_n, dtype=np.float64) * (n - 1) / max(1, out_n - 1)
+    i0 = np.clip(np.floor(x_new).astype(np.int64), 0, n - 1)
+    i1 = np.clip(i0 + 1, 0, n - 1)
+    frac = (x_new - i0)[:, None]
+    s = samples.astype(np.float64)
+    return s[i0] * (1 - frac) + s[i1] * frac
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate int, channels int, "
+    "sample_sum bigint, decode_ok boolean"
+)
+
+
+def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
+    """(doc_id, content): a deterministic 16-bit mono PCM WAV per doc —
+    sample ``i`` = ``(doc_id·11 + i·17) % 4096 − 2048`` at 8 kHz — so
+    the decoded sample sum is ANALYTIC:
+    ``Σ_i (doc_id·11 + i·17) % 4096 − 2048·n`` (the DuckDB oracle
+    computes it from the formula without parsing RIFF)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (d * 11) % 4096
+                if base not in cache:
+                    i = np.arange(n, dtype=np.int64)
+                    s = (base + i * 17) % 4096 - 2048
+                    cache[base] = encode_wav(s.astype(np.int32), 8000)
+                payloads.append(cache[base])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Decode the binary column with the REAL WAV parser and emit
+    sample-level features: frame count, rate, channel count, exact
+    integer sample sum (float payloads round-half-even to int64).
+    Undecodable rows come back decode_ok=false with NULL features —
+    a mixed-media corpus never kills the job."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rates, chs, sums, oks = [], [], [], [], []
+            for content in pdf["content"]:
+                try:
+                    frames, rate = decode_wav(bytes(content))
+                    ns.append(frames.shape[0])
+                    rates.append(rate)
+                    chs.append(frames.shape[1])
+                    sums.append(int(round(float(frames.astype(np.float64).sum()))))
+                    oks.append(True)
+                except (ValueError, NotImplementedError):
+                    ns.append(None)
+                    rates.append(None)
+                    chs.append(None)
+                    sums.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "sample_sum": pd.array(sums, dtype="Int64"),
+                    "decode_ok": pd.array(oks, dtype="boolean"),
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(op, AUDIO_SCHEMA)

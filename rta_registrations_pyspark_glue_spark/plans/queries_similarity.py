@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import register_release_hook
-from rta_registrations_pyspark_glue_spark.operators import multimodal, similarity
+from rta_registrations_pyspark_glue_spark.operators import (
+    audio,
+    multimodal,
+    similarity,
+    video,
+)
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -410,6 +415,58 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(multimodal.synthesize_png_docs(docs))
 
 
+_MM_WAV_ORACLE = """
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(list_sum(list_transform(
+               range(0, 64), i -> (doc_id * 11 + i * 17) % 4096))
+               - 2048 * 64 AS BIGINT) AS sample_sum,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode through the Arrow/pandas path: each doc gets a
+    deterministic 16-bit mono PCM WAV (audio.synthesize_wav_docs,
+    sample i = (doc_id·11 + i·17) % 4096 − 2048 at 8 kHz), the
+    pure-numpy RIFF parser (operators/audio.py — cross-checked against
+    stdlib audioop/wave in tests) decodes it, and n_samples/rate/
+    channels/sample_sum verify against the oracle's ANALYTIC sum — a
+    chunk-walk, fmt-parse, or sample-width bug shifts sample_sum and
+    fails the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return audio.decode_audio_features(audio.synthesize_wav_docs(docs))
+
+
+_MM_Y4M_ORACLE = """
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(3 AS INT) AS n_frames,
+           CAST(list_sum(list_transform(range(0, 3), f ->
+               list_sum(list_transform(range(0, 64),
+                   p -> (doc_id * 13 + f * 7 + p) % 256)))) AS BIGINT) AS y_sum,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Y4M video decode through the Arrow/pandas path: each doc
+    gets a deterministic 3-frame 8×8 C420 clip
+    (video.synthesize_y4m_docs, Y pixel p of frame f =
+    (doc_id·13 + f·7 + p) % 256), the pure-numpy YUV4MPEG2 parser
+    (operators/video.py) decodes header + planar frames, and
+    width/height/n_frames/y_sum verify against the oracle's ANALYTIC
+    double sum — a header-token, plane-size, or frame-offset bug
+    shifts y_sum and fails the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return video.decode_video_features(video.synthesize_y4m_docs(docs))
+
+
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode through the Arrow/pandas path: each doc
     gets a deterministic solid-gray 16×16 JPEG (encode_baseline_jpeg via
@@ -448,6 +505,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'jpeg' AS kind, * FROM ({_MM_JPEG_ORACLE})
     UNION ALL BY NAME
     SELECT 'png' AS kind, * FROM ({_MM_PNG_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'wav' AS kind, * FROM ({_MM_WAV_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'y4m' AS kind, * FROM ({_MM_Y4M_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,7 +521,10 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose DC-only decode is exact, so the oracle predicts pixel sums
     analytically; 'png' rows added later in round 7 with the full
     static PNG decoder — filter-cycling row-gradient PNGs decoded
-    losslessly against the analytic row formula), each through the full
+    losslessly against the analytic row formula; 'wav' and 'y4m' rows
+    complete the triad — REAL audio (RIFF/PCM, operators/audio.py) and
+    video (YUV4MPEG2, operators/video.py) decode against analytic
+    sample/Y-plane sums), each through the full
     Arrow/pandas mapInPandas path — union-tagged under one gate slot
     (separate slots through round 4; consolidated in round 5 to free
     oracle capacity under the 50-row cap; every row of all three still
@@ -477,11 +541,19 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = multimodal_decode_png(spark, sf_dir).select(
         F.lit("png").alias("kind"), "*"
     )
+    wav = multimodal_decode_wav(spark, sf_dir).select(
+        F.lit("wav").alias("kind"), "*"
+    )
+    y4m = multimodal_decode_y4m(spark, sf_dir).select(
+        F.lit("y4m").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
         .unionByName(jpg, allowMissingColumns=True)
         .unionByName(png, allowMissingColumns=True)
+        .unionByName(wav, allowMissingColumns=True)
+        .unionByName(y4m, allowMissingColumns=True)
     )
 
 

@@ -1,0 +1,161 @@
+"""WAV codec contract (operators/audio.py).
+
+Three independent checks: (a) exact roundtrips through the
+fixture-grade encoder across the PCM/float matrix, (b) cross-checks
+against the STDLIB C implementations — ``wave`` for container framing
+and ``audioop`` for the G.711 µ-law/A-law expansions (import-guarded:
+audioop is removed in Python 3.13), (c) the malformed/unsupported
+error contract the mixed-media decode path relies on. The DuckDB-side
+check is multimodal_suite's 'wav' rows (analytic sample sums).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from rta_registrations_pyspark_glue_spark.operators.audio import (
+    _alaw_expand,
+    _mulaw_expand,
+    decode_wav,
+    encode_wav,
+    resample_linear,
+)
+
+try:  # removed in Python 3.13 — the pure-numpy expansions stand alone
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+except ImportError:  # pragma: no cover
+    audioop = None
+
+RNG = np.random.default_rng(0xA0D10)
+
+
+@pytest.mark.parametrize(
+    "bits,lo,hi",
+    [(8, -128, 128), (16, -32768, 32768), (24, -(1 << 23), 1 << 23), (32, -(1 << 31), 1 << 31)],
+)
+def test_pcm_roundtrip(bits, lo, hi):
+    s = RNG.integers(lo, hi, (100, 2), dtype=np.int64).astype(np.int32)
+    frames, rate = decode_wav(encode_wav(s, 44100, bits=bits))
+    assert rate == 44100 and frames.shape == (100, 2)
+    assert (frames == s).all()
+
+
+def test_float_roundtrip():
+    s = RNG.normal(size=(64, 1))
+    frames, _ = decode_wav(encode_wav(s, 16000, bits=32, audio_format=3))
+    assert np.allclose(frames[:, 0], s[:, 0].astype(np.float32))
+    frames, _ = decode_wav(encode_wav(s, 16000, bits=64, audio_format=3))
+    assert np.allclose(frames[:, 0], s[:, 0])
+
+
+def test_container_matches_stdlib_wave_writer():
+    buf = io.BytesIO()
+    w = wave_mod.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(22050)
+    s = RNG.integers(-1000, 1000, (50, 2)).astype("<i2")
+    w.writeframes(s.tobytes())
+    w.close()
+    frames, rate = decode_wav(buf.getvalue())
+    assert rate == 22050 and (frames == s.astype(np.int32)).all()
+
+
+@pytest.mark.skipif(audioop is None, reason="audioop removed (py3.13+)")
+def test_g711_expansions_match_audioop_exactly():
+    raw = bytes(range(256))
+    ref_mu = np.frombuffer(audioop.ulaw2lin(raw, 2), dtype="<i2").astype(np.int32)
+    assert (_mulaw_expand(np.frombuffer(raw, dtype=np.uint8)) == ref_mu).all()
+    ref_a = np.frombuffer(audioop.alaw2lin(raw, 2), dtype="<i2").astype(np.int32)
+    assert (_alaw_expand(np.frombuffer(raw, dtype=np.uint8)) == ref_a).all()
+
+
+def test_g711_wav_end_to_end():
+    comp = np.arange(256, dtype=np.uint8)
+    for fmt, expand in [(7, _mulaw_expand), (6, _alaw_expand)]:
+        frames, rate = decode_wav(
+            encode_wav(comp.astype(np.int32), 8000, audio_format=fmt)
+        )
+        assert rate == 8000 and (frames[:, 0] == expand(comp)).all()
+
+
+def test_extensible_format_unwraps_subformat():
+    base = encode_wav(RNG.integers(-100, 100, (10, 1)).astype(np.int32), 8000)
+    # rebuild fmt as WAVE_FORMAT_EXTENSIBLE wrapping PCM
+    fmt_body = base[20:36]
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        + struct.pack("<H", 22)
+        + struct.pack("<H", 16)  # valid bits
+        + struct.pack("<I", 0x4)  # channel mask
+        + struct.pack("<H", 1)  # sub-format lead bytes: PCM
+        + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(ext) + 8 + 20)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(ext))
+        + ext
+        + b"data"
+        + struct.pack("<I", 20)
+        + base[-20:]
+    )
+    frames, rate = decode_wav(payload)
+    assert rate == 8000 and frames.shape[0] == 10
+    del fmt_body
+
+
+def test_odd_sized_chunk_padding_honoured():
+    # a 3-byte junk chunk before fmt must be skipped with its pad byte
+    inner = encode_wav(np.array([1, 2, 3], dtype=np.int32), 8000)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    payload = inner[:12] + junk + inner[12:]
+    payload = b"RIFF" + struct.pack("<I", len(payload) - 8) + payload[8:]
+    frames, _ = decode_wav(payload)
+    assert (frames[:, 0] == [1, 2, 3]).all()
+
+
+def test_malformed_and_unsupported_contract():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS\x00\x00")  # not RIFF
+    good = bytearray(encode_wav(np.zeros(4, dtype=np.int32), 8000))
+    good[20:22] = struct.pack("<H", 2)  # ADPCM format tag
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(good))
+
+
+def test_resample_linear_shapes_and_endpoints():
+    s = np.arange(64, dtype=np.float64)[:, None]
+    down = resample_linear(s, 16000, 8000)
+    assert down.shape == (32, 1)
+    assert down[0, 0] == 0.0 and down[-1, 0] == 63.0  # endpoints preserved
+    up = resample_linear(s, 8000, 16000)
+    assert up.shape == (128, 1)
+    assert np.all(np.diff(up[:, 0]) >= 0)  # monotone on a ramp
+    same = resample_linear(s, 8000, 8000)
+    assert (same == s).all()
+
+
+def test_gate_fixture_sample_sum_matches_analytic_formula():
+    from rta_registrations_pyspark_glue_spark.operators.audio import encode_wav
+
+    for doc_id in (0, 1, 372, 4095, 99999):
+        base = (doc_id * 11) % 4096
+        i = np.arange(64, dtype=np.int64)
+        s = (base + i * 17) % 4096 - 2048
+        frames, rate = decode_wav(encode_wav(s.astype(np.int32), 8000))
+        assert rate == 8000 and frames.shape == (64, 1)
+        assert int(frames.sum()) == int(s.sum())
