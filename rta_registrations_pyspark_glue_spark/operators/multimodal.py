@@ -92,10 +92,17 @@ def decode_image(content: bytes) -> "np.ndarray":
         from rta_registrations_pyspark_glue_spark.operators.png import decode_png
 
         return decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from rta_registrations_pyspark_glue_spark.operators.gif import (
+            decode_gif,
+            first_frame_on_screen,
+        )
+
+        return first_frame_on_screen(decode_gif(content))
     raise NotImplementedError(
         f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP/"
-        "baseline-JPEG/PNG decode natively — WebP/progressive-JPEG need "
-        "an external codec (wire PIL here)"
+        "baseline-JPEG/PNG/GIF decode natively — WebP/progressive-JPEG "
+        "need an external codec (wire PIL here)"
     )
 
 
@@ -267,6 +274,37 @@ def synthesize_jpeg_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                         np.full((size, size), v, dtype=np.uint8)
                     )
                 payloads.append(cache[v])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
+def synthesize_gif_docs(docs: DataFrame, size: int = 16) -> DataFrame:
+    """(doc_id, content): a deterministic GIF89a per document — a
+    256-entry grayscale palette (entry i = (i,i,i)) and 16×16 pixel
+    indices ``p → (doc_id·5 + p) % 256`` compressed with REAL LZW
+    (operators/gif.py), so the gate hash exercises variable-width code
+    growth on every document. Lossless, so the decoded pixel sum is
+    ANALYTIC: ``3·Σ_p (doc_id·5 + p) % 256``."""
+    from rta_registrations_pyspark_glue_spark.operators.gif import encode_gif
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (d * 5) % 256
+                if base not in cache:
+                    p = np.arange(size * size, dtype=np.int64)
+                    idx = ((base + p) % 256).astype(np.uint8).reshape(size, size)
+                    cache[base] = encode_gif(idx, pal)
+                payloads.append(cache[base])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )

@@ -415,6 +415,31 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(multimodal.synthesize_png_docs(docs))
 
 
+_MM_GIF_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(3 * list_sum(list_transform(
+               range(0, 256), p -> (doc_id * 5 + p) % 256)) AS BIGINT)
+               AS pixel_sum,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode through the Arrow/pandas path: each doc gets a
+    deterministic 16×16 grayscale-palette GIF89a compressed with REAL
+    variable-width LZW (multimodal.synthesize_gif_docs), the pure-
+    Python decoder (operators/gif.py) walks chunks → LZW → palette,
+    and pixel sums verify against the oracle's ANALYTIC formula
+    3·Σ_p (doc_id·5+p)%256 — an LZW code-width, sub-block, or palette
+    bug shifts pixel_sum and fails the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.decode_image_features(multimodal.synthesize_gif_docs(docs))
+
+
 _MM_WAV_ORACLE = """
     SELECT doc_id,
            CAST(64 AS BIGINT) AS n_samples,
@@ -506,6 +531,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'png' AS kind, * FROM ({_MM_PNG_ORACLE})
     UNION ALL BY NAME
+    SELECT 'gif' AS kind, * FROM ({_MM_GIF_ORACLE})
+    UNION ALL BY NAME
     SELECT 'wav' AS kind, * FROM ({_MM_WAV_ORACLE})
     UNION ALL BY NAME
     SELECT 'y4m' AS kind, * FROM ({_MM_Y4M_ORACLE})
@@ -521,7 +548,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose DC-only decode is exact, so the oracle predicts pixel sums
     analytically; 'png' rows added later in round 7 with the full
     static PNG decoder — filter-cycling row-gradient PNGs decoded
-    losslessly against the analytic row formula; 'wav' and 'y4m' rows
+    losslessly against the analytic row formula; 'gif' rows with real
+    variable-width LZW against the analytic palette formula; 'wav' and
+    'y4m' rows
     complete the triad — REAL audio (RIFF/PCM, operators/audio.py) and
     video (YUV4MPEG2, operators/video.py) decode against analytic
     sample/Y-plane sums), each through the full
@@ -541,6 +570,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = multimodal_decode_png(spark, sf_dir).select(
         F.lit("png").alias("kind"), "*"
     )
+    gif = multimodal_decode_gif(spark, sf_dir).select(
+        F.lit("gif").alias("kind"), "*"
+    )
     wav = multimodal_decode_wav(spark, sf_dir).select(
         F.lit("wav").alias("kind"), "*"
     )
@@ -552,6 +584,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dec, allowMissingColumns=True)
         .unionByName(jpg, allowMissingColumns=True)
         .unionByName(png, allowMissingColumns=True)
+        .unionByName(gif, allowMissingColumns=True)
         .unionByName(wav, allowMissingColumns=True)
         .unionByName(y4m, allowMissingColumns=True)
     )
