@@ -1,36 +1,45 @@
-"""Pure-numpy baseline JPEG decoder (ITU-T T.81 baseline sequential
-DCT, SOF0/SOF1): marker parse → canonical Huffman entropy decode →
+"""Pure-numpy JPEG decoder (ITU-T T.81): baseline sequential DCT
+(SOF0/SOF1) and — since round 7 — PROGRESSIVE DCT (SOF2): marker
+parse → per-scan Huffman entropy decode into a coefficient store →
 dequantize → 8×8 IDCT → chroma upsample → YCbCr→RGB.
 
-This closes the round-6 codec boundary in multimodal.decode_image
-(VERDICT r6 item 5): JPEG payloads now decode natively, no external
-codec library. Scope is the baseline process every camera/encoder
-emits by default:
+This closes the codec boundary in multimodal.decode_image for the two
+JPEG processes real corpora contain (VERDICT r6 item 5 closed the
+baseline half; progressive is the web-optimized default of many image
+pipelines). Scope:
 
-- SOF0 (baseline) and SOF1 (extended sequential — same entropy coding
-  at 8-bit precision); progressive (SOF2), arithmetic coding, and
-  12-bit precision raise NotImplementedError with the reason;
-- 1- or 3-component scans, any h/v sampling factors up to 4 (covers
-  4:4:4, 4:2:2, 4:2:0), single interleaved scan;
-- restart markers (DRI/RSTn) with DC-predictor reset + byte alignment;
+- SOF0 (baseline), SOF1 (extended sequential), SOF2 (progressive:
+  spectral selection Ss/Se, successive approximation Ah/Al, DC and AC
+  first+refinement scans, EOB runs spanning blocks — the full
+  T.81 Annex G Huffman process as implemented interoperably by
+  libjpeg's jdphuff); arithmetic coding, hierarchical, and 12-bit
+  precision raise NotImplementedError with the reason;
+- 1- or 3-component frames, sampling factors up to 4 (4:4:4, 4:2:2,
+  4:2:0), interleaved and non-interleaved scans (progressive AC scans
+  are always single-component with their own block-grid geometry);
+- restart markers (DRI/RSTn) with DC-predictor + EOB-run reset and
+  byte alignment;
 - 0xFF00 byte stuffing in the entropy stream.
 
 Decode is deliberately straightforward Python/numpy — bit-serial
-Huffman with a dict lookup per (length, code), matrix IDCT
-(``A.T @ F @ A`` with the orthonormal DCT-II basis). It is not meant
-to compete with libjpeg-turbo on throughput; in the engine it runs
-inside Arrow-batched ``mapInPandas`` where decode parallelism is
+Huffman with a dict lookup per (length, code); the final
+coefficient→pixel stage is one batched matmul IDCT per component
+(``A.T @ blocks @ A`` with the orthonormal DCT-II basis). It is not
+meant to compete with libjpeg-turbo on throughput; in the engine it
+runs inside Arrow-batched ``mapInPandas`` where decode parallelism is
 partition parallelism and a native codec can be swapped in per-batch
 without touching the plumbing.
 
-Correctness strategy (tests/test_jpeg.py): a spec-following test-side
-ENCODER produces streams this decoder must invert — exact to the
-quantized coefficients by construction — plus analytic anchors that
-a shared spec misreading cannot satisfy: the T.81 zigzag table's spot
-values, solid-color images decoding to the exact color (DC-only path),
-and gradient images decoding within the quantization error bound of
-the ORIGINAL pixels (a zigzag/Huffman error in encoder+decoder alike
-would explode this bound), under 4:4:4 and 4:2:0 alike.
+Correctness strategy (tests/test_jpeg.py): spec-following ENCODERS
+(baseline below; progressive with a configurable scan script) produce
+streams this decoder must invert — exact to the quantized
+coefficients by construction — plus analytic anchors a shared spec
+misreading cannot satisfy: the T.81 zigzag table's spot values,
+solid-color images decoding to the exact color (DC-only path),
+progressive and baseline encodings of the same image decoding
+IDENTICALLY (the processes share the coefficient domain), and
+gradient images decoding within the quantization error bound of the
+ORIGINAL pixels, under 4:4:4 and 4:2:0 alike.
 """
 
 from __future__ import annotations
@@ -52,6 +61,10 @@ ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63,
 ]
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def _idct_matrix(np):
@@ -159,19 +172,237 @@ def _receive_extend(reader: _BitReader, s: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred", "plane")
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred", "coef", "bw", "bh")
 
     def __init__(self, cid, h, v, tq):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
         self.pred = 0
-        self.plane = None
+        self.coef = None  # (grid_h, grid_w, 64) int32, ZIGZAG order
 
 
-def decode_baseline_jpeg(content: bytes) -> "np.ndarray":
+class _ScanState:
+    __slots__ = ("eobrun",)
+
+    def __init__(self):
+        self.eobrun = 0
+
+
+# ------------------------------- scan decoders ------------------------
+
+
+def _decode_block_full(reader, c, dc_t, ac_t, blk) -> None:
+    """Baseline/sequential block: DC diff + full AC band."""
+    s = _decode_huff(reader, dc_t)
+    if s > 11:
+        raise ValueError(f"bad DC magnitude {s}")
+    c.pred += _receive_extend(reader, s)
+    blk[0] = c.pred
+    k = 1
+    while k < 64:
+        rs = _decode_huff(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        blk[k] = _receive_extend(reader, s)
+        k += 1
+
+
+def _decode_dc_first(reader, c, dc_t, al, blk) -> None:
+    s = _decode_huff(reader, dc_t)
+    if s > 11:
+        raise ValueError(f"bad DC magnitude {s}")
+    c.pred += _receive_extend(reader, s)
+    blk[0] = c.pred << al
+
+
+def _decode_dc_refine(reader, al, blk) -> None:
+    if reader.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _decode_ac_first(reader, ac_t, ss, se, al, blk, state) -> None:
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                state.eobrun = (1 << r) - 1
+                if r:
+                    state.eobrun += reader.read_bits(r)
+                return
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _receive_extend(reader, s) << al
+        k += 1
+
+
+def _decode_ac_refine(reader, ac_t, ss, se, al, blk, state) -> None:
+    """T.81 Annex G.2 AC successive-approximation refinement, in the
+    interoperable shape of libjpeg's jdphuff decode_mcu_AC_refine:
+    newly-nonzero coefficients arrive as ±1<<Al; every already-nonzero
+    coefficient passed on the way (and in the EOB tail) carries one
+    correction bit."""
+    p1 = 1 << al
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    state.eobrun = 1 << r
+                    if r:
+                        state.eobrun += reader.read_bits(r)
+                    break
+                newval = 0
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                cur = int(blk[k])
+                if cur != 0:
+                    if reader.read_bit() and (cur & p1) == 0:
+                        blk[k] = cur + (p1 if cur >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            cur = int(blk[k])
+            if cur != 0:
+                if reader.read_bit() and (cur & p1) == 0:
+                    blk[k] = cur + (p1 if cur >= 0 else -p1)
+            k += 1
+        state.eobrun -= 1
+
+
+def _decode_scan(
+    reader,
+    scan_comps,
+    ss,
+    se,
+    ah,
+    al,
+    progressive,
+    dc_tables,
+    ac_tables,
+    restart_interval,
+    mcus_y,
+    mcus_x,
+):
+    """Decode one entropy-coded scan into the components' coefficient
+    stores. Interleaved scans walk MCUs; single-component scans walk
+    the component's own block grid (T.81 A.2.2)."""
+    for c in scan_comps:
+        c.pred = 0
+    state = _ScanState()
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcus_y * mcus_x
+    else:
+        c0 = scan_comps[0]
+        units = c0.bh * c0.bw
+    needs_dc = not progressive or ss == 0
+    needs_ac = not progressive or ss > 0
+    for c in scan_comps:
+        if needs_dc and ah == 0 and c.td not in dc_tables:
+            raise ValueError(f"component {c.cid} references missing DC table")
+        if needs_ac and c.ta not in ac_tables:
+            raise ValueError(f"component {c.cid} references missing AC table")
+    rst_n = 0
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.align_and_expect_rst(rst_n)
+            rst_n += 1
+            for c in scan_comps:
+                c.pred = 0
+            state.eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for c in scan_comps:
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        blk = c.coef[my * c.v + by, mx * c.h + bx]
+                        _decode_unit(
+                            reader, c, ss, se, ah, al, progressive,
+                            dc_tables, ac_tables, blk, state,
+                        )
+        else:
+            c = scan_comps[0]
+            by, bx = divmod(u, c.bw)
+            _decode_unit(
+                reader, c, ss, se, ah, al, progressive,
+                dc_tables, ac_tables, c.coef[by, bx], state,
+            )
+
+
+def _decode_unit(
+    reader, c, ss, se, ah, al, progressive, dc_tables, ac_tables, blk, state
+):
+    if not progressive:
+        _decode_block_full(reader, c, dc_tables[c.td], ac_tables[c.ta], blk)
+    elif ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            _decode_dc_first(reader, c, dc_tables[c.td], al, blk)
+        else:
+            _decode_dc_refine(reader, al, blk)
+    else:
+        if ah == 0:
+            _decode_ac_first(reader, ac_tables[c.ta], ss, se, al, blk, state)
+        else:
+            _decode_ac_refine(reader, ac_tables[c.ta], ss, se, al, blk, state)
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy data to the next real marker (skipping
+    stuffed 0xFF00 and stray RSTn)."""
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            raise ValueError("JPEG truncated at marker boundary")
+        nxt = data[pos + 1]
+        if nxt == 0x00 or nxt == 0xFF:
+            pos += 2 if nxt == 0x00 else 1
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            pos += 2
+            continue
+        return pos
+    raise ValueError("JPEG truncated before EOI")
+
+
+# --------------------------------- decoder ----------------------------
+
+
+def decode_jpeg(content: bytes) -> "np.ndarray":
     """bytes → HxWxC uint8 (C=3 RGB for YCbCr scans, C=1 grayscale).
-
+    Handles baseline/extended-sequential AND progressive processes.
     Raises ValueError on malformed/truncated streams and
-    NotImplementedError for progressive/arithmetic/12-bit variants."""
+    NotImplementedError for arithmetic/hierarchical/12-bit variants."""
     import numpy as np
 
     if content[:2] != b"\xff\xd8":
@@ -181,20 +412,23 @@ def decode_baseline_jpeg(content: bytes) -> "np.ndarray":
     ac_tables: dict[int, _HuffTable] = {}
     comps: list[_Component] = []
     height = width = 0
+    mcus_x = mcus_y = 0
+    hmax = vmax = 1
     restart_interval = 0
+    progressive = False
+    n_scans = 0
     pos = 2
-    scan_comps: list[_Component] = []
 
     while True:
         if pos + 1 >= len(content):
-            raise ValueError("JPEG truncated before SOS")
+            raise ValueError("JPEG truncated before EOI")
         if content[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = content[pos + 1]
         pos += 2
-        if marker == 0xD8:  # stray SOI
-            continue
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         if pos + 2 > len(content):
             raise ValueError("JPEG segment length truncated")
@@ -219,13 +453,16 @@ def decode_baseline_jpeg(content: bytes) -> "np.ndarray":
                 if len(vals) != 64:
                     raise ValueError("DQT table truncated")
                 qtables[tq] = vals  # zigzag order, as transmitted
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(
                     f"{precision}-bit JPEG not supported (baseline is 8)"
                 )
             height, width = struct.unpack_from(">HH", body, 1)
+            if not height or not width:
+                raise ValueError("bad JPEG frame dimensions")
             ncomp = body[5]
             comps = []
             for ci in range(ncomp):
@@ -235,17 +472,31 @@ def decode_baseline_jpeg(content: bytes) -> "np.ndarray":
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG not supported (1=gray, 3=YCbCr)"
                 )
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            if hmax > 4 or vmax > 4 or hmax < 1 or vmax < 1:
+                raise ValueError(f"bad sampling factors {hmax}x{vmax}")
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for c in comps:
+                # non-interleaved block-grid geometry (T.81 A.2.2)
+                c.bw = _ceil_div(_ceil_div(width * c.h, hmax), 8)
+                c.bh = _ceil_div(_ceil_div(height * c.v, vmax), 8)
+                c.coef = np.zeros(
+                    (mcus_y * c.v, mcus_x * c.h, 64), dtype=np.int32
+                )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} not supported (baseline only)"
+                f"JPEG process SOF{marker - 0xC0} not supported "
+                "(baseline + progressive only)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 counts = list(body[i + 1 : i + 17])
+                if len(counts) != 16:
+                    raise ValueError("DHT counts truncated")
                 n = sum(counts)
                 symbols = bytes(body[i + 17 : i + 17 + n])
                 if len(symbols) != n:
@@ -255,6 +506,8 @@ def decode_baseline_jpeg(content: bytes) -> "np.ndarray":
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan_comps = []
             by_id = {c.cid: c for c in comps}
@@ -265,86 +518,45 @@ def decode_baseline_jpeg(content: bytes) -> "np.ndarray":
                     raise ValueError(f"SOS references unknown component {cid}")
                 c.td, c.ta = tdta >> 4, tdta & 0x0F
                 scan_comps.append(c)
-            pos = seg_end
-            break
-        elif marker == 0xD9:
-            raise ValueError("EOI before SOS — no image data")
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("sequential scan with progressive parameters")
+            if progressive and ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            reader = _BitReader(content, seg_end)
+            try:
+                _decode_scan(
+                    reader, scan_comps, ss, se, ah, al, progressive,
+                    dc_tables, ac_tables, restart_interval, mcus_y, mcus_x,
+                )
+            except _AtMarker as m:
+                raise ValueError(
+                    f"unexpected marker 0xFF{m.marker:02X} inside entropy data"
+                ) from None
+            n_scans += 1
+            pos = _skip_to_marker(content, reader.pos)
+            continue
         # APPn / COM / others: skip
         pos = seg_end
 
-    if not comps or not height or not width:
-        raise ValueError("JPEG missing SOF before SOS")
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG not supported")
-
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    if hmax > 4 or vmax > 4 or hmax < 1 or vmax < 1:
-        raise ValueError(f"bad sampling factors {hmax}x{vmax}")
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
+    if not comps or not n_scans:
+        raise ValueError("JPEG has no decoded scan")
     A = _idct_matrix(np)
     zz = np.array(ZIGZAG)
+    planes = []
     for c in comps:
         if c.tq not in qtables:
             raise ValueError(f"component {c.cid} references missing DQT {c.tq}")
-        c.plane = np.zeros((mcus_y * c.v * 8, mcus_x * c.h * 8), dtype=np.float64)
-
-    reader = _BitReader(content, pos)
-    mcu_index = 0
-    rst_n = 0
-    try:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                    reader.align_and_expect_rst(rst_n)
-                    rst_n += 1
-                    for c in comps:
-                        c.pred = 0
-                for c in scan_comps:
-                    if c.td not in dc_tables or c.ta not in ac_tables:
-                        raise ValueError(
-                            f"component {c.cid} references missing DHT"
-                        )
-                    q = qtables[c.tq]
-                    for by in range(c.v):
-                        for bx in range(c.h):
-                            coeffs_zz = np.zeros(64, dtype=np.int32)
-                            s = _decode_huff(reader, dc_tables[c.td])
-                            if s > 11:
-                                raise ValueError(f"bad DC magnitude {s}")
-                            c.pred += _receive_extend(reader, s)
-                            coeffs_zz[0] = c.pred
-                            k = 1
-                            while k < 64:
-                                rs = _decode_huff(reader, ac_tables[c.ta])
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC run past block end")
-                                coeffs_zz[k] = _receive_extend(reader, s)
-                                k += 1
-                            block = np.zeros(64, dtype=np.float64)
-                            block[zz] = coeffs_zz * q
-                            spatial = A.T @ block.reshape(8, 8) @ A + 128.0
-                            y0 = (my * c.v + by) * 8
-                            x0 = (mx * c.h + bx) * 8
-                            c.plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
-                mcu_index += 1
-    except _AtMarker as m:
-        raise ValueError(
-            f"unexpected marker 0xFF{m.marker:02X} inside entropy data"
-        ) from None
-
-    planes = []
-    for c in comps:
+        deq = c.coef.astype(np.float64) * qtables[c.tq]
+        nat = np.zeros_like(deq)
+        nat[:, :, zz] = deq
+        gh, gw = nat.shape[:2]
+        blocks = nat.reshape(gh, gw, 8, 8)
+        spatial = A.T @ blocks @ A + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
         p = np.repeat(
-            np.repeat(c.plane, vmax // c.v, axis=0), hmax // c.h, axis=1
+            np.repeat(plane, vmax // c.v, axis=0), hmax // c.h, axis=1
         )
         planes.append(p[:height, :width])
     if len(planes) == 1:
@@ -356,6 +568,11 @@ def decode_baseline_jpeg(content: bytes) -> "np.ndarray":
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+#: Backward-compatible name: the round-7 unified decoder handles the
+#: progressive process too, but the baseline call sites predate it.
+decode_baseline_jpeg = decode_jpeg
 
 
 # --------------------------- baseline encoder -------------------------
@@ -452,26 +669,7 @@ def encode_baseline_jpeg(
     for the luma component; chroma is always (1, 1) — (2, 2) gives
     4:2:0."""
     qz = list(qtable_zz or [1] * 64)
-    gray = img.ndim == 2 or img.shape[2] == 1
-    if gray:
-        planes = [img.reshape(img.shape[0], img.shape[1]).astype(np.float64)]
-        samps = [(1, 1)]
-    else:
-        rgb = img.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        h, v = y_sampling
-        if (h, v) != (1, 1):
-            hh, vv = y.shape[0] // v * v, y.shape[1] // h * h
-            assert y.shape[0] % v == 0 and y.shape[1] % h == 0, (
-                "test encoder: image dims must be multiples of the sampling"
-            )
-            cb = cb.reshape(hh // v, v, vv // h, h).mean(axis=(1, 3))
-            cr = cr.reshape(hh // v, v, vv // h, h).mean(axis=(1, 3))
-        planes = [y, cb, cr]
-        samps = [y_sampling, (1, 1), (1, 1)]
+    planes, samps = _color_planes(img, y_sampling)
     height, width = img.shape[0], img.shape[1]
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
@@ -598,5 +796,292 @@ def encode_baseline_jpeg(
             out.extend(bytes([0xFF, 0xD0 + (n % 8)]))
 
     emit(tables, _BitWriter, rst_sink)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _color_planes(img: np.ndarray, y_sampling: tuple[int, int]):
+    """RGB→YCbCr (or grayscale passthrough) with chroma subsampling;
+    shared by the baseline and progressive encoders."""
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if gray:
+        return [img.reshape(img.shape[0], img.shape[1]).astype(np.float64)], [(1, 1)]
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, v = y_sampling
+    if (h, v) != (1, 1):
+        assert y.shape[0] % v == 0 and y.shape[1] % h == 0, (
+            "test encoder: image dims must be multiples of the sampling"
+        )
+        hh, vv = y.shape[0], y.shape[1]
+        cb = cb.reshape(hh // v, v, vv // h, h).mean(axis=(1, 3))
+        cr = cr.reshape(hh // v, v, vv // h, h).mean(axis=(1, 3))
+    return [y, cb, cr], [y_sampling, (1, 1), (1, 1)]
+
+
+# ------------------------- progressive encoder ------------------------
+#
+# Fixture-grade SOF2 writer implementing the standard scan-script
+# machinery the decoder must invert: DC first scan with point transform
+# Al, one-bit DC refinement scans, per-component AC spectral-selection
+# scans with cross-block EOB runs, and AC successive-approximation
+# refinement scans (the correction-bit algorithm of T.81 Annex G /
+# libjpeg jcphuff). Tokens are generated once per scan — symbol stream
+# first, canonical table from it, then bits — so table choice cannot
+# diverge from the walk.
+
+
+def _emit_eobrun(tokens, state):
+    if state["eobrun"] > 0:
+        nbits = state["eobrun"].bit_length() - 1
+        tokens.append(("sym", nbits << 4))
+        if nbits:
+            tokens.append(("bits", state["eobrun"] & ((1 << nbits) - 1), nbits))
+        state["eobrun"] = 0
+        for bit in state["pending"]:
+            tokens.append(("bits", bit, 1))
+        state["pending"] = []
+
+
+def _ac_first_tokens(blocks, ss, se, al):
+    tokens: list[tuple] = []
+    state = {"eobrun": 0, "pending": []}
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            if v < 0:
+                t = (-v) >> al
+                t2 = ~t
+            else:
+                t = v >> al
+                t2 = t
+            if t == 0:
+                r += 1
+                continue
+            _emit_eobrun(tokens, state)
+            while r > 15:
+                tokens.append(("sym", 0xF0))
+                r -= 16
+            s = t.bit_length()
+            tokens.append(("sym", (r << 4) | s))
+            tokens.append(("bits", t2 & ((1 << s) - 1), s))
+            r = 0
+        if r > 0:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(tokens, state)
+    _emit_eobrun(tokens, state)
+    return tokens
+
+
+def _ac_refine_tokens(blocks, ss, se, ah, al):
+    tokens: list[tuple] = []
+    state = {"eobrun": 0, "pending": []}
+    p1 = 1 << al
+    for blk in blocks:
+        absvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = ss - 1
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eob = ss + i
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absvals[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                _emit_eobrun(tokens, state)
+                tokens.append(("sym", 0xF0))
+                r -= 16
+                for bit in br:
+                    tokens.append(("bits", bit, 1))
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            _emit_eobrun(tokens, state)
+            tokens.append(("sym", (r << 4) | 1))
+            tokens.append(("bits", 1 if int(blk[k]) >= 0 else 0, 1))
+            for bit in br:
+                tokens.append(("bits", bit, 1))
+            br = []
+            r = 0
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["pending"].extend(br)
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(tokens, state)
+    _emit_eobrun(tokens, state)
+    return tokens
+
+
+def _dc_first_tokens(comp_order, grids, al):
+    tokens: list[tuple] = []
+    preds = {ci: 0 for ci, _h, _v in comp_order}
+    # interleaved MCU walk
+    for mcu in range(grids["n_mcus"]):
+        my, mx = divmod(mcu, grids["mcus_x"])
+        for ci, h, v in comp_order:
+            for by in range(v):
+                for bx in range(h):
+                    blk = grids[ci][my * v + by, mx * h + bx]
+                    val = int(blk[0]) >> al
+                    s, bits = _magnitude(val - preds[ci])
+                    preds[ci] = val
+                    tokens.append(("sym", s, ci))
+                    tokens.append(("bits", bits, s))
+    return tokens
+
+
+def _dc_refine_tokens(comp_order, grids, al):
+    tokens: list[tuple] = []
+    for mcu in range(grids["n_mcus"]):
+        my, mx = divmod(mcu, grids["mcus_x"])
+        for ci, h, v in comp_order:
+            for by in range(v):
+                for bx in range(h):
+                    blk = grids[ci][my * v + by, mx * h + bx]
+                    tokens.append(("bits", (int(blk[0]) >> al) & 1, 1))
+    return tokens
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray,
+    qtable_zz: list[int] | None = None,
+    y_sampling: tuple[int, int] = (1, 1),
+    al_dc: int = 1,
+    ac_bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    ac_al: int = 1,
+) -> bytes:
+    """Spec-following progressive (SOF2) encoder for decoder tests.
+
+    Scan script: interleaved DC first scan at point transform
+    ``al_dc`` + one-bit DC refinements down to 0; per component, AC
+    first scans over ``ac_bands`` at point transform ``ac_al`` + AC
+    refinement scans down to 0. Same coefficient domain as the
+    baseline encoder, so both encodings of an image decode
+    identically."""
+    qz = list(qtable_zz or [1] * 64)
+    planes, samps = _color_planes(img, y_sampling)
+    height, width = img.shape[0], img.shape[1]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    n_comp = len(planes)
+
+    grids = {"n_mcus": mcus_y * mcus_x, "mcus_x": mcus_x}
+    for ci, (plane, (h, v)) in enumerate(zip(planes, samps)):
+        padded = _pad(plane, mcus_y * v * 8, mcus_x * h * 8)
+        grid = np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
+        for gy in range(mcus_y * v):
+            for gx in range(mcus_x * h):
+                fb = _fdct(padded[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8])
+                grid[gy, gx] = [
+                    round(fb.flat[ZIGZAG[k]] / qz[k]) for k in range(64)
+                ]
+        grids[ci] = grid
+
+    def comp_band_blocks(ci):
+        """Non-interleaved block order over the component's own grid."""
+        h, v = samps[ci]
+        bw = _ceil_div(_ceil_div(width * h, hmax), 8)
+        bh = _ceil_div(_ceil_div(height * v, vmax), 8)
+        return [grids[ci][by, bx] for by in range(bh) for bx in range(bw)]
+
+    comp_order = [(ci, samps[ci][0], samps[ci][1]) for ci in range(n_comp)]
+
+    # scan list: (scan_comps, ss, se, ah, al, tokens, table_kind)
+    scans: list[tuple] = []
+    dc_tok = _dc_first_tokens(comp_order, grids, al_dc)
+    scans.append((list(range(n_comp)), 0, 0, 0, al_dc, dc_tok, "dc"))
+    for a in range(al_dc, 0, -1):
+        scans.append(
+            (
+                list(range(n_comp)),
+                0, 0, a, a - 1,
+                _dc_refine_tokens(comp_order, grids, a - 1),
+                None,
+            )
+        )
+    for ci in range(n_comp):
+        blocks = comp_band_blocks(ci)
+        for s0, s1 in ac_bands:
+            scans.append(
+                ([ci], s0, s1, 0, ac_al, _ac_first_tokens(blocks, s0, s1, ac_al), "ac")
+            )
+    for a in range(ac_al, 0, -1):
+        for ci in range(n_comp):
+            blocks = comp_band_blocks(ci)
+            for s0, s1 in ac_bands:
+                scans.append(
+                    (
+                        [ci], s0, s1, a, a - 1,
+                        _ac_refine_tokens(blocks, s0, s1, a, a - 1),
+                        "ac",
+                    )
+                )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + bytes([0x00])
+    out += bytes(min(255, q) for q in qz)
+    sof = bytearray([8])
+    sof += height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(n_comp)
+    for ci in range(n_comp):
+        h, v = samps[ci]
+        sof += bytes([ci + 1, (h << 4) | v, 0x00])
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+
+    for scan_cis, ss, se, ah, al, tokens, kind in scans:
+        # per-scan DHT(s) from the token symbol stream
+        tablemaps: dict[int, dict] = {}
+        if kind == "dc":
+            # one DC table per component class (0 for luma, 1 for chroma)
+            for th in {0 if ci == 0 else 1 for ci in scan_cis}:
+                syms = [
+                    t[1]
+                    for t in tokens
+                    if t[0] == "sym" and (0 if t[2] == 0 else 1) == th
+                ]
+                counts, symlist, m = _canonical_codes(syms or [0])
+                body = bytes([th]) + bytes(counts) + bytes(symlist)
+                out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+                tablemaps[th] = m
+        elif kind == "ac":
+            syms = [t[1] for t in tokens if t[0] == "sym"]
+            counts, symlist, m = _canonical_codes(syms or [0])
+            th = 0 if scan_cis[0] == 0 else 1
+            body = bytes([0x10 | th]) + bytes(counts) + bytes(symlist)
+            out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+            tablemaps[th] = m
+
+        sos = bytearray([len(scan_cis)])
+        for ci in scan_cis:
+            th = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (th << 4) | th])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+        w = _BitWriter()
+        for t in tokens:
+            if t[0] == "sym":
+                th = 0
+                if kind == "dc":
+                    th = 0 if t[2] == 0 else 1
+                elif kind == "ac":
+                    th = 0 if scan_cis[0] == 0 else 1
+                ln, code = tablemaps[th][t[1]]
+                w.write(code, ln)
+            else:
+                w.write(t[1], t[2])
+        w.flush()
+        out += w.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -3,14 +3,15 @@ columns with typed metadata, processed in Arrow-batched pandas via
 ``mapInPandas``.
 
 Image decode is REAL with no external library (``decode_image``):
-PPM/PGM, uncompressed 24-bit BMP, and — since round 7 — baseline
-sequential JPEG (pure-numpy Huffman + IDCT decoder, operators/jpeg.py)
-and full static PNG (all filters/depths/colour types/Adam7,
-operators/png.py) all decode to HxWxC uint8 numpy arrays; the
-remaining codec formats (WebP/progressive JPEG) raise
-NotImplementedError at the same call
-site, which is where PIL plugs in when available. Everything
-downstream of decode
+PPM/PGM, uncompressed 24-bit BMP, and — since round 7 — JPEG
+(baseline AND progressive, pure-numpy Huffman + IDCT,
+operators/jpeg.py), full static PNG (all filters/depths/colour
+types/Adam7, operators/png.py), and GIF (real variable-width LZW,
+operators/gif.py) all decode to HxWxC uint8 numpy arrays; the
+remaining codec format (WebP) raises NotImplementedError at the same
+call site, which is where PIL plugs in when available. Audio and
+video decode live in operators/audio.py (WAV) and operators/video.py
+(Y4M). Everything downstream of decode
 — schema contract, batch iteration shape, Arrow transfer, feature
 extraction — is payload-agnostic and identical for either decoder.
 
@@ -63,15 +64,19 @@ def decode_image(content: bytes) -> "np.ndarray":
       raster);
     - BMP: uncompressed 24-bit BITMAPINFOHEADER (the baseline Windows
       bitmap) — bottom-up or top-down rows, 4-byte row padding, BGR→RGB;
-    - JPEG: baseline sequential DCT (SOF0/SOF1) via the pure-numpy
-      decoder in operators/jpeg.py — Huffman entropy decode,
+    - JPEG: baseline sequential (SOF0/SOF1) AND progressive (SOF2)
+      DCT via the pure-numpy decoder in operators/jpeg.py — Huffman
+      entropy decode, spectral selection / successive approximation,
       dequantize, 8×8 IDCT, chroma upsample (4:4:4/4:2:2/4:2:0),
-      restart markers, YCbCr→RGB.
+      restart markers, YCbCr→RGB;
+    - PNG: full static subset (operators/png.py);
+    - GIF: 87a/89a with real LZW (operators/gif.py), frame 0
+      composited onto the logical screen.
 
     Returns an HxWxC uint8 array (C=3 RGB, C=1 grayscale). Raises
     ValueError for malformed/truncated payloads of a recognized format
     and NotImplementedError for formats that need an external codec
-    (PNG/WebP/progressive JPEG) — the plug-in boundary for PIL when
+    (WebP) — the plug-in boundary for PIL when
     available.
     The decoded-pixel contract (bytes → HxWxC shape/dtype/values) is
     pinned by tests and, for P6, by the analytic DuckDB oracle in
@@ -101,8 +106,8 @@ def decode_image(content: bytes) -> "np.ndarray":
         return first_frame_on_screen(decode_gif(content))
     raise NotImplementedError(
         f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP/"
-        "baseline-JPEG/PNG/GIF decode natively — WebP/progressive-JPEG "
-        "need an external codec (wire PIL here)"
+        "JPEG(baseline+progressive)/PNG/GIF decode natively — WebP "
+        "needs an external codec (wire PIL here)"
     )
 
 

@@ -172,9 +172,16 @@ def test_error_paths():
         decode_baseline_jpeg(b"\x00\x01not a jpeg")
     with pytest.raises(ValueError):
         decode_baseline_jpeg(good[: len(good) // 2])  # truncated entropy
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_baseline_jpeg(progressive)
+    # SOF2 decodes natively since round 7 — a baseline stream merely
+    # relabeled progressive is MALFORMED (its scan says Ss=0,Se=63,
+    # which a progressive DC scan cannot), not unsupported
+    relabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(relabeled)
+    # arithmetic coding stays behind the NotImplementedError boundary
+    arithmetic = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_baseline_jpeg(arithmetic)
 
 
 def test_decode_image_dispatches_jpeg():
@@ -185,3 +192,87 @@ def test_decode_image_dispatches_jpeg():
     # merely truncated is MALFORMED (ValueError), not unsupported
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+# ----------------------- progressive (SOF2) --------------------------
+
+
+def test_progressive_solid_color_exact():
+    from rta_registrations_pyspark_glue_spark.operators.jpeg import (
+        encode_progressive_jpeg,
+    )
+
+    for v in (0, 42, 128, 255):
+        img = np.full((16, 16), v, dtype=np.uint8)
+        out = decode_baseline_jpeg(encode_progressive_jpeg(img))
+        assert out.shape == (16, 16, 1) and (out == v).all(), v
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """Baseline and progressive are two entropy codings of the SAME
+    quantized coefficient domain — both encoders quantize identically,
+    so the decoder must produce bit-identical pixels. This pins the
+    whole Annex G machinery (spectral selection, successive
+    approximation, EOB runs, AC refinement correction bits) against
+    the independently-tested sequential path."""
+    from rta_registrations_pyspark_glue_spark.operators.jpeg import (
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    q = [16, 11, 10, 16, 24, 40, 51, 61] * 8
+    cases = [
+        ((16, 16), (1, 1)),
+        ((13, 9, 3), (1, 1)),
+        ((17, 23, 3), (1, 1)),
+        ((32, 16, 3), (2, 2)),
+    ]
+    for shape, samp in cases:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = decode_baseline_jpeg(encode_baseline_jpeg(img, y_sampling=samp))
+        p = decode_baseline_jpeg(
+            encode_progressive_jpeg(img, y_sampling=samp)
+        )
+        assert (b == p).all(), (shape, samp, "unit quant")
+        bq = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, qtable_zz=q, y_sampling=samp)
+        )
+        pq = decode_baseline_jpeg(
+            encode_progressive_jpeg(img, qtable_zz=q, y_sampling=samp)
+        )
+        assert (bq == pq).all(), (shape, samp, "real quant")
+
+
+def test_progressive_scan_script_configurations():
+    from rta_registrations_pyspark_glue_spark.operators.jpeg import (
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    b = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    for al_dc, bands, ac_al in [
+        (0, ((1, 63),), 0),  # pure spectral selection, no approximation
+        (2, ((1, 2), (3, 20), (21, 63)), 2),  # deep approximation, 3 bands
+        (1, ((1, 10), (11, 63)), 3),  # 3 AC refinement passes per band
+    ]:
+        p = decode_baseline_jpeg(
+            encode_progressive_jpeg(
+                img, al_dc=al_dc, ac_bands=bands, ac_al=ac_al
+            )
+        )
+        assert (b == p).all(), (al_dc, bands, ac_al)
+
+
+def test_progressive_truncation_raises():
+    from rta_registrations_pyspark_glue_spark.operators.jpeg import (
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    good = encode_progressive_jpeg(
+        rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    )
+    for cut in (len(good) // 3, len(good) // 2, len(good) - 3):
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(good[:cut])
