@@ -77,6 +77,9 @@ SCOPES = {
     "dataset_split": 2,
     "near_dup_clusters": 2,
     "pii_scrub": 2,
+    # round 7: text_metrics gains the trigram-LM quality filter rows
+    # (train split + smoothing + two broadcast lookups per trigram)
+    "text_metrics": 2,
 }
 
 #: Queries whose 100-TB claim is LINEAR scaling, re-timed live at the

@@ -5,8 +5,10 @@ operators in textdedup.py).
 
 Everything is built-in array/string functions — per-row array lambdas
 (transform/filter/aggregate) execute JVM-side inside codegen, so a 100 TB
-corpus pays one scan and zero Python. No shuffle in any operator here;
-they are all row-local.
+corpus pays one scan and zero Python. Every operator here is row-local
+(zero shuffle) except ``trigram_lm_quality``, whose LM-count
+aggregations shuffle a bounded (charset³) key domain and whose lookups
+are broadcast joins.
 """
 
 from __future__ import annotations
@@ -405,3 +407,95 @@ def char_shingles(name: str, n: int = 5) -> Column:
         f"ELSE {_zip_shingles(chars, n, '')} END)"
     )
     return F.expr(expr)
+
+
+def trigram_lm_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 10,
+    train_buckets: int = 8,
+    scale: int = 1_000_000_000,
+    keep_threshold: float = 0.01,
+) -> DataFrame:
+    """CCNet-style language-model quality filter, Spark-first and
+    EXACTLY mirrorable in SQL: a character-trigram LM with add-one
+    smoothing is trained on the deterministic train split
+    (``id % train_mod < train_buckets`` — leakage-aware: held-out docs
+    are scored by a model that never saw them), and every document is
+    scored by its mean conditional trigram probability. Low scores =
+    text unlike the corpus (boilerplate, mojibake, wrong language) —
+    the classic perplexity filter with probabilities in place of
+    log-space.
+
+    Numeric contract (what makes the DuckDB oracle hash-exact): no
+    transcendentals and no cross-row double sums. Each trigram's
+    smoothed probability (c3+1)/(c2+V) is one correctly-rounded double
+    division, scaled by ``scale`` and floored to int64; per-document
+    aggregation then happens in ORDER-INDEPENDENT integer arithmetic,
+    and only the final mean is a double division of two exact
+    integers.
+
+    100 TB design: the LM table is bounded by the DISTINCT trigram
+    count — charset³, e.g. ≲1M entries for text — independent of
+    corpus size, so both probability lookups are broadcast hash joins
+    and the whole operator is two scans (count + score), one small
+    shuffle each. The smoothing vocabulary V rides a 1-row broadcast
+    join (no driver action, no collect)."""
+    tri_arr = (
+        f"transform(sequence(1, length({text_col}) - 2), "
+        f"i -> substring({text_col}, i, 3))"
+    )
+    tris = (
+        df.where(F.length(text_col) >= 3)
+        .select(id_col, F.explode(F.expr(tri_arr)).alias("tri"))
+    )
+    train = tris.where(F.col(id_col) % train_mod < train_buckets)
+    tri_counts = train.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    ctx_counts = (
+        train.groupBy(F.substring("tri", 1, 2).alias("ctx"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = train.agg(
+        F.countDistinct(F.substring("tri", 3, 1)).alias("v_chars")
+    ).withColumn("one", F.lit(1))
+    scored = (
+        tris.withColumn("one", F.lit(1))
+        .join(F.broadcast(tri_counts), "tri", "left")
+        .join(
+            F.broadcast(ctx_counts),
+            F.substring("tri", 1, 2) == F.col("ctx"),
+            "left",
+        )
+        .join(F.broadcast(vocab), "one")
+        .select(
+            id_col,
+            F.floor(
+                (F.coalesce(F.col("c3"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c2"), F.lit(0)) + F.col("v_chars")).cast(
+                    "double"
+                )
+                * F.lit(float(scale))
+            ).alias("scaled"),
+            F.when(F.col("c3").isNull(), 1).otherwise(0).alias("unseen"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("scaled").alias("s"),
+        F.sum("unseen").alias("n_unseen"),
+    )
+    mean = F.col("s").cast("double") / (
+        F.col("n_trigrams") * F.lit(scale)
+    ).cast("double")
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            mean.alias("lm_mean_prob"),
+            F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+            F.coalesce(mean >= keep_threshold, F.lit(False)).alias("lm_keep"),
+        )
+    )

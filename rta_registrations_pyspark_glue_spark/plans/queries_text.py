@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import tracked_persist
 from rta_registrations_pyspark_glue_spark.operators import (
+    bpe,
     graph,
     packing,
     pii,
@@ -134,13 +135,59 @@ def _quality_sql(t: str) -> str:
                 WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
                 ELSE 'fr' END AS predicted_lang
     FROM lang_scores
+    UNION ALL BY NAME
+    SELECT 'lm' AS kind, doc_id, n_trigrams, lm_mean_prob, n_unseen, lm_keep
+    FROM (
+        WITH tris AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) - 1),
+                          i -> substr(text, CAST(i AS INT), 3))) AS tri
+            FROM documents WHERE length(text) >= 3
+        ), train AS (
+            SELECT * FROM tris WHERE doc_id % 10 < 8
+        ), tc AS (
+            SELECT tri, COUNT(*) AS c3 FROM train GROUP BY tri
+        ), cc AS (
+            SELECT substr(tri, 1, 2) AS ctx, COUNT(*) AS c2
+            FROM train GROUP BY substr(tri, 1, 2)
+        ), vv AS (
+            SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS v_chars FROM train
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(floor(CAST(COALESCE(tc.c3, 0) + 1 AS DOUBLE)
+                        / CAST(COALESCE(cc.c2, 0) + vv.v_chars AS DOUBLE)
+                        * 1000000000) AS BIGINT) AS scaled,
+                   CASE WHEN tc.tri IS NULL THEN 1 ELSE 0 END AS unseen
+            FROM tris t
+            LEFT JOIN tc ON t.tri = tc.tri
+            LEFT JOIN cc ON substr(t.tri, 1, 2) = cc.ctx
+            CROSS JOIN vv
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_trigrams, SUM(scaled) AS s,
+                   SUM(unseen) AS n_unseen
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+               CAST(a.s AS DOUBLE)
+                   / CAST(a.n_trigrams * 1000000000 AS DOUBLE) AS lm_mean_prob,
+               CAST(COALESCE(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+               COALESCE(CAST(a.s AS DOUBLE)
+                   / CAST(a.n_trigrams * 1000000000 AS DOUBLE) >= 0.01,
+                   FALSE) AS lm_keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    )
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token statistics, composite quality score, and marker-word
-    language ID in one union-tagged result ('stats' / 'quality' / 'lang'
-    rows; columns absent from a row kind are NULL). One gate slot pins
-    all three row-local text-analysis operators."""
+    """Token statistics, composite quality score, marker-word language
+    ID, and — since round 7 — the trigram-LM quality filter in one
+    union-tagged result ('stats' / 'quality' / 'lang' / 'lm' rows;
+    columns absent from a row kind are NULL). One gate slot pins all
+    four text-analysis operators; the 'lm' rows in particular
+    hash-verify the leakage-aware train split, add-one smoothing, and
+    the order-independent integer-scaled probability aggregation of
+    text.trigram_lm_quality against an independent SQL formulation."""
     docs = load_table(spark, "documents", sf_dir)
     stats = text.token_stats(docs).select(
         F.lit("stats").alias("kind"),
@@ -165,8 +212,18 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_fr",
         "predicted_lang",
     )
-    return stats.unionByName(quality, allowMissingColumns=True).unionByName(
-        lang, allowMissingColumns=True
+    lm = text.trigram_lm_quality(docs).select(
+        F.lit("lm").alias("kind"),
+        "doc_id",
+        "n_trigrams",
+        "lm_mean_prob",
+        "n_unseen",
+        "lm_keep",
+    )
+    return (
+        stats.unionByName(quality, allowMissingColumns=True)
+        .unionByName(lang, allowMissingColumns=True)
+        .unionByName(lm, allowMissingColumns=True)
     )
 
 
@@ -1089,3 +1146,19 @@ def packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_corpus_quality.py::test_pack_bins_*."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return packing.pack_bins(docs, seq_len=128, n_groups=8)
+
+
+@register("bpe_merges")
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training on the documents corpus
+    (operators/bpe.py): 30 merges learned from the top-2000 words,
+    returned as the ordered merge table (rank, left, right, merged).
+    Rows-only: the trainer is ITERATIVE (per-round best-pair selection
+    feeds the next round's pair counts), the documented
+    non-SQL-expressible case — determinism is instead pinned
+    merge-for-merge against an independent pure-Python reference
+    implementation in tests/test_bpe.py, and the encode side is pinned
+    by detokenization-roundtrip tests."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges = bpe.train_bpe(docs, n_merges=30, max_words=2000)
+    return bpe.merges_df(spark, merges)
