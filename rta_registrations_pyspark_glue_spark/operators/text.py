@@ -499,3 +499,60 @@ def trigram_lm_quality(
             F.coalesce(mean >= keep_threshold, F.lit(False)).alias("lm_keep"),
         )
     )
+
+
+#: Ordered literal mojibake repairs (UTF-8 read as latin-1/cp1252, the
+#: dominant real-world corruption): longest-first so compound sequences
+#: win. Interpolated into the DuckDB oracle so the two engines cannot
+#: drift. Public mapping — these are the standard ftfy-style pairs.
+MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u2122", "'"),
+    ("\u00e2\u20ac\u0153", '"'),
+    ("\u00e2\u20ac\u009d", '"'),
+    ("\u00e2\u20ac\u201c", "-"),
+    ("\u00e2\u20ac\u201d", "--"),
+    ("\u00e2\u20ac\u00a6", "..."),
+    ("\u00c3\u00a9", "\u00e9"),
+    ("\u00c3\u00a8", "\u00e8"),
+    ("\u00c3\u00bc", "\u00fc"),
+    ("\u00c3\u00b6", "\u00f6"),
+    ("\u00c3\u00a4", "\u00e4"),
+    ("\u00c3\u00b1", "\u00f1"),
+    ("\u00c3\u00a7", "\u00e7"),
+    ("\u00c3\u00a1", "\u00e1"),
+    ("\u00c3\u00b3", "\u00f3"),
+    ("\u00c3\u00ba", "\u00fa"),
+)
+
+#: Regex fragments shared verbatim by Spark (Java regex) and DuckDB
+#: (RE2) — the \x{...} hex-codepoint syntax is the portable subset.
+ZERO_WIDTH_RE = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+CONTROL_RE = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
+
+
+def fix_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ftfy-lite text repair, pure codegen expressions (zero UDF, zero
+    shuffle): ordered literal mojibake repairs (MOJIBAKE_REPAIRS),
+    CRLF/CR \u2192 LF, NBSP \u2192 space, zero-width character removal, C0/DEL
+    control stripping (tab/newline preserved), and 3+-newline collapse
+    \u2014 in that fixed order, which is part of the contract (repairs see
+    the raw bytes; the newline collapse sees post-CR text). Emits the
+    repaired text plus a changed flag and the net character delta."""
+    col = F.col(text_col)
+    c = col
+    for bad, good in MOJIBAKE_REPAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.replace(c, F.lit("\r\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\n"))
+    c = F.replace(c, F.lit("\u00a0"), F.lit(" "))
+    c = F.regexp_replace(c, ZERO_WIDTH_RE, "")
+    c = F.regexp_replace(c, CONTROL_RE, "")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return df.select(
+        id_col,
+        c.alias("fixed_text"),
+        (c != col).alias("fix_changed"),
+        (F.length(col) - F.length(c)).alias("n_chars_delta"),
+    )

@@ -92,6 +92,40 @@ def _quality_sql(t: str) -> str:
             + least(CAST(len(list_distinct({t})) AS DOUBLE) / len({t}), 0.3))"""
 
 
+def _fix_sql(col: str) -> str:
+    """DuckDB mirror of text.fix_text over column ``col`` — built from
+    the operator's own MOJIBAKE_REPAIRS / regex constants so the two
+    engines cannot drift. chr() builds the invisible characters the
+    repair chain must consume (CR, NBSP, zero-width, BEL)."""
+    e = col
+    for bad, good in text.MOJIBAKE_REPAIRS:
+        b, g = bad.replace("'", "''"), good.replace("'", "''")
+        e = f"replace({e}, '{b}', '{g}')"
+    e = f"replace({e}, chr(13)||chr(10), chr(10))"
+    e = f"replace({e}, chr(13), chr(10))"
+    e = f"replace({e}, chr(160), ' ')"
+    e = f"regexp_replace({e}, '{text.ZERO_WIDTH_RE}', '', 'g')"
+    e = f"regexp_replace({e}, '{text.CONTROL_RE}', '', 'g')"
+    e = f"regexp_replace({e}, '\\n{{3,}}', chr(10)||chr(10), 'g')"
+    return e
+
+
+#: Deterministic corruption injected in BOTH engines for the
+#: text_metrics 'fix' rows (the pii_scrub pattern): every 7th doc gets
+#: mojibake, 11th CR/CRLF, 13th zero-width + BEL, 19th a newline run,
+#: 23rd an NBSP; a doc can carry several.
+_FIX_CORRUPT_SQL = """
+        SELECT doc_id, text
+            || CASE WHEN doc_id % 7 = 0 THEN ' it'||chr(226)||chr(8364)||chr(8482)||'s a caf'||chr(195)||chr(169)||'' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN chr(13)||chr(10)||'line2'||chr(13)||'line3' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN ' ab'||chr(8203)||'c'||chr(65279)||chr(7) ELSE '' END
+            || CASE WHEN doc_id % 19 = 0 THEN repeat(chr(10), 5)||'end' ELSE '' END
+            || CASE WHEN doc_id % 23 = 0 THEN ' x'||chr(160)||'y' ELSE '' END
+            AS t
+        FROM documents
+"""
+
+
 @register(
     "text_metrics",
     oracle=rf"""
@@ -177,6 +211,17 @@ def _quality_sql(t: str) -> str:
                    FALSE) AS lm_keep
         FROM documents d LEFT JOIN agg a USING (doc_id)
     )
+    UNION ALL BY NAME
+    SELECT 'fix' AS kind, doc_id, fixed_text, fix_changed, n_chars_delta
+    FROM (
+        SELECT doc_id, fixed_text,
+               fixed_text != t AS fix_changed,
+               CAST(length(t) - length(fixed_text) AS INT) AS n_chars_delta
+        FROM (
+            SELECT doc_id, t, {_fix_sql("t")} AS fixed_text
+            FROM ({_FIX_CORRUPT_SQL})
+        )
+    )
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,10 +265,31 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unseen",
         "lm_keep",
     )
+    d = F.col("doc_id")
+    # invisible characters built from explicit escapes (mirrors the
+    # oracle's chr() calls): mojibake, CR/CRLF, zero-width + BEL,
+    # newline run, NBSP
+    corrupted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.lit(" it\u00e2\u20ac\u2122s a caf\u00c3\u00a9"),
+        ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("\r\nline2\rline3")).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0, F.lit(" ab\u200bc\ufeff\u0007")
+        ).otherwise(F.lit("")),
+        F.when(d % 19 == 0, F.lit("\n\n\n\n\nend")).otherwise(F.lit("")),
+        F.when(d % 23 == 0, F.lit(" x\u00a0y")).otherwise(F.lit("")),
+    )
+    fix = text.fix_text(
+        docs.select("doc_id", corrupted.alias("text"))
+    ).select(F.lit("fix").alias("kind"), "*")
     return (
         stats.unionByName(quality, allowMissingColumns=True)
         .unionByName(lang, allowMissingColumns=True)
         .unionByName(lm, allowMissingColumns=True)
+        .unionByName(fix, allowMissingColumns=True)
     )
 
 
