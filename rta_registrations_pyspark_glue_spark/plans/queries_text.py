@@ -293,18 +293,46 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Unrolled Morton interleave over (doc_id%256, (doc_id*7)%256) — the
+#: independent SQL formulation of zorder.morton_key(bits=8, n=2).
+_ZORDER_KEY_SQL = "(" + """((((doc_id % 256) >> 0) & 1) << 0) | (((((doc_id * 7) % 256) >> 0) & 1) << 1) | ((((doc_id % 256) >> 1) & 1) << 2) | (((((doc_id * 7) % 256) >> 1) & 1) << 3) | ((((doc_id % 256) >> 2) & 1) << 4) | (((((doc_id * 7) % 256) >> 2) & 1) << 5) | ((((doc_id % 256) >> 3) & 1) << 6) | (((((doc_id * 7) % 256) >> 3) & 1) << 7) | ((((doc_id % 256) >> 4) & 1) << 8) | (((((doc_id * 7) % 256) >> 4) & 1) << 9) | ((((doc_id % 256) >> 5) & 1) << 10) | (((((doc_id * 7) % 256) >> 5) & 1) << 11) | ((((doc_id % 256) >> 6) & 1) << 12) | (((((doc_id * 7) % 256) >> 6) & 1) << 13) | ((((doc_id % 256) >> 7) & 1) << 14) | (((((doc_id * 7) % 256) >> 7) & 1) << 15)""" + ")"
+
+
 @register(
     "doc_fingerprints",
     oracle=f"""
-    SELECT doc_id,
+    SELECT 'fp' AS kind, doc_id,
            md5(COALESCE({SQL_NORM}, '')) AS fp_md5,
            sha256(COALESCE({SQL_NORM}, '')) AS fp_sha256
+    FROM documents
+    UNION ALL BY NAME
+    SELECT 'zorder' AS kind, doc_id,
+           CAST({_ZORDER_KEY_SQL} AS BIGINT) AS zkey
     FROM documents
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprints over normalized text."""
-    return text.fingerprint(load_table(spark, "documents", sf_dir))
+    """Content fingerprints over normalized text ('fp' rows), plus —
+    round 7 — 'zorder' rows hash-verifying the Morton-interleave key
+    expression (operators/zorder.morton_key) against an independent
+    unrolled bit-arithmetic SQL formulation: the 8-bit interleave of
+    (doc_id%256, (doc_id*7)%256). The key expression is the heart of
+    the z-order data-skipping layout; its physical payoff (per-file
+    footer envelopes tighten in every dimension) is pinned separately
+    by tests/test_zorder.py against pyarrow-read parquet statistics."""
+    from rta_registrations_pyspark_glue_spark.operators import zorder
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = text.fingerprint(docs).select(F.lit("fp").alias("kind"), "*")
+    d = F.col("doc_id")
+    zk = docs.select(
+        F.lit("zorder").alias("kind"),
+        "doc_id",
+        zorder.morton_key([(d % 256).cast("long"), ((d * 7) % 256).cast("long")], bits=8)
+        .cast("long")
+        .alias("zkey"),
+    )
+    return fp.unionByName(zk, allowMissingColumns=True)
 
 
 @register(
