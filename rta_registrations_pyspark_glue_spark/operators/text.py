@@ -442,21 +442,33 @@ def trigram_lm_quality(
     and the whole operator is two scans (count + score), one small
     shuffle each. The smoothing vocabulary V rides a 1-row broadcast
     join (no driver action, no collect)."""
+    from rta_registrations_pyspark_glue_spark.caching import tracked_persist
+
     tri_arr = (
         f"transform(sequence(1, length({text_col}) - 2), "
         f"i -> substring({text_col}, i, 3))"
     )
-    tris = (
+    # The exploded trigram stream feeds FOUR consumers (trigram counts,
+    # context counts, smoothing vocabulary, scoring) — persist it so the
+    # scan+explode runs once, not four times. At extreme scale (stream
+    # ≈ 3× corpus chars) recomputation can beat spilling; the persist is
+    # released by caching.release_tracked like every operator-internal
+    # cache.
+    tris = tracked_persist(
         df.where(F.length(text_col) >= 3)
         .select(id_col, F.explode(F.expr(tri_arr)).alias("tri"))
     )
     train = tris.where(F.col(id_col) % train_mod < train_buckets)
     tri_counts = train.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    # context counts and the smoothing vocabulary are exact aggregates
+    # OF tri_counts (Σ c3 over the 2-char prefix; distinct third chars)
+    # — derive them from the small aggregated table instead of paying
+    # two more full-stream passes over the trigram explode
     ctx_counts = (
-        train.groupBy(F.substring("tri", 1, 2).alias("ctx"))
-        .agg(F.count(F.lit(1)).alias("c2"))
+        tri_counts.groupBy(F.substring("tri", 1, 2).alias("ctx"))
+        .agg(F.sum("c3").alias("c2"))
     )
-    vocab = train.agg(
+    vocab = tri_counts.agg(
         F.countDistinct(F.substring("tri", 3, 1)).alias("v_chars")
     ).withColumn("one", F.lit(1))
     scored = (
