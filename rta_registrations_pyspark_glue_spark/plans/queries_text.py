@@ -19,6 +19,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     packing,
     pii,
     sampling,
+    sketches,
     text,
     textdedup,
 )
@@ -1049,6 +1050,12 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'tfidf' AS kind, doc_id, token, cnt, df_docs, score,
            CAST(rnk AS INT) AS rank
     FROM ranked WHERE rnk <= 3
+    UNION ALL BY NAME
+    SELECT 'heavy' AS kind, token,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM tf0
+    GROUP BY token
+    HAVING SUM(c) * 500 > (SELECT SUM(c) FROM tf0)
     """,
 )
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,7 +1082,21 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = text.tfidf_top_terms(docs, top_n=3, counts=counts).select(
         F.lit("tfidf").alias("kind"), "doc_id", "token", "cnt", "df_docs", "score", "rank"
     )
-    return top.unionByName(tfidf, allowMissingColumns=True)
+    # 'heavy' rows (round 7): EXACT heavy hitters via the Misra-Gries
+    # sketch-then-verify pass (operators/sketches.py) over the RAW
+    # token stream — deliberately not derived from the aggregated
+    # counts frame, so the gate hash exercises the sketch path
+    # (candidate generation + broadcast verification), whose final
+    # output is exact and therefore SQL-mirrorable.
+    tok_stream = docs.select(
+        F.explode(F.split(text.normalize_text("text"), " ", -1)).alias("token")
+    ).filter(F.col("token") != "")
+    heavy = sketches.heavy_hitters(tok_stream, "token", k=500).select(
+        F.lit("heavy").alias("kind"), "token", "n_occurrences"
+    )
+    return top.unionByName(tfidf, allowMissingColumns=True).unionByName(
+        heavy, allowMissingColumns=True
+    )
 
 
 @register(
