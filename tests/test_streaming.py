@@ -338,3 +338,65 @@ def test_near_dedup_bucket_store_compacts(spark):
     got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert 99 not in got
     shutil.rmtree(NEAR_ROOT, ignore_errors=True)
+
+
+SIGNUP_DIR = "/root/repo/.tmp/signups_stream"
+
+
+@pytest.fixture(scope="module")
+def signup_path(spark, sf_dir):
+    # anchor stream: each user's first event as their "signup"
+    shutil.rmtree(SIGNUP_DIR, ignore_errors=True)
+    load_table(spark, "events", sf_dir).groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    ).write.mode("overwrite").parquet(SIGNUP_DIR)
+    yield SIGNUP_DIR
+    shutil.rmtree(SIGNUP_DIR, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_path, signup_path):
+    """Watermarked stream-stream inner interval join (events x signups
+    within 1 hour of signup) must emit exactly the batch join's rows.
+    The join condition's time bound is what lets the engine expire
+    state — this also pins that the bound is accepted as such (an
+    unbounded stream-stream inner join with watermarks would raise)."""
+    from rta_registrations_pyspark_glue_spark.streaming import joins as sj
+
+    ev_stream = spark.readStream.schema(
+        spark.read.parquet(stream_path).schema
+    ).parquet(stream_path)
+    su_stream = spark.readStream.schema(
+        spark.read.parquet(signup_path).schema
+    ).parquet(signup_path)
+    joined = sj.interval_join_streams(ev_stream, su_stream).select(
+        "event_id", "user_id", "ts", "signup_ts"
+    )
+    got = {
+        (r.event_id, r.user_id) for r in _run(spark, joined, mode="append")
+    }
+
+    ev = spark.read.parquet(stream_path)
+    su = spark.read.parquet(signup_path).withColumnRenamed("user_id", "u2")
+    want = {
+        (r.event_id, r.user_id)
+        for r in ev.join(
+            su,
+            (ev.user_id == F.col("u2"))
+            & (ev.ts >= F.col("signup_ts"))
+            & (ev.ts <= F.col("signup_ts") + F.expr("INTERVAL 1 hour")),
+            "inner",
+        ).collect()
+    }
+    assert len(want) > 0  # fixture sanity: every user matches their first hour
+    assert got == want
+
+
+def test_interval_join_batch_mode_bound_is_respected(spark, stream_path, signup_path):
+    from rta_registrations_pyspark_glue_spark.streaming import joins as sj
+
+    ev = spark.read.parquet(stream_path)
+    su = spark.read.parquet(signup_path)
+    out = sj.interval_join_streams(ev, su).select("ts", "signup_ts").collect()
+    for r in out:
+        assert r.signup_ts <= r.ts
+        assert (r.ts - r.signup_ts).total_seconds() <= 3600
