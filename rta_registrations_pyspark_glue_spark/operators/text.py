@@ -568,3 +568,40 @@ def fix_text(
         (c != col).alias("fix_changed"),
         (F.length(col) - F.length(c)).alias("n_chars_delta"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-corpus chunking: overlapping token windows, stride =
+    ``chunk_tokens - overlap``; chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` and the count of chunks is
+    ``ceil(max(n - overlap, 1) / stride)`` (a short document yields
+    exactly one chunk; the final chunk may be short). Pure codegen —
+    one split, one sequence/transform explode, integer arithmetic only
+    (no float ceil), so the DuckDB oracle mirrors it exactly."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = (F.greatest(n - overlap, F.lit(1)) + (stride - 1)) / stride
+    n_chunks = F.floor(n_chunks).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    df = df.select(id_col, F.explode(chunks).alias("c"))
+    return df.select(
+        id_col,
+        F.col("c.idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+        F.size("c.ctoks").alias("n_chunk_tokens"),
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rta_registrations_pyspark_glue_spark.operators import quality, skew
+from rta_registrations_pyspark_glue_spark.operators import quality, skew, text
 from rta_registrations_pyspark_glue_spark.functions.dates import date_spine
 from rta_registrations_pyspark_glue_spark.operators.analytics import dsum
 from rta_registrations_pyspark_glue_spark.operators.rangejoin import range_join
@@ -296,7 +296,7 @@ def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         FROM documents WHERE doc_id % 50 = 0
     )
-    SELECT doc_id,
+    SELECT 'pos' AS kind, doc_id,
            CAST(p.i - 1 AS INT) AS pos,
            p.tok AS token
     FROM (
@@ -305,16 +305,44 @@ def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      i -> {'i': i, 'tok': t[i]})) AS p
         FROM toks
     )
+    UNION ALL BY NAME
+    SELECT 'chunk' AS kind, doc_id,
+           CAST(c.i AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, c.i * 48 + 1, c.i * 48 + 64), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(t, c.i * 48 + 1, c.i * 48 + 64)) AS INT)
+               AS n_chunk_tokens
+    FROM (
+        SELECT doc_id, t,
+               unnest(range(0, (greatest(len(t) - 16, 1) + 47) // 48))
+                   AS i
+        FROM toks
+    ) AS c(doc_id, t, i)
     """,
 )
 def document_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """posexplode: token stream with 0-based positions (the
-    lateral-flatten shape; every 50th doc to keep the gate light)."""
+    """posexplode ('pos' rows: token stream with 0-based positions, the
+    lateral-flatten shape; every 50th doc to keep the gate light) plus
+    — round 7 — 'chunk' rows: RAG-corpus chunking
+    (text.chunk_documents, 64-token windows with 16-token overlap),
+    hash-verifying chunk boundaries, overlap arithmetic, and the
+    reassembled chunk text byte-for-byte against the list_slice SQL
+    formulation."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 50 == 0)
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
-    return toks.select(
-        "doc_id", F.posexplode("t").alias("pos", "token")
-    ).select("doc_id", F.col("pos").cast("int"), "token")
+    pos = (
+        toks.select("doc_id", F.posexplode("t").alias("pos", "token"))
+        .select(
+            F.lit("pos").alias("kind"),
+            "doc_id",
+            F.col("pos").cast("int"),
+            "token",
+        )
+    )
+    chunks = text.chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        F.lit("chunk").alias("kind"), "*"
+    )
+    return pos.unionByName(chunks, allowMissingColumns=True)
 
 
 _JSON_ORACLE = """

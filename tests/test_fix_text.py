@@ -77,3 +77,59 @@ def test_zero_udf_plan(spark):
 def test_degenerate_inputs(spark, raw):
     got, _, _ = _fix_one(spark, raw)
     assert isinstance(got, str)
+
+
+# ------------------------- chunk_documents ---------------------------
+
+
+def _chunks(spark, text_str, chunk_tokens=8, overlap=2):
+    from rta_registrations_pyspark_glue_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(0, text_str)], "doc_id bigint, text string")
+    rows = chunk_documents(df, chunk_tokens, overlap).orderBy("chunk_idx").collect()
+    return [(r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in rows]
+
+
+def test_chunking_boundaries_hand_computed(spark):
+    words = [f"w{i}" for i in range(20)]
+    got = _chunks(spark, " ".join(words), chunk_tokens=8, overlap=2)
+    # stride 6: starts 0, 6, 12 (ceil(max(20-2,1)/6) = 3)
+    assert got == [
+        (0, " ".join(words[0:8]), 8),
+        (1, " ".join(words[6:14]), 8),
+        (2, " ".join(words[12:20]), 8),
+    ]
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    assert _chunks(spark, "a b c") == [(0, "a b c", 3)]
+    assert _chunks(spark, "solo") == [(0, "solo", 1)]
+
+
+def test_chunking_final_partial_chunk(spark):
+    words = [f"w{i}" for i in range(21)]
+    got = _chunks(spark, " ".join(words), chunk_tokens=8, overlap=2)
+    # starts 0, 6, 12, 18 (ceil(19/6) = 4); last chunk has 3 tokens
+    assert len(got) == 4
+    assert got[-1] == (3, " ".join(words[18:21]), 3)
+
+
+def test_chunking_overlap_reconstructs_document(spark):
+    words = [f"t{i}" for i in range(50)]
+    got = _chunks(spark, " ".join(words), chunk_tokens=10, overlap=4)
+    seen = []
+    for idx, ctext, _n in got:
+        toks = ctext.split()
+        start = idx * 6
+        assert toks == words[start : start + 10]
+        seen.extend(toks[4:] if idx else toks)
+    # de-overlapped concatenation restores the document exactly
+    assert seen == words
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    from rta_registrations_pyspark_glue_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
