@@ -846,6 +846,23 @@ def _emit_eobrun(tokens, state):
         state["pending"] = []
 
 
+def _segmented(gen, blocks, restart_interval, *args):
+    """Split the block walk into restart segments: EOB runs and
+    buffered correction bits cannot cross a restart, so each segment
+    runs the generator with fresh state; ("rst", n) tokens mark the
+    boundaries for the byte-aligned marker during rendering."""
+    if not restart_interval:
+        return gen(blocks, *args)
+    tokens: list[tuple] = []
+    rst_n = 0
+    for i in range(0, len(blocks), restart_interval):
+        if i:
+            tokens.append(("rst", rst_n % 8))
+            rst_n += 1
+        tokens.extend(gen(blocks[i : i + restart_interval], *args))
+    return tokens
+
+
 def _ac_first_tokens(blocks, ss, se, al):
     tokens: list[tuple] = []
     state = {"eobrun": 0, "pending": []}
@@ -921,11 +938,16 @@ def _ac_refine_tokens(blocks, ss, se, ah, al):
     return tokens
 
 
-def _dc_first_tokens(comp_order, grids, al):
+def _dc_first_tokens(comp_order, grids, al, restart_interval=0):
     tokens: list[tuple] = []
     preds = {ci: 0 for ci, _h, _v in comp_order}
+    rst_n = 0
     # interleaved MCU walk
     for mcu in range(grids["n_mcus"]):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            tokens.append(("rst", rst_n % 8))
+            rst_n += 1
+            preds = {ci: 0 for ci, _h, _v in comp_order}
         my, mx = divmod(mcu, grids["mcus_x"])
         for ci, h, v in comp_order:
             for by in range(v):
@@ -939,9 +961,13 @@ def _dc_first_tokens(comp_order, grids, al):
     return tokens
 
 
-def _dc_refine_tokens(comp_order, grids, al):
+def _dc_refine_tokens(comp_order, grids, al, restart_interval=0):
     tokens: list[tuple] = []
+    rst_n = 0
     for mcu in range(grids["n_mcus"]):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            tokens.append(("rst", rst_n % 8))
+            rst_n += 1
         my, mx = divmod(mcu, grids["mcus_x"])
         for ci, h, v in comp_order:
             for by in range(v):
@@ -958,6 +984,7 @@ def encode_progressive_jpeg(
     al_dc: int = 1,
     ac_bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     ac_al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Spec-following progressive (SOF2) encoder for decoder tests.
 
@@ -999,14 +1026,14 @@ def encode_progressive_jpeg(
 
     # scan list: (scan_comps, ss, se, ah, al, tokens, table_kind)
     scans: list[tuple] = []
-    dc_tok = _dc_first_tokens(comp_order, grids, al_dc)
+    dc_tok = _dc_first_tokens(comp_order, grids, al_dc, restart_interval)
     scans.append((list(range(n_comp)), 0, 0, 0, al_dc, dc_tok, "dc"))
     for a in range(al_dc, 0, -1):
         scans.append(
             (
                 list(range(n_comp)),
                 0, 0, a, a - 1,
-                _dc_refine_tokens(comp_order, grids, a - 1),
+                _dc_refine_tokens(comp_order, grids, a - 1, restart_interval),
                 None,
             )
         )
@@ -1014,7 +1041,13 @@ def encode_progressive_jpeg(
         blocks = comp_band_blocks(ci)
         for s0, s1 in ac_bands:
             scans.append(
-                ([ci], s0, s1, 0, ac_al, _ac_first_tokens(blocks, s0, s1, ac_al), "ac")
+                (
+                    [ci], s0, s1, 0, ac_al,
+                    _segmented(
+                        _ac_first_tokens, blocks, restart_interval, s0, s1, ac_al
+                    ),
+                    "ac",
+                )
             )
     for a in range(ac_al, 0, -1):
         for ci in range(n_comp):
@@ -1023,7 +1056,10 @@ def encode_progressive_jpeg(
                 scans.append(
                     (
                         [ci], s0, s1, a, a - 1,
-                        _ac_refine_tokens(blocks, s0, s1, a, a - 1),
+                        _segmented(
+                            _ac_refine_tokens, blocks, restart_interval,
+                            s0, s1, a, a - 1,
+                        ),
                         "ac",
                     )
                 )
@@ -1038,6 +1074,9 @@ def encode_progressive_jpeg(
         h, v = samps[ci]
         sof += bytes([ci + 1, (h << 4) | v, 0x00])
     out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big")
+        out += restart_interval.to_bytes(2, "big")
 
     for scan_cis, ss, se, ah, al, tokens, kind in scans:
         # per-scan DHT(s) from the token symbol stream
@@ -1079,6 +1118,11 @@ def encode_progressive_jpeg(
                     th = 0 if scan_cis[0] == 0 else 1
                 ln, code = tablemaps[th][t[1]]
                 w.write(code, ln)
+            elif t[0] == "rst":
+                w.flush()
+                out += w.out
+                out += bytes([0xFF, 0xD0 + t[1]])
+                w = _BitWriter()
             else:
                 w.write(t[1], t[2])
         w.flush()

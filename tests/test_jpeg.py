@@ -276,3 +276,26 @@ def test_progressive_truncation_raises():
     for cut in (len(good) // 3, len(good) // 2, len(good) - 3):
         with pytest.raises(ValueError):
             decode_baseline_jpeg(good[:cut])
+
+
+def test_progressive_restart_markers():
+    """DRI + RSTn inside progressive scans: DC predictors, EOB runs,
+    and refinement bit buffers must all reset at restart boundaries —
+    decode must stay bit-identical to baseline at any interval."""
+    from rta_registrations_pyspark_glue_spark.operators.jpeg import (
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape, samp in [((24, 16, 3), (1, 1)), ((32, 16, 3), (2, 2))]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = decode_baseline_jpeg(encode_baseline_jpeg(img, y_sampling=samp))
+        for ri in (1, 3):
+            data = encode_progressive_jpeg(
+                img, y_sampling=samp, restart_interval=ri
+            )
+            assert any(
+                bytes([0xFF, 0xD0 + i]) in data for i in range(8)
+            ), "fixture produced no RST markers"
+            p = decode_baseline_jpeg(data)
+            assert (b == p).all(), (shape, samp, ri)
