@@ -304,8 +304,22 @@ def store_commit(
                 if part not in written_parts and part not in drops:
                     entries.append(e)  # manifest reuse: reference, no copy
         publish_id = _next_store_id(root)
+        # equality-delete carry-forward: a replace_only commit keeps the
+        # prior snapshot's delete files (they still apply to the carried
+        # data files via sequence numbers); a full replace rewrote every
+        # row, so deletes are dropped
+        deletes = (
+            _store_manifest(root, cur).get("deletes", [])
+            if replace_only and cur
+            else []
+        )
         manifest = json.dumps(
-            {"id": publish_id, "partition_by": partition_by or [], "files": entries}
+            {
+                "id": publish_id,
+                "partition_by": partition_by or [],
+                "files": entries,
+                "deletes": deletes,
+            }
         )
         if _put_if_absent(os.path.join(mdir, publish_id + ".json"), manifest):
             df.sparkSession.catalog.refreshByPath(root)
@@ -332,15 +346,28 @@ def store_read(spark: SparkSession, root: str) -> DataFrame:
     cur = store_current(root)
     if cur is None:
         raise FileNotFoundError(f"no committed store snapshot under {root}")
-    files = _store_manifest(root, cur)["files"]
+    manifest = _store_manifest(root, cur)
+    files = manifest["files"]
+    deletes = manifest.get("deletes", [])
     by_prefix: dict[str, list[str]] = {}
     for e in files:
         prefix = e["path"].split(os.sep, 1)[0]
         by_prefix.setdefault(prefix, []).append(os.path.join(root, e["path"]))
-    parts = [
-        spark.read.option("basePath", os.path.join(root, prefix)).parquet(*paths)
-        for prefix, paths in sorted(by_prefix.items())
-    ]
+    parts = []
+    for prefix, paths in sorted(by_prefix.items()):
+        part = spark.read.option(
+            "basePath", os.path.join(root, prefix)
+        ).parquet(*paths)
+        # Iceberg-v2-style equality deletes: a delete file applies only
+        # to data files with a LOWER sequence number (rows re-inserted
+        # after the delete survive). The data file's sequence is its
+        # owning snapshot prefix number.
+        seq = int(prefix[1:])
+        for d in deletes:
+            if d["seq"] > seq:
+                keys = spark.read.parquet(os.path.join(root, d["path"]))
+                part = part.join(keys, d["keys"], "left_anti")
+        parts.append(part)
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -364,6 +391,15 @@ def store_vacuum(root: str, keep: int = 2) -> list[str]:
     live = {
         e["path"] for sid in retained for e in _store_manifest(root, sid)["files"]
     }
+    for sid in retained:  # delete files referenced by retained manifests
+        for d in _store_manifest(root, sid).get("deletes", []):
+            ddir = os.path.join(root, d["path"])
+            if os.path.isdir(ddir):
+                for dirpath, _dn, fnames in os.walk(ddir):
+                    for name in fnames:
+                        live.add(
+                            os.path.relpath(os.path.join(dirpath, name), root)
+                        )
     for sid in victims:
         os.remove(os.path.join(mdir, sid + ".json"))
     for sid in victims:
@@ -401,3 +437,87 @@ def snapshot_vacuum(root: str, keep: int = 2) -> list[str]:
     for d in victims:
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return victims
+
+
+def store_delete(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    key_cols: list[str],
+    max_retries: int = 5,
+) -> str | None:
+    """Merge-on-read row deletes for store-mode tables (the Iceberg v2
+    equality-delete shape): keys matching ``predicate`` in the CURRENT
+    snapshot are written as a DELETE FILE under the new snapshot's own
+    prefix, and the commit publishes the same data files plus the
+    delete entry — no data file is rewritten. ``store_read`` applies
+    the delete only to data files with a lower sequence number, so
+    rows re-inserted by later commits survive. Returns the new
+    snapshot id, or None when nothing matched (no commit is made).
+
+    Same crash/race posture as store_commit: the delete file lives
+    under our own candidate prefix before the put-if-absent manifest
+    commit; a CAS loss recomputes carry-forward against the winner and
+    retries — the delete's sequence number stays at OUR keys-read
+    snapshot, which is exactly its semantic ("delete what matched
+    as-of this state")."""
+    import json
+
+    cur = store_current(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed store snapshot under {root}")
+    keys = store_read(spark, root).where(predicate).select(*key_cols).distinct()
+    sid = _next_store_id(root)
+    ddir = os.path.join(root, sid, "_deletes")
+    shutil.rmtree(os.path.join(root, sid), ignore_errors=True)
+    keys.coalesce(1).write.mode("overwrite").parquet(ddir)
+    if spark.read.parquet(ddir).limit(1).count() == 0:
+        shutil.rmtree(os.path.join(root, sid), ignore_errors=True)
+        return None
+    entry = {
+        "path": os.path.relpath(ddir, root),
+        "keys": list(key_cols),
+        "seq": int(sid[1:]),
+    }
+    mdir = os.path.join(root, MANIFEST_DIR)
+    for _attempt in range(max_retries):
+        base = store_current(root)
+        m = _store_manifest(root, base)
+        publish_id = _next_store_id(root)
+        manifest = json.dumps(
+            {
+                "id": publish_id,
+                "partition_by": m.get("partition_by", []),
+                "files": m["files"],
+                "deletes": m.get("deletes", []) + [entry],
+            }
+        )
+        if _put_if_absent(os.path.join(mdir, publish_id + ".json"), manifest):
+            spark.catalog.refreshByPath(root)
+            return publish_id
+    raise RuntimeError(
+        f"store_delete lost the put-if-absent race {max_retries} times on {root}"
+    )
+
+
+def store_rewrite(
+    spark: SparkSession,
+    root: str,
+    target_mb: float = TARGET_FILE_SIZE_MB,
+    max_retries: int = 5,
+) -> str:
+    """Major compaction: materialize all pending equality deletes by
+    reading the current snapshot (deletes applied) and committing it
+    as a full replace — the new manifest carries no delete entries and
+    one fresh set of data files; the obsolete delete files age out via
+    store_vacuum."""
+    cur = store_read(spark, root)
+    m = _store_manifest(root, store_current(root))
+    partition_by = m.get("partition_by") or None
+    return store_commit(
+        cur,
+        root,
+        partition_by=partition_by,
+        target_mb=target_mb,
+        max_retries=max_retries,
+    )

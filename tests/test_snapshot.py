@@ -295,3 +295,81 @@ def test_store_empty_read_raises(spark):
     shutil.rmtree(STORE, ignore_errors=True)
     with pytest.raises(FileNotFoundError):
         snapshot.store_read(spark, STORE)
+
+
+DSTORE = "/root/repo/.tmp/snapshot_store_del_test"
+
+
+def _dstore_rows(spark):
+    return {
+        (r["k"], r["val"], r["year"])
+        for r in snapshot.store_read(spark, DSTORE).collect()
+    }
+
+
+def test_store_equality_delete_merge_on_read(spark):
+    shutil.rmtree(DSTORE, ignore_errors=True)
+    snapshot.store_commit(
+        _mk(spark, [(1, "a", 2023), (2, "b", 2024), (3, "c", 2024)]),
+        DSTORE,
+        ["year"],
+    )
+    did = snapshot.store_delete(spark, DSTORE, "k = 2", ["k"])
+    assert did is not None
+    assert _dstore_rows(spark) == {(1, "a", 2023), (3, "c", 2024)}
+    # merge-on-read: NO data file was rewritten — v000000's files are
+    # all still referenced, the only new object is the delete file
+    man = snapshot._store_manifest(DSTORE, did)
+    assert {e["path"].split(os.sep, 1)[0] for e in man["files"]} == {"v000000"}
+    assert len(man["deletes"]) == 1 and man["deletes"][0]["keys"] == ["k"]
+
+
+def test_store_delete_sequence_rows_reinserted_later_survive(spark):
+    shutil.rmtree(DSTORE, ignore_errors=True)
+    snapshot.store_commit(_mk(spark, [(1, "a", 2023), (2, "b", 2024)]), DSTORE, ["year"])
+    snapshot.store_delete(spark, DSTORE, "k = 2", ["k"])
+    # re-insert k=2 AFTER the delete: the delete's sequence number is
+    # lower than the new data file's, so the new row must survive
+    snapshot.store_commit(
+        _mk(spark, [(2, "B2", 2024)]), DSTORE, ["year"], replace_only=True
+    )
+    assert _dstore_rows(spark) == {(1, "a", 2023), (2, "B2", 2024)}
+
+
+def test_store_delete_nothing_matched_no_commit(spark):
+    shutil.rmtree(DSTORE, ignore_errors=True)
+    v0 = snapshot.store_commit(_mk(spark, [(1, "a", 2023)]), DSTORE, ["year"])
+    assert snapshot.store_delete(spark, DSTORE, "k = 99", ["k"]) is None
+    assert snapshot.store_current(DSTORE) == v0
+    assert _dstore_rows(spark) == {(1, "a", 2023)}
+
+
+def test_store_rewrite_compacts_deletes_away(spark):
+    shutil.rmtree(DSTORE, ignore_errors=True)
+    snapshot.store_commit(
+        _mk(spark, [(1, "a", 2023), (2, "b", 2024), (3, "c", 2024)]),
+        DSTORE,
+        ["year"],
+    )
+    snapshot.store_delete(spark, DSTORE, "k IN (1, 3)", ["k"])
+    rid = snapshot.store_rewrite(spark, DSTORE)
+    man = snapshot._store_manifest(DSTORE, rid)
+    assert man["deletes"] == []
+    assert _dstore_rows(spark) == {(2, "b", 2024)}
+    # vacuum down to the rewrite: obsolete delete files age out,
+    # current rows still readable
+    snapshot.store_vacuum(DSTORE, keep=1)
+    assert _dstore_rows(spark) == {(2, "b", 2024)}
+
+
+def test_store_vacuum_retains_live_delete_files(spark):
+    shutil.rmtree(DSTORE, ignore_errors=True)
+    snapshot.store_commit(_mk(spark, [(1, "a", 2023), (2, "b", 2024)]), DSTORE, ["year"])
+    snapshot.store_delete(spark, DSTORE, "k = 1", ["k"])
+    # a later data commit keeps the delete entry alive (carry-forward)
+    snapshot.store_commit(
+        _mk(spark, [(5, "e", 2025)]), DSTORE, ["year"], replace_only=True
+    )
+    snapshot.store_vacuum(DSTORE, keep=1)
+    # the delete file must have SURVIVED vacuum (still referenced)
+    assert _dstore_rows(spark) == {(2, "b", 2024), (5, "e", 2025)}
