@@ -77,9 +77,11 @@ SCOPES = {
     "dataset_split": 2,
     "near_dup_clusters": 2,
     "pii_scrub": 2,
-    # round 7: text_metrics gains the trigram-LM quality filter rows
-    # (train split + smoothing + two broadcast lookups per trigram)
+    # round 7: text_metrics gains the trigram-LM quality filter + the
+    # ftfy-lite repair rows; corpus_vocabulary gains the Misra-Gries
+    # heavy-hitters pass over the raw token stream
     "text_metrics": 2,
+    "corpus_vocabulary": 2,
 }
 
 #: Queries whose 100-TB claim is LINEAR scaling, re-timed live at the

@@ -334,18 +334,26 @@ def _next_store_id(root: str) -> str:
     return f"v{(int(cur[1:]) + 1 if cur else 0):06d}"
 
 
-def store_read(spark: SparkSession, root: str) -> DataFrame:
-    """Scan the CURRENT store-mode snapshot: resolve the newest
-    manifest, then read exactly the files it names. Files are grouped
+def store_read(
+    spark: SparkSession, root: str, at: str | None = None
+) -> DataFrame:
+    """Scan the CURRENT store-mode snapshot — or, with ``at="vNNNNNN"``,
+    TIME-TRAVEL to any still-retained snapshot (manifests are immutable
+    and vacuum is explicit, so every un-vacuumed version remains
+    readable). Files are grouped
     by their owning snapshot prefix so hive partition inference runs
     per prefix (``basePath`` = that prefix) and the groups union — at
     most one group per retained snapshot. The manifest is immutable,
     so a long scan keeps a consistent view across concurrent commits."""
     from functools import reduce
 
-    cur = store_current(root)
+    cur = at if at is not None else store_current(root)
     if cur is None:
         raise FileNotFoundError(f"no committed store snapshot under {root}")
+    if not os.path.exists(os.path.join(root, MANIFEST_DIR, cur + ".json")):
+        raise FileNotFoundError(
+            f"snapshot {cur} not found under {root} (vacuumed or never committed)"
+        )
     manifest = _store_manifest(root, cur)
     files = manifest["files"]
     deletes = manifest.get("deletes", [])
@@ -520,4 +528,19 @@ def store_rewrite(
         partition_by=partition_by,
         target_mb=target_mb,
         max_retries=max_retries,
+    )
+
+
+def store_history(root: str) -> list[str]:
+    """All still-readable snapshot ids, oldest first — the time-travel
+    index (pair with ``store_read(..., at=sid)``)."""
+    mdir = os.path.join(root, MANIFEST_DIR)
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        n[:-5]
+        for n in names
+        if n.endswith(".json") and n.startswith("v") and n[1:-5].isdigit()
     )

@@ -373,3 +373,24 @@ def test_store_vacuum_retains_live_delete_files(spark):
     snapshot.store_vacuum(DSTORE, keep=1)
     # the delete file must have SURVIVED vacuum (still referenced)
     assert _dstore_rows(spark) == {(2, "b", 2024), (5, "e", 2025)}
+
+
+def test_store_time_travel_reads(spark):
+    shutil.rmtree(DSTORE, ignore_errors=True)
+    v0 = snapshot.store_commit(_mk(spark, [(1, "a", 2023)]), DSTORE, ["year"])
+    v1 = snapshot.store_commit(
+        _mk(spark, [(2, "b", 2024)]), DSTORE, ["year"], replace_only=True
+    )
+    v2 = snapshot.store_delete(spark, DSTORE, "k = 1", ["k"])
+    assert snapshot.store_history(DSTORE) == [v0, v1, v2]
+    def rows(at):
+        return {
+            (r["k"], r["val"])
+            for r in snapshot.store_read(spark, DSTORE, at=at).collect()
+        }
+    assert rows(v0) == {(1, "a")}
+    assert rows(v1) == {(1, "a"), (2, "b")}
+    assert rows(v2) == {(2, "b")}          # delete visible only from v2
+    assert rows(None) == rows(v2)
+    with pytest.raises(FileNotFoundError):
+        snapshot.store_read(spark, DSTORE, at="v000099")
