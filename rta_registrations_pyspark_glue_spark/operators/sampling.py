@@ -194,3 +194,28 @@ def weighted_mixture(
         else keep(default_rate)
     )
     return df.withColumn("rate", rate_expr).withColumn(out_col, keep_expr)
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform k-per-key sample ("reservoir" semantics
+    without the sequential reservoir): rows rank by
+    ``md5(salt || id)`` within each key and the top ``k`` survive.
+    A cryptographic hash of the id is a uniform random order that is
+    REPRODUCIBLE across engines, runs, and partitionings — unlike an
+    actual streaming reservoir, whose result depends on encounter
+    order — so the sample is oracle-checkable and stable under
+    re-partitioning. ``salt`` yields independent re-draws. One window
+    shuffle on the key; emits ``sample_rank`` (1..k) for downstream
+    deterministic sub-sampling."""
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

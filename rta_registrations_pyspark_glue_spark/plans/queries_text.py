@@ -736,6 +736,15 @@ def _mix_keep_sql() -> str:
            {_mix_rate_sql()} AS rate,
            {_mix_keep_sql()} AS sampled
     FROM documents
+    UNION ALL BY NAME
+    SELECT 'reservoir' AS row_kind, doc_id, lang,
+           CAST(rn AS INT) AS sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5('rsv' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 5
     """,
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,8 +779,20 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("row_kind", F.lit("mixture"))
         .select("row_kind", "doc_id", "source", "rate", "sampled")
     )
-    return h.unionByName(s, allowMissingColumns=True).unionByName(
-        m, allowMissingColumns=True
+    # 'reservoir' rows (round 7): deterministic k-per-key sample —
+    # hash-ranked uniform order, reproducible across engines/
+    # partitionings (sampling.reservoir_per_key)
+    r = (
+        sampling.reservoir_per_key(
+            docs.select("doc_id", "lang"), "lang", k=5, salt="rsv"
+        )
+        .withColumn("row_kind", F.lit("reservoir"))
+        .select("row_kind", "doc_id", "lang", F.col("sample_rank").cast("int"))
+    )
+    return (
+        h.unionByName(s, allowMissingColumns=True)
+        .unionByName(m, allowMissingColumns=True)
+        .unionByName(r, allowMissingColumns=True)
     )
 
 

@@ -95,3 +95,44 @@ def test_broadcast_verification_in_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------- reservoir_per_key ----------------------------
+
+
+def test_reservoir_per_key_contract(spark):
+    from rta_registrations_pyspark_glue_spark.operators.sampling import (
+        reservoir_per_key,
+    )
+
+    rows = [(i, f"k{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = reservoir_per_key(df, "lang", k=4).collect()
+    by_key = collections.defaultdict(list)
+    for r in out:
+        by_key[r.lang].append((r.sample_rank, r.doc_id))
+    for key, got in by_key.items():
+        assert sorted(r for r, _ in got) == [1, 2, 3, 4], key
+    # repartitioning must not change the sample (hash order, not
+    # encounter order — the property an actual reservoir lacks)
+    out2 = reservoir_per_key(df.repartition(13), "lang", k=4).collect()
+    assert {(r.lang, r.sample_rank, r.doc_id) for r in out2} == {
+        (r.lang, r.sample_rank, r.doc_id) for r in out
+    }
+    # a different salt draws a different sample
+    out3 = reservoir_per_key(df, "lang", k=4, salt="other").collect()
+    assert {(r.lang, r.doc_id) for r in out3} != {
+        (r.lang, r.doc_id) for r in out
+    }
+
+
+def test_reservoir_small_groups_keep_everything(spark):
+    from rta_registrations_pyspark_glue_spark.operators.sampling import (
+        reservoir_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, lang string"
+    )
+    out = reservoir_per_key(df, "lang", k=10).collect()
+    assert len(out) == 3  # k larger than any group: all rows survive
