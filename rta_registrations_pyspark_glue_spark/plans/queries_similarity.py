@@ -700,3 +700,22 @@ def embedding_near_dup_bucketed_fast(spark: SparkSession, sf_dir: str) -> DataFr
     emb = load_table(spark, "embeddings", sf_dir)
     cands = similarity.hyperplane_lsh_candidates(emb)
     return similarity.cosine_verify_fast(cands, emb, threshold=0.35)
+
+
+@register("embedding_pca_reduced")
+def embedding_pca_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA dim-reduction of the embeddings table 64→16
+    (operators/projection.py): one moment-accumulation pass (d²+d+1
+    aggregated numbers regardless of corpus size), driver-side eigh
+    with canonical signs, Arrow-GEMM projection. Rows-only: the
+    eigendecomposition is the documented non-SQL-expressible case —
+    numpy-reference subspace equality, partition invariance, and
+    neighbor-structure preservation are pinned in
+    tests/test_projection.py."""
+    from rta_registrations_pyspark_glue_spark.operators import projection
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = projection.pca_train(emb, vec_col="embedding", d=64, d_out=16)
+    return projection.project(
+        emb, model["components"], mean=model["mean"], id_col="vec_id"
+    )
