@@ -7,7 +7,9 @@ PPM/PGM, uncompressed 24-bit BMP, and — since round 7 — JPEG
 (baseline AND progressive, pure-numpy Huffman + IDCT,
 operators/jpeg.py), full static PNG (all filters/depths/colour
 types/Adam7, operators/png.py), and GIF (real variable-width LZW,
-operators/gif.py) all decode to HxWxC uint8 numpy arrays; the
+operators/gif.py), and baseline TIFF (strips, PackBits/Deflate/
+TIFF-LZW, operators/tiff.py — whose IFD parser doubles as the EXIF
+extractor) all decode to HxWxC uint8 numpy arrays; the
 remaining codec format (WebP) raises NotImplementedError at the same
 call site, which is where PIL plugs in when available. Audio and
 video decode live in operators/audio.py (WAV) and operators/video.py
@@ -71,7 +73,9 @@ def decode_image(content: bytes) -> "np.ndarray":
       restart markers, YCbCr→RGB;
     - PNG: full static subset (operators/png.py);
     - GIF: 87a/89a with real LZW (operators/gif.py), frame 0
-      composited onto the logical screen.
+      composited onto the logical screen;
+    - TIFF: baseline strip subset with none/PackBits/Deflate/TIFF-LZW
+      compressions (operators/tiff.py).
 
     Returns an HxWxC uint8 array (C=3 RGB, C=1 grayscale). Raises
     ValueError for malformed/truncated payloads of a recognized format
@@ -104,9 +108,13 @@ def decode_image(content: bytes) -> "np.ndarray":
         )
 
         return first_frame_on_screen(decode_gif(content))
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from rta_registrations_pyspark_glue_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(content)
     raise NotImplementedError(
         f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP/"
-        "JPEG(baseline+progressive)/PNG/GIF decode natively — WebP "
+        "JPEG(baseline+progressive)/PNG/GIF/TIFF decode natively — WebP "
         "needs an external codec (wire PIL here)"
     )
 
@@ -317,6 +325,36 @@ def synthesize_gif_docs(docs: DataFrame, size: int = 16) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
 
 
+def synthesize_tiff_docs(docs: DataFrame, size: int = 16) -> DataFrame:
+    """(doc_id, content): a deterministic LZW-compressed TIFF per doc —
+    16×16 grayscale, pixel p = (doc_id·3 + p) % 256, two strips so the
+    strip-array path runs too. TIFF-LZW is lossless, so the decoded
+    pixel sum is ANALYTIC: Σ_p (doc_id·3 + p) % 256."""
+    from rta_registrations_pyspark_glue_spark.operators.tiff import encode_tiff
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (d * 3) % 256
+                if base not in cache:
+                    p = np.arange(size * size, dtype=np.int64)
+                    img = ((base + p) % 256).astype(np.uint8).reshape(size, size, 1)
+                    cache[base] = encode_tiff(
+                        img, compression=5, rows_per_strip=size // 2
+                    )
+                payloads.append(cache[base])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
 def synthesize_png_docs(docs: DataFrame, size: int = 16) -> DataFrame:
     """(doc_id, content): a deterministic PNG per document — ``size``
     rows of solid RGB value ``(doc_id*7 + y*13) % 256`` for row ``y``,
@@ -388,6 +426,48 @@ def decode_image_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "content").mapInPandas(op, DECODE_SCHEMA)
+
+
+EXIF_SCHEMA = (
+    "doc_id bigint, make string, model string, orientation int, "
+    "datetime string, has_exif boolean"
+)
+
+
+def extract_image_exif(df: DataFrame) -> DataFrame:
+    """Camera metadata for image-corpus curation: EXIF make/model/
+    orientation/timestamp from JPEG APP1 (or bare TIFF) payloads via
+    the TIFF IFD parser (operators/tiff.py). Payloads without EXIF (or
+    that are not images at all) yield has_exif=false with NULL fields
+    — never an error. Arrow-batched mapInPandas."""
+    from rta_registrations_pyspark_glue_spark.operators.tiff import extract_exif
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            makes, models, orients, dts, has = [], [], [], [], []
+            for content in pdf["content"]:
+                try:
+                    exif = extract_exif(bytes(content)) if content is not None else {}
+                except Exception:
+                    exif = {}
+                makes.append(exif.get("make"))
+                models.append(exif.get("model"))
+                o = exif.get("orientation")
+                orients.append(int(o) if isinstance(o, int) else None)
+                dts.append(exif.get("datetime"))
+                has.append(bool(exif))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "make": pd.Series(makes, dtype="object"),
+                    "model": pd.Series(models, dtype="object"),
+                    "orientation": pd.array(orients, dtype="Int32"),
+                    "datetime": pd.Series(dts, dtype="object"),
+                    "has_exif": pd.array(has, dtype="boolean"),
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(op, EXIF_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_md5 string"

@@ -440,6 +440,31 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(multimodal.synthesize_gif_docs(docs))
 
 
+_MM_TIFF_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(list_sum(list_transform(
+               range(0, 256), p -> (doc_id * 3 + p) % 256)) AS BIGINT)
+               AS pixel_sum,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode through the Arrow/pandas path: each doc gets a
+    deterministic two-strip LZW-compressed grayscale TIFF
+    (multimodal.synthesize_tiff_docs), the pure-Python decoder
+    (operators/tiff.py) walks IFD tags → strips → TIFF-variant LZW
+    (MSB-first, early change), and pixel sums verify against the
+    oracle's ANALYTIC formula — an IFD-offset, strip, or LZW width
+    bug shifts pixel_sum and fails the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.decode_image_features(multimodal.synthesize_tiff_docs(docs))
+
+
 _MM_WAV_ORACLE = """
     SELECT doc_id,
            CAST(64 AS BIGINT) AS n_samples,
@@ -533,6 +558,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'gif' AS kind, * FROM ({_MM_GIF_ORACLE})
     UNION ALL BY NAME
+    SELECT 'tiff' AS kind, * FROM ({_MM_TIFF_ORACLE})
+    UNION ALL BY NAME
     SELECT 'wav' AS kind, * FROM ({_MM_WAV_ORACLE})
     UNION ALL BY NAME
     SELECT 'y4m' AS kind, * FROM ({_MM_Y4M_ORACLE})
@@ -573,6 +600,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     gif = multimodal_decode_gif(spark, sf_dir).select(
         F.lit("gif").alias("kind"), "*"
     )
+    tif = multimodal_decode_tiff(spark, sf_dir).select(
+        F.lit("tiff").alias("kind"), "*"
+    )
     wav = multimodal_decode_wav(spark, sf_dir).select(
         F.lit("wav").alias("kind"), "*"
     )
@@ -585,6 +615,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpg, allowMissingColumns=True)
         .unionByName(png, allowMissingColumns=True)
         .unionByName(gif, allowMissingColumns=True)
+        .unionByName(tif, allowMissingColumns=True)
         .unionByName(wav, allowMissingColumns=True)
         .unionByName(y4m, allowMissingColumns=True)
     )
