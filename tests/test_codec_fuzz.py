@@ -158,3 +158,29 @@ def test_jpeg_progressive_equals_baseline_fuzz(dims, gray, seed):
     b = decode_jpeg(encode_baseline_jpeg(img))
     p = decode_jpeg(encode_progressive_jpeg(img))
     assert (b == p).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    dims=st.tuples(st.integers(1, 32), st.integers(1, 32)),
+    channels=st.sampled_from([1, 3, 4]),
+    compression=st.sampled_from([1, 5, 8, 32773]),
+    rps=st.one_of(st.none(), st.integers(1, 8)),
+    big_endian=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_tiff_roundtrip_fuzz(dims, channels, compression, rps, big_endian, seed):
+    from rta_registrations_pyspark_glue_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    out = decode_tiff(
+        encode_tiff(
+            img, compression=compression, rows_per_strip=rps, big_endian=big_endian
+        )
+    )
+    assert out.shape == img.shape and (out == img).all()
