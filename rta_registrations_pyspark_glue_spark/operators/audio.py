@@ -282,3 +282,126 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "content").mapInPandas(op, AUDIO_SCHEMA)
+
+
+# ------------------------------------------------------------------ ID3
+
+#: curation-relevant ID3v2 text frames (public ids, ID3v2.3/2.4)
+ID3_FRAMES = {
+    "TIT2": "title",
+    "TPE1": "artist",
+    "TALB": "album",
+    "TDRC": "date",
+    "TYER": "date",  # v2.3 year frame maps onto the same field
+    "TCON": "genre",
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def extract_id3(content: bytes) -> dict:
+    """ID3v2.3/2.4 text metadata from an MP3-style payload (the audio
+    analogue of EXIF): title/artist/album/date/genre from the leading
+    ID3 tag. Returns {} when no tag is present — never raises for
+    absent metadata. Text encodings 0 (latin-1), 1 (utf-16 w/ BOM),
+    2 (utf-16be), 3 (utf-8) per the spec."""
+    if content[:3] != b"ID3" or len(content) < 10:
+        return {}
+    ver = content[3]
+    if ver not in (3, 4):
+        return {}
+    tag_size = _syncsafe(content[6:10])
+    pos = 10
+    end = min(10 + tag_size, len(content))
+    out: dict = {}
+    while pos + 10 <= end:
+        fid = content[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        raw_size = content[pos + 4 : pos + 8]
+        size = _syncsafe(raw_size) if ver == 4 else int.from_bytes(raw_size, "big")
+        data = content[pos + 10 : pos + 10 + size]
+        pos += 10 + size
+        if len(data) < size:
+            break  # truncated frame: stop, keep what we have
+        name = ID3_FRAMES.get(fid.decode("ascii", "replace"))
+        if name is None or not data or name in out:
+            continue
+        enc, body = data[0], data[1:]
+        try:
+            if enc == 0:
+                text = body.decode("latin-1")
+            elif enc == 1:
+                text = body.decode("utf-16")
+            elif enc == 2:
+                text = body.decode("utf-16-be")
+            elif enc == 3:
+                text = body.decode("utf-8")
+            else:
+                continue
+        except UnicodeDecodeError:
+            continue
+        out[name] = text.rstrip("\x00")
+    return out
+
+
+def build_id3(fields: dict, version: int = 4) -> bytes:
+    """Fixture-grade ID3v2 tag writer (utf-8 frames) for decoder
+    tests; prepend to any payload."""
+    rev = {v: k for k, v in ID3_FRAMES.items() if k != "TYER"}
+    frames = bytearray()
+    for name, value in fields.items():
+        fid = rev[name].encode()
+        body = b"\x03" + value.encode("utf-8")
+        size = (
+            bytes(
+                [
+                    (len(body) >> 21) & 0x7F,
+                    (len(body) >> 14) & 0x7F,
+                    (len(body) >> 7) & 0x7F,
+                    len(body) & 0x7F,
+                ]
+            )
+            if version == 4
+            else len(body).to_bytes(4, "big")
+        )
+        frames += fid + size + b"\x00\x00" + body
+    n = len(frames)
+    header = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    return header + bytes(frames)
+
+
+def extract_audio_meta(df: DataFrame) -> DataFrame:
+    """Audio-corpus metadata operator: ID3 title/artist/album/date from
+    the binary column, Arrow-batched. Untagged payloads yield
+    has_id3=false with NULL fields."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in ("title", "artist", "album", "date")}
+            has = []
+            for content in pdf["content"]:
+                try:
+                    meta = extract_id3(bytes(content)) if content is not None else {}
+                except Exception:
+                    meta = {}
+                for k in cols:
+                    cols[k].append(meta.get(k))
+                has.append(bool(meta))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{k: pd.Series(v, dtype="object") for k, v in cols.items()},
+                    "has_id3": pd.array(has, dtype="boolean"),
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(
+        op,
+        "doc_id bigint, title string, artist string, album string, "
+        "date string, has_id3 boolean",
+    )

@@ -747,6 +747,11 @@ def embedding_pca_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     model = projection.pca_train(emb, vec_col="embedding", d=64, d_out=16)
-    return projection.project(
+    reduced = projection.project(
         emb, model["components"], mean=model["mean"], id_col="vec_id"
+    )
+    # gate safety: the external gate canonicalizes with pandas, which
+    # cannot hash list cells — serialize the vector column
+    return reduced.select(
+        "vec_id", F.to_json(F.col("reduced")).alias("reduced_json")
     )

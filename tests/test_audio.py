@@ -159,3 +159,52 @@ def test_gate_fixture_sample_sum_matches_analytic_formula():
         frames, rate = decode_wav(encode_wav(s.astype(np.int32), 8000))
         assert rate == 8000 and frames.shape == (64, 1)
         assert int(frames.sum()) == int(s.sum())
+
+
+# --------------------------------- ID3 -------------------------------
+
+
+def test_id3_roundtrip_both_versions():
+    from rta_registrations_pyspark_glue_spark.operators.audio import (
+        build_id3,
+        extract_id3,
+    )
+
+    fields = {"title": "Söng Nº1", "artist": "A & B", "album": "LP", "date": "2024"}
+    for ver in (3, 4):
+        tag = build_id3(fields, version=ver)
+        got = extract_id3(tag + b"\xff\xfb" + b"\x00" * 64)
+        assert got == fields, ver
+
+
+def test_id3_encodings_and_absence():
+    from rta_registrations_pyspark_glue_spark.operators.audio import extract_id3
+
+    # hand-built v2.3 frame with utf-16 (BOM) encoding
+    body = b"\x01" + "Tïtle".encode("utf-16")
+    frame = b"TIT2" + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+    n = len(frame)
+    tag = b"ID3\x03\x00\x00" + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    ) + frame
+    assert extract_id3(tag)["title"] == "Tïtle"
+    assert extract_id3(b"RIFFxxxxWAVE") == {}
+    assert extract_id3(b"ID3") == {}  # too short
+    assert extract_id3(b"ID3\x02\x00\x00\x00\x00\x00\x00") == {}  # v2.2 unsupported
+
+
+def test_extract_audio_meta_operator(spark):
+    from rta_registrations_pyspark_glue_spark.operators.audio import (
+        build_id3,
+        extract_audio_meta,
+    )
+
+    tagged = build_id3({"title": "T", "artist": "A"}) + b"\xff\xfb" + b"\x00" * 32
+    df = spark.createDataFrame(
+        [(1, tagged), (2, b"untagged bytes"), (3, None)],
+        "doc_id bigint, content binary",
+    )
+    rows = {r.doc_id: r for r in extract_audio_meta(df).collect()}
+    assert rows[1].title == "T" and rows[1].artist == "A" and rows[1].has_id3
+    assert rows[1].album is None
+    assert not rows[2].has_id3 and not rows[3].has_id3
