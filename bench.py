@@ -62,6 +62,8 @@ HEADLINE = [
     "semantic_dedup_survivors",
     "packed_bins",
     "embedding_near_dup_bucketed_fast",
+    # round 7 additions
+    "multimodal_suite",
 ]
 
 #: Per-query SCOPE VERSION, emitted in the bench JSON ("scopes") so
@@ -116,6 +118,7 @@ SCALING_SUBSET = [
     "corpus_vocabulary",
     "semantic_dedup_survivors",
     "packed_bins",
+    "multimodal_suite",
 ]
 
 #: name -> why it is not in the scaling pass. These are DESIGNED
