@@ -376,7 +376,7 @@ def store_read(
                 keys = spark.read.parquet(os.path.join(root, d["path"]))
                 part = part.join(keys, d["keys"], "left_anti")
         parts.append(part)
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
 
 def store_vacuum(root: str, keep: int = 2) -> list[str]:
@@ -544,3 +544,55 @@ def store_history(root: str) -> list[str]:
         for n in names
         if n.endswith(".json") and n.startswith("v") and n[1:-5].isdigit()
     )
+
+
+def store_diff(
+    spark: SparkSession,
+    root: str,
+    v_from: str,
+    v_to: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change data feed between two retained snapshots: full-row diff
+    keyed on ``key_cols``. Emits each changed row once with
+    ``_change`` ∈ {insert, delete, update_pre, update_post} — the
+    Delta-CDF shape, computed from the immutable manifests (two
+    version reads + keyed anti/semi joins; no change log is stored,
+    so the feed is available RETROACTIVELY for any still-readable
+    version pair)."""
+    from pyspark.sql import functions as F
+
+    a = store_read(spark, root, at=v_from)
+    b = store_read(spark, root, at=v_to)
+    val_cols = [c for c in b.columns if c not in key_cols]
+    inserts = b.join(a.select(*key_cols), key_cols, "left_anti").select(
+        "*", F.lit("insert").alias("_change")
+    )
+    deletes = a.join(b.select(*key_cols), key_cols, "left_anti").select(
+        "*", F.lit("delete").alias("_change")
+    )
+    if val_cols:
+        bn = b
+        an = a
+        for c in val_cols:
+            bn = bn.withColumnRenamed(c, f"__b_{c}")
+        joined = an.join(bn, key_cols, "inner")
+        changed = joined.where(
+            ~F.struct(*val_cols).eqNullSafe(
+                F.struct(*[F.col(f"__b_{c}").alias(c) for c in val_cols])
+            )
+        )
+        pre = changed.select(
+            *key_cols, *val_cols, F.lit("update_pre").alias("_change")
+        )
+        post = changed.select(
+            *key_cols,
+            *[F.col(f"__b_{c}").alias(c) for c in val_cols],
+            F.lit("update_post").alias("_change"),
+        )
+        return (
+            inserts.unionByName(deletes, allowMissingColumns=True)
+            .unionByName(pre, allowMissingColumns=True)
+            .unionByName(post, allowMissingColumns=True)
+        )
+    return inserts.unionByName(deletes, allowMissingColumns=True)

@@ -394,3 +394,43 @@ def test_store_time_travel_reads(spark):
     assert rows(None) == rows(v2)
     with pytest.raises(FileNotFoundError):
         snapshot.store_read(spark, DSTORE, at="v000099")
+
+
+def test_store_schema_evolution_add_column(spark):
+    shutil.rmtree(DSTORE, ignore_errors=True)
+    snapshot.store_commit(_mk(spark, [(1, "a", 2023)]), DSTORE, ["year"])
+    evolved = spark.createDataFrame(
+        [(9, "z", 2024, "extra")], "k long, val string, year int, note string"
+    )
+    snapshot.store_commit(evolved, DSTORE, ["year"], replace_only=True)
+    rows = {
+        (r["k"], r["val"], r["note"])
+        for r in snapshot.store_read(spark, DSTORE).collect()
+    }
+    # old-file rows surface the new column as NULL
+    assert rows == {(1, "a", None), (9, "z", "extra")}
+
+
+def test_store_diff_change_data_feed(spark):
+    shutil.rmtree(DSTORE, ignore_errors=True)
+    v0 = snapshot.store_commit(
+        _mk(spark, [(1, "a", 2023), (2, "b", 2024), (3, "c", 2024)]),
+        DSTORE,
+        ["year"],
+    )
+    v1 = snapshot.store_commit(
+        _mk(spark, [(2, "B2", 2024), (3, "c", 2024), (4, "d", 2024)]),
+        DSTORE,
+        ["year"],
+        replace_only=True,
+    )
+    diff = {
+        (r["k"], r["_change"]): (r["val"], r["year"])
+        for r in snapshot.store_diff(spark, DSTORE, v0, v1, ["k"]).collect()
+    }
+    assert diff[(4, "insert")] == ("d", 2024)
+    assert (2, "update_pre") in diff and diff[(2, "update_pre")][0] == "b"
+    assert diff[(2, "update_post")][0] == "B2"
+    # unchanged row 3 and carried row 1 produce no feed rows
+    assert not any(k == 3 or k == 1 for k, _ in diff)
+    assert len(diff) == 3
