@@ -216,16 +216,21 @@ def resample_linear(samples: np.ndarray, rate: int, target_rate: int) -> np.ndar
 
 AUDIO_SCHEMA = (
     "doc_id bigint, n_samples bigint, sample_rate int, channels int, "
-    "sample_sum bigint, decode_ok boolean"
+    "sample_sum bigint, sum_sq bigint, n_clipped bigint, decode_ok boolean"
 )
+
+#: |sample| at or above this counts as clipped (16-bit full scale
+#: minus a small guard band — the standard loudness-damage heuristic)
+CLIP_THRESHOLD = 32700
 
 
 def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     """(doc_id, content): a deterministic 16-bit mono PCM WAV per doc —
-    sample ``i`` = ``(doc_id·11 + i·17) % 4096 − 2048`` at 8 kHz — so
-    the decoded sample sum is ANALYTIC:
-    ``Σ_i (doc_id·11 + i·17) % 4096 − 2048·n`` (the DuckDB oracle
-    computes it from the formula without parsing RIFF)."""
+    sample ``i`` = ``((doc_id·11 + i·17) % 4096 − 2048)·16`` at 8 kHz —
+    full 16-bit range, so the clipping detector has real work — and the
+    decoded sample sum, energy (Σs²), and clipped count are ALL
+    ANALYTIC (the DuckDB oracle computes them from the formula without
+    parsing RIFF)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[int, bytes] = {}
@@ -236,7 +241,7 @@ def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
                 base = (d * 11) % 4096
                 if base not in cache:
                     i = np.arange(n, dtype=np.int64)
-                    s = (base + i * 17) % 4096 - 2048
+                    s = ((base + i * 17) % 4096 - 2048) * 16
                     cache[base] = encode_wav(s.astype(np.int32), 8000)
                 payloads.append(cache[base])
             yield pd.DataFrame(
@@ -249,26 +254,33 @@ def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
 def decode_audio_features(df: DataFrame) -> DataFrame:
     """Decode the binary column with the REAL WAV parser and emit
     sample-level features: frame count, rate, channel count, exact
-    integer sample sum (float payloads round-half-even to int64).
+    integer sample sum, energy (Σ s² — the loudness/silence signal),
+    and the clipped-sample count (|s| ≥ CLIP_THRESHOLD — damaged-audio
+    detection); float payloads round-half-even to int64.
     Undecodable rows come back decode_ok=false with NULL features —
     a mixed-media corpus never kills the job."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ns, rates, chs, sums, oks = [], [], [], [], []
+            ns, rates, chs, sums, sqs, clips, oks = [], [], [], [], [], [], []
             for content in pdf["content"]:
                 try:
                     frames, rate = decode_wav(bytes(content))
+                    f64 = frames.astype(np.float64)
                     ns.append(frames.shape[0])
                     rates.append(rate)
                     chs.append(frames.shape[1])
-                    sums.append(int(round(float(frames.astype(np.float64).sum()))))
+                    sums.append(int(round(float(f64.sum()))))
+                    sqs.append(int(round(float((f64 * f64).sum()))))
+                    clips.append(int((np.abs(f64) >= CLIP_THRESHOLD).sum()))
                     oks.append(True)
                 except (ValueError, NotImplementedError):
                     ns.append(None)
                     rates.append(None)
                     chs.append(None)
                     sums.append(None)
+                    sqs.append(None)
+                    clips.append(None)
                     oks.append(False)
             yield pd.DataFrame(
                 {
@@ -277,6 +289,8 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                     "sample_rate": pd.array(rates, dtype="Int32"),
                     "channels": pd.array(chs, dtype="Int32"),
                     "sample_sum": pd.array(sums, dtype="Int64"),
+                    "sum_sq": pd.array(sqs, dtype="Int64"),
+                    "n_clipped": pd.array(clips, dtype="Int64"),
                     "decode_ok": pd.array(oks, dtype="boolean"),
                 }
             )

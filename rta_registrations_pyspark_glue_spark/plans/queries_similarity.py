@@ -470,9 +470,18 @@ _MM_WAV_ORACLE = """
            CAST(64 AS BIGINT) AS n_samples,
            CAST(8000 AS INT) AS sample_rate,
            CAST(1 AS INT) AS channels,
-           CAST(list_sum(list_transform(
+           CAST(16 * (list_sum(list_transform(
                range(0, 64), i -> (doc_id * 11 + i * 17) % 4096))
-               - 2048 * 64 AS BIGINT) AS sample_sum,
+               - 2048 * 64) AS BIGINT) AS sample_sum,
+           CAST(256 * list_sum(list_transform(
+               range(0, 64),
+               i -> ((doc_id * 11 + i * 17) % 4096 - 2048)
+                    * ((doc_id * 11 + i * 17) % 4096 - 2048)))
+               AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(
+               range(0, 64),
+               i -> abs(((doc_id * 11 + i * 17) % 4096 - 2048) * 16) >= 32700))
+               AS BIGINT) AS n_clipped,
            TRUE AS decode_ok
     FROM documents
     """
@@ -481,12 +490,13 @@ _MM_WAV_ORACLE = """
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode through the Arrow/pandas path: each doc gets a
     deterministic 16-bit mono PCM WAV (audio.synthesize_wav_docs,
-    sample i = (doc_id·11 + i·17) % 4096 − 2048 at 8 kHz), the
+    sample i = ((doc_id·11 + i·17) % 4096 − 2048)·16 at 8 kHz — full
+    16-bit range so the clipping detector has real work), the
     pure-numpy RIFF parser (operators/audio.py — cross-checked against
     stdlib audioop/wave in tests) decodes it, and n_samples/rate/
-    channels/sample_sum verify against the oracle's ANALYTIC sum — a
-    chunk-walk, fmt-parse, or sample-width bug shifts sample_sum and
-    fails the hash."""
+    channels/sample_sum/energy(Σs²)/clipped-count verify against the
+    oracle's ANALYTIC formulas — a chunk-walk, fmt-parse, or
+    sample-width bug shifts them and fails the hash."""
     docs = load_table(spark, "documents", sf_dir)
     return audio.decode_audio_features(audio.synthesize_wav_docs(docs))
 

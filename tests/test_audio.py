@@ -152,13 +152,21 @@ def test_resample_linear_shapes_and_endpoints():
 def test_gate_fixture_sample_sum_matches_analytic_formula():
     from rta_registrations_pyspark_glue_spark.operators.audio import encode_wav
 
+    from rta_registrations_pyspark_glue_spark.operators.audio import (
+        CLIP_THRESHOLD,
+    )
+
     for doc_id in (0, 1, 372, 4095, 99999):
         base = (doc_id * 11) % 4096
         i = np.arange(64, dtype=np.int64)
-        s = (base + i * 17) % 4096 - 2048
+        s = ((base + i * 17) % 4096 - 2048) * 16
         frames, rate = decode_wav(encode_wav(s.astype(np.int32), 8000))
         assert rate == 8000 and frames.shape == (64, 1)
         assert int(frames.sum()) == int(s.sum())
+        assert int((frames.astype(np.int64) ** 2).sum()) == int((s ** 2).sum())
+        assert int((np.abs(frames) >= CLIP_THRESHOLD).sum()) == int(
+            (np.abs(s) >= CLIP_THRESHOLD).sum()
+        )
 
 
 # --------------------------------- ID3 -------------------------------
