@@ -419,3 +419,26 @@ def extract_audio_meta(df: DataFrame) -> DataFrame:
         "doc_id bigint, title string, artist string, album string, "
         "date string, has_id3 boolean",
     )
+
+
+def trim_silence(
+    samples: np.ndarray, threshold: int = 327, frame: int = 160
+) -> np.ndarray:
+    """Trim leading/trailing silence: frames (default 160 samples =
+    20 ms @ 8 kHz) whose peak |s| stays below ``threshold`` (default
+    1% of 16-bit full scale) are cut from both ends; interior silence
+    is preserved. All-silent input returns an empty (0, channels)
+    array. The standard voice-corpus curation trim."""
+    n = samples.shape[0]
+    if n == 0:
+        return samples
+    peaks = [
+        int(np.abs(samples[i : i + frame]).max())
+        for i in range(0, n, frame)
+    ]
+    keep = [i for i, pk in enumerate(peaks) if pk >= threshold]
+    if not keep:
+        return samples[:0]
+    start = keep[0] * frame
+    end = min(n, (keep[-1] + 1) * frame)
+    return samples[start:end]

@@ -87,7 +87,7 @@ def decode_image(content: bytes) -> "np.ndarray":
     multimodal_suite's 'decode' rows."""
     import numpy as np
 
-    if content[:2] in (b"P6", b"P5"):
+    if content[:2] in (b"P6", b"P5", b"P4", b"P3", b"P2", b"P1"):
         return _decode_pnm(np, content)
     if content[:2] == b"BM":
         return _decode_bmp(np, content)
@@ -120,13 +120,16 @@ def decode_image(content: bytes) -> "np.ndarray":
 
 
 def _decode_pnm(np, content: bytes):
-    """P6/P5 parser: header tokens are whitespace-separated with ``#``
-    comments allowed between them; exactly one whitespace byte separates
-    maxval from the raster."""
+    """Full PNM family parser: binary P6 (RGB) / P5 (gray) / P4
+    (1-bit packed bitmap), ASCII P3/P2/P1. Header tokens are
+    whitespace-separated with ``#`` comments allowed between them;
+    binary rasters follow exactly one whitespace byte after the last
+    header token."""
     magic = content[:2]
     pos = 2
+    want = 2 if magic in (b"P4", b"P1") else 3  # bitmaps have no maxval
     tokens: list[int] = []
-    while len(tokens) < 3:
+    while len(tokens) < want:
         while pos < len(content) and content[pos : pos + 1].isspace():
             pos += 1
         if pos < len(content) and content[pos : pos + 1] == b"#":
@@ -139,18 +142,52 @@ def _decode_pnm(np, content: bytes):
         if start == pos:
             raise ValueError("truncated PNM header")
         tokens.append(int(content[start:pos]))
-    pos += 1  # the single whitespace byte after maxval
-    width, height, maxval = tokens
+    if magic in (b"P4", b"P1"):
+        width, height = tokens
+        maxval = 1
+    else:
+        width, height, maxval = tokens
     if width <= 0 or height <= 0:
         raise ValueError(f"bad PNM dimensions {width}x{height}")
     if maxval > 255:
         raise NotImplementedError("16-bit PNM not supported")
-    channels = 3 if magic == b"P6" else 1
+    channels = 3 if magic in (b"P6", b"P3") else 1
+    if magic in (b"P6", b"P5"):
+        pos += 1  # the single whitespace byte after maxval
+        n = width * height * channels
+        raster = content[pos : pos + n]
+        if len(raster) < n:
+            raise ValueError(f"PNM raster truncated: {len(raster)} < {n}")
+        return np.frombuffer(raster, dtype=np.uint8).reshape(
+            height, width, channels
+        )
+    if magic == b"P4":  # packed bitmap, rows padded to whole bytes
+        pos += 1
+        row_bytes = (width + 7) // 8
+        n = row_bytes * height
+        raster = content[pos : pos + n]
+        if len(raster) < n:
+            raise ValueError(f"PNM bitmap truncated: {len(raster)} < {n}")
+        bits = np.unpackbits(
+            np.frombuffer(raster, dtype=np.uint8).reshape(height, row_bytes),
+            axis=1,
+        )[:, :width]
+        # PBM: 1 = black; present as 0/255 grayscale (black=0)
+        return ((1 - bits) * 255).astype(np.uint8).reshape(height, width, 1)
+    # ASCII P1/P2/P3: whitespace-separated sample values
+    vals = content[pos:].split()
     n = width * height * channels
-    raster = content[pos : pos + n]
-    if len(raster) < n:
-        raise ValueError(f"PNM raster truncated: {len(raster)} < {n}")
-    return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    if len(vals) < n:
+        raise ValueError(f"PNM ASCII raster truncated: {len(vals)} < {n}")
+    try:
+        arr = np.array([int(v) for v in vals[:n]], dtype=np.int64)
+    except ValueError:
+        raise ValueError("bad PNM ASCII sample") from None
+    if arr.min() < 0 or arr.max() > maxval:
+        raise ValueError("PNM ASCII sample out of range")
+    if magic == b"P1":  # 1 = black
+        arr = (1 - arr) * 255
+    return arr.astype(np.uint8).reshape(height, width, channels)
 
 
 def _decode_bmp(np, content: bytes):

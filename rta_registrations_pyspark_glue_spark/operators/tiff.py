@@ -169,10 +169,10 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
 
 def tiff_lzw_encode(data: bytes) -> bytes:
     """TIFF LZW compressor mirroring the decoder's early-change width
-    schedule (emit-then-add; encoder widens when next_code reaches
-    2^w − 1, matching the decoder's table-length trigger one code
-    later in the stream — same pairing logic as the GIF pair, shifted
-    by the early change)."""
+    schedule: the decoder's mirror add lands one code later in the
+    stream, so alignment needs T_encoder = T_decoder + 1 — decoder
+    widens at table length 2^w − 1, encoder at next_code == 2^w (the
+    same pairing law as the GIF pair, shifted by the early change)."""
     CLEAR, EOI = 256, 257
     width = 9
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
@@ -505,3 +505,26 @@ def _exif_from_tiff(content: bytes, base: int) -> dict:
             if tag in ifd and name not in out:
                 out[name] = ifd[tag]
     return out
+
+
+def apply_orientation(arr: "np.ndarray", orientation: int) -> "np.ndarray":
+    """Apply an EXIF orientation (1-8) to a decoded HxWxC array — the
+    standard transform table (public: TIFF/EXIF orientation tag):
+    1 identity, 2 mirror-H, 3 rotate-180, 4 mirror-V, 5 transpose,
+    6 rotate-90-CW, 7 transverse, 8 rotate-90-CCW. Unknown values
+    return the array unchanged (never raise for metadata)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return arr.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return arr.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return arr.transpose(1, 0, 2)[::-1]
+    return arr

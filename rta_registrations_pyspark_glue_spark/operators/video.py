@@ -226,7 +226,9 @@ def decode_video_features(df: DataFrame) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
-    """REAL frame sampling over decoded Y4M clips — the one-to-many
+    """REAL frame sampling over decoded Y4M clips AND animated GIFs
+    (dispatched by magic; GIF frames reduce to an integer ITU-R 601
+    luma plane) — the one-to-many
     mapInPandas shape with actual video frames (vs the byte-chunk
     sampler multimodal.sample_frames keeps for opaque payloads): every
     ``every_k``-th frame emits (frame_idx, Y-plane sum, Y-plane md5).
@@ -238,7 +240,28 @@ def sample_video_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             ids, idxs, sums, digests = [], [], [], []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 try:
-                    clip = decode_y4m(bytes(content))
+                    b = bytes(content)
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        # animated GIFs flow through the same sampler:
+                        # per-frame luma = ITU-R 601 integer approx of
+                        # the palette-expanded RGB
+                        from rta_registrations_pyspark_glue_spark.operators.gif import (
+                            decode_gif,
+                        )
+
+                        g = decode_gif(b)
+                        frames = []
+                        for f in g["frames"]:
+                            rgb = f["image"][:, :, :3].astype(np.int64)
+                            yp = (
+                                (299 * rgb[:, :, 0]
+                                 + 587 * rgb[:, :, 1]
+                                 + 114 * rgb[:, :, 2]) // 1000
+                            ).astype(np.uint8)
+                            frames.append((yp, None, None))
+                        clip = {"frames": frames}
+                    else:
+                        clip = decode_y4m(b)
                 except (ValueError, NotImplementedError, TypeError):
                     continue  # TypeError: NULL content
                 for i in range(0, len(clip["frames"]), every_k):

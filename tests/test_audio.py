@@ -216,3 +216,20 @@ def test_extract_audio_meta_operator(spark):
     assert rows[1].title == "T" and rows[1].artist == "A" and rows[1].has_id3
     assert rows[1].album is None
     assert not rows[2].has_id3 and not rows[3].has_id3
+
+
+def test_trim_silence():
+    from rta_registrations_pyspark_glue_spark.operators.audio import trim_silence
+
+    loud = np.full((320, 1), 5000, dtype=np.int32)
+    silent = np.zeros((320, 1), dtype=np.int32)
+    x = np.vstack([silent, loud, silent])
+    out = trim_silence(x, frame=160)
+    assert out.shape[0] == 320 and (out == 5000).all()
+    # interior silence preserved
+    x2 = np.vstack([silent, loud, silent, loud, silent])
+    out2 = trim_silence(x2, frame=160)
+    assert out2.shape[0] == 320 * 3
+    # all-silent input -> empty
+    assert trim_silence(silent, frame=160).shape[0] == 0
+    assert trim_silence(np.zeros((0, 1), dtype=np.int32)).shape[0] == 0

@@ -1439,3 +1439,33 @@ def test_balanced_memberships_gemm_parity(spark, monkeypatch):
         for r in similarity.balanced_probe_memberships(idx, 2, 50).collect()
     }
     assert expr == gemm and len(gemm) > 0
+
+
+def test_pnm_family_ascii_and_bitmap():
+    import numpy as np
+
+    from rta_registrations_pyspark_glue_spark.operators import multimodal
+
+    # P2 ASCII gray with comment
+    p2 = b"P2\n# a comment\n3 2\n255\n0 10 20\n30 40 50\n"
+    out = multimodal.decode_image(p2)
+    assert (out[:, :, 0] == [[0, 10, 20], [30, 40, 50]]).all()
+    # P3 ASCII RGB
+    p3 = b"P3 2 1 255  1 2 3  4 5 6"
+    out = multimodal.decode_image(p3)
+    assert (out == [[[1, 2, 3], [4, 5, 6]]]).all()
+    # P1 ASCII bitmap: 1 = black (0), 0 = white (255)
+    p1 = b"P1\n3 1\n0 1 0\n"
+    out = multimodal.decode_image(p1)
+    assert (out[:, :, 0] == [255, 0, 255]).all()
+    # P4 packed bitmap: width 3 -> one padded byte per row; 0b010 -> 0x40
+    p4 = b"P4\n3 2\n" + bytes([0b01000000, 0b10100000])
+    out = multimodal.decode_image(p4)
+    assert (out[:, :, 0] == [[255, 0, 255], [0, 255, 0]]).all()
+    # truncated / out-of-range ASCII
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P2\n3 2\n255\n0 1\n")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P2\n1 1\n255\n300\n")

@@ -200,3 +200,28 @@ def test_extract_image_exif_operator(spark):
     assert rows[1].has_exif
     for i in (2, 3, 4):
         assert not rows[i].has_exif and rows[i].make is None
+
+
+def test_apply_orientation_all_eight():
+    from rta_registrations_pyspark_glue_spark.operators.tiff import (
+        apply_orientation,
+    )
+
+    arr = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    got = {o: apply_orientation(arr, o) for o in range(1, 9)}
+    assert (got[1] == arr).all()
+    assert (got[2] == arr[:, ::-1]).all()
+    assert (got[3] == arr[::-1, ::-1]).all()
+    assert (got[4] == arr[::-1]).all()
+    for o in (5, 6, 7, 8):
+        assert got[o].shape == (4, 2, 3), o
+    # rotate-90-CW: new[0,0] = old bottom-left
+    assert (got[6][0, 0] == arr[1, 0]).all()
+    # rotate-90-CCW: new[0,0] = old top-right
+    assert (got[8][0, 0] == arr[0, 3]).all()
+    # applying 6 then 8 (CW then CCW) restores the image
+    from rta_registrations_pyspark_glue_spark.operators.tiff import (
+        apply_orientation as ap,
+    )
+    assert (ap(got[6], 8) == arr).all()
+    assert (apply_orientation(arr, 99) == arr).all()  # unknown: no-op

@@ -116,3 +116,29 @@ def test_undecodable_payload_contributes_zero_frame_rows(spark):
         [(1, b"not a video"), (2, None)], "doc_id bigint, content binary"
     )
     assert sample_video_frames(df).count() == 0
+
+
+def test_sample_video_frames_handles_animated_gif(spark):
+    import hashlib as hl
+
+    import numpy as np
+
+    from rta_registrations_pyspark_glue_spark.operators.gif import encode_gif
+    from rta_registrations_pyspark_glue_spark.operators.video import (
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(0x617)
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 32, (6, 6), dtype=np.uint8) for _ in range(4)]
+    payload = encode_gif(frames, pal)
+    df = spark.createDataFrame([(1, payload)], "doc_id bigint, content binary")
+    rows = {
+        r.frame_idx: (r.y_sum, r.y_md5)
+        for r in sample_video_frames(df, every_k=2).collect()
+    }
+    assert set(rows) == {0, 2}
+    for i in (0, 2):
+        rgb = pal[frames[i]].astype(np.int64)
+        y = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+        assert rows[i] == (int(y.astype(np.int64).sum()), hl.md5(y.tobytes()).hexdigest())
