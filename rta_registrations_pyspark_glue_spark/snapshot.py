@@ -194,7 +194,14 @@ MANIFEST_DIR = "_manifests"
 def _put_if_absent(path: str, data: str) -> bool:
     """Create ``path`` with ``data`` iff it does not exist — the local
     stand-in for an object store's conditional PUT. Returns False when
-    the object already exists (CAS loss), True on success."""
+    the object already exists (CAS loss), True on success.
+
+    Durability matches the posix mode's fsync'd rename: the file's
+    bytes are fsync'd AND its parent directory entry is fsync'd before
+    returning, because manifest EXISTENCE is the commit point — a
+    power failure after store_commit returned success must not unlink
+    the manifest (object stores give this for free; local directories
+    need the explicit parent fsync)."""
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -203,6 +210,11 @@ def _put_if_absent(path: str, data: str) -> bool:
         f.write(data)
         f.flush()
         os.fsync(f.fileno())
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     return True
 
 
@@ -252,6 +264,38 @@ def _entries_from_dir(root: str, sdir: str, depth: int) -> list[dict]:
     return entries
 
 
+def _new_data_prefix(root: str) -> str:
+    """A WRITER-UNIQUE candidate data prefix (``d-<uuid>``), created
+    exclusively. Data prefixes were previously named after the next
+    snapshot id — which two RACING writers derive identically, so each
+    writer's pre-write rmtree could delete the other's just-committed
+    or in-flight files, and the shared directory listing could put the
+    other writer's files into our manifest (r7 advice, high severity).
+    A uuid prefix is owned by exactly one writer: nothing is ever
+    rmtree'd, listings under it contain only what this writer wrote,
+    and abandoned prefixes are inert garbage store_vacuum reclaims."""
+    import uuid
+
+    while True:
+        did = "d-" + uuid.uuid4().hex[:12]
+        try:
+            os.makedirs(os.path.join(root, did))
+            return did
+        except FileExistsError:  # pragma: no cover — 2^-48 per draw
+            continue
+
+
+def _entry_seq(e: dict) -> int:
+    """Data-file sequence number: explicit ``seq`` when the manifest
+    records one (every writer since r8), else derived from the legacy
+    ``vNNNNNN`` prefix naming for manifests written before data
+    prefixes became writer-unique."""
+    if "seq" in e:
+        return int(e["seq"])
+    prefix = e["path"].split(os.sep, 1)[0]
+    return int(prefix[1:]) if prefix[:1] == "v" and prefix[1:].isdigit() else 0
+
+
 def store_commit(
     df: DataFrame,
     root: str,
@@ -264,15 +308,18 @@ def store_commit(
     """snapshot_commit with object-store semantics — same API, same
     old-or-new-never-mixed guarantee, no renames/links on data paths.
 
-    The new/changed partitions are written ONCE under the candidate
-    snapshot's own prefix; the manifest list carries unchanged
-    partitions forward by reference. The commit races put-if-absent on
-    the manifest object: on a CAS loss (another writer committed
-    first) the carry-forward is recomputed against the WINNER's
-    snapshot and the put retries under the next id — our data files
-    are under our own prefix, so they stay valid across retries. After
-    ``max_retries`` losses a RuntimeError surfaces the livelock
-    instead of spinning."""
+    The new/changed partitions are written ONCE under this writer's
+    own uuid data prefix (_new_data_prefix — never shared, never
+    rmtree'd); the manifest list carries unchanged partitions forward
+    by reference, each entry keeping the sequence number of the commit
+    that wrote it. The commit races put-if-absent on the manifest
+    object: on a CAS loss (another writer committed first) the
+    carry-forward is recomputed against the WINNER's snapshot and the
+    put retries under the next id — our data files are under our own
+    prefix, so they stay valid across retries and can never be
+    deleted or claimed by the racing writer. After ``max_retries``
+    losses the (unpublished, uniquely-ours) prefix is removed and a
+    RuntimeError surfaces the livelock instead of spinning."""
     import json
 
     if replace_only and not partition_by:
@@ -282,10 +329,12 @@ def store_commit(
     depth = len(partition_by or [])
     drops = {tuple(str(v) for v in p) for p in drop_partitions or []}
 
-    sid = _next_store_id(root)
-    sdir = os.path.join(root, sid)
-    shutil.rmtree(sdir, ignore_errors=True)  # a crashed attempt's leftovers
+    did = _new_data_prefix(root)
+    sdir = os.path.join(root, did)
     write_parquet(df, sdir, partition_by=partition_by, target_mb=target_mb)
+    # The prefix is exclusively ours and freshly created, so this
+    # listing is exactly the set of files this writer wrote — no other
+    # writer's files can appear in our manifest.
     own = [
         e
         for e in _entries_from_dir(root, sdir, depth)
@@ -297,13 +346,16 @@ def store_commit(
 
     for _attempt in range(max_retries):
         cur = store_current(root)
-        entries = list(own)
+        publish_id = _next_store_id(root)
+        publish_seq = int(publish_id[1:])
+        entries = [dict(e, seq=publish_seq) for e in own]
         if replace_only and cur:
             for e in _store_manifest(root, cur)["files"]:
                 part = tuple(e["partition"].get(c) for c in partition_by or [])
                 if part not in written_parts and part not in drops:
-                    entries.append(e)  # manifest reuse: reference, no copy
-        publish_id = _next_store_id(root)
+                    # manifest reuse: reference, no copy — and the
+                    # original writer's sequence number rides along.
+                    entries.append(dict(e, seq=_entry_seq(e)))
         # equality-delete carry-forward: a replace_only commit keeps the
         # prior snapshot's delete files (they still apply to the carried
         # data files via sequence numbers); a full replace rewrote every
@@ -324,6 +376,8 @@ def store_commit(
         if _put_if_absent(os.path.join(mdir, publish_id + ".json"), manifest):
             df.sparkSession.catalog.refreshByPath(root)
             return publish_id
+    # Livelock: clean up the one thing that is provably ours alone.
+    shutil.rmtree(sdir, ignore_errors=True)
     raise RuntimeError(
         f"store_commit lost the put-if-absent race {max_retries} times on {root}"
     )
@@ -357,20 +411,26 @@ def store_read(
     manifest = _store_manifest(root, cur)
     files = manifest["files"]
     deletes = manifest.get("deletes", [])
-    by_prefix: dict[str, list[str]] = {}
+    # Group by (prefix, seq): a data prefix is written by exactly one
+    # commit attempt, and only the attempt that finally published
+    # references it, so one prefix carries one sequence number within
+    # any manifest — but grouping on the pair keeps reads correct even
+    # if that invariant is ever relaxed.
+    by_prefix: dict[tuple[str, int], list[str]] = {}
     for e in files:
         prefix = e["path"].split(os.sep, 1)[0]
-        by_prefix.setdefault(prefix, []).append(os.path.join(root, e["path"]))
+        key = (prefix, _entry_seq(e))
+        by_prefix.setdefault(key, []).append(os.path.join(root, e["path"]))
     parts = []
-    for prefix, paths in sorted(by_prefix.items()):
+    for (prefix, seq), paths in sorted(by_prefix.items()):
         part = spark.read.option(
             "basePath", os.path.join(root, prefix)
         ).parquet(*paths)
         # Iceberg-v2-style equality deletes: a delete file applies only
         # to data files with a LOWER sequence number (rows re-inserted
-        # after the delete survive). The data file's sequence is its
-        # owning snapshot prefix number.
-        seq = int(prefix[1:])
+        # after the delete survive). The sequence is recorded per
+        # manifest entry (_entry_seq) since data prefixes became
+        # writer-unique.
         for d in deletes:
             if d["seq"] > seq:
                 keys = spark.read.parquet(os.path.join(root, d["path"]))
@@ -379,12 +439,27 @@ def store_read(
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
 
-def store_vacuum(root: str, keep: int = 2) -> list[str]:
+def store_vacuum(
+    root: str, keep: int = 2, orphan_ttl_sec: float | None = 86400.0
+) -> list[str]:
     """Store-mode vacuum: drop all but the newest ``keep`` manifests,
     then delete every data file no RETAINED manifest references — the
     object-store analogue of the posix mode's link-count survival
     (manifest reference counting instead of inode counting). Returns
-    the removed snapshot ids."""
+    the removed snapshot ids.
+
+    Victim-referenced files are removed by following the victim
+    MANIFESTS (not by assuming a prefix is named after the snapshot —
+    data prefixes are writer-unique uuids since r8). Separately,
+    ORPHANED candidate prefixes — data files no manifest at all
+    references, left by crashed or livelocked writers — are garbage
+    collected here and ONLY here, and only once older than
+    ``orphan_ttl_sec`` (the Iceberg remove-orphan-files discipline:
+    an in-flight writer's not-yet-published prefix is indistinguishable
+    from garbage, so age is the safety margin; pass None to skip the
+    orphan sweep entirely)."""
+    import time
+
     mdir = os.path.join(root, MANIFEST_DIR)
     cur = store_current(root)
     if cur is None:
@@ -396,31 +471,48 @@ def store_vacuum(root: str, keep: int = 2) -> list[str]:
     )
     victims = ids[:-keep] if keep > 0 else ids[:-1]
     retained = ids[len(victims):]
-    live = {
-        e["path"] for sid in retained for e in _store_manifest(root, sid)["files"]
-    }
-    for sid in retained:  # delete files referenced by retained manifests
-        for d in _store_manifest(root, sid).get("deletes", []):
-            ddir = os.path.join(root, d["path"])
-            if os.path.isdir(ddir):
-                for dirpath, _dn, fnames in os.walk(ddir):
-                    for name in fnames:
-                        live.add(
-                            os.path.relpath(os.path.join(dirpath, name), root)
+
+    def referenced(sids: list[str]) -> set[str]:
+        refs: set[str] = set()
+        for sid in sids:
+            m = _store_manifest(root, sid)
+            refs.update(e["path"] for e in m["files"])
+            for d in m.get("deletes", []):
+                ddir = os.path.join(root, d["path"])
+                if os.path.isdir(ddir):
+                    for dirpath, _dn, fnames in os.walk(ddir):
+                        refs.update(
+                            os.path.relpath(os.path.join(dirpath, n), root)
+                            for n in fnames
                         )
+        return refs
+
+    live = referenced(retained)
+    victim_refs = referenced(victims)
     for sid in victims:
         os.remove(os.path.join(mdir, sid + ".json"))
-    for sid in victims:
-        sdir = os.path.join(root, sid)
-        if not os.path.isdir(sdir):
-            continue
-        for dirpath, _dirnames, filenames in os.walk(sdir, topdown=False):
-            for name in filenames:
-                full = os.path.join(dirpath, name)
-                if os.path.relpath(full, root) not in live:
-                    os.remove(full)
-            if not os.listdir(dirpath):
-                os.rmdir(dirpath)
+    for rel in sorted(victim_refs - live):
+        full = os.path.join(root, rel)
+        if os.path.exists(full):
+            os.remove(full)
+        d = os.path.dirname(full)
+        while d != root and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+    if orphan_ttl_sec is not None:
+        cutoff = time.time() - orphan_ttl_sec
+        for entry in os.listdir(root):
+            pdir = os.path.join(root, entry)
+            if entry == MANIFEST_DIR or not os.path.isdir(pdir):
+                continue
+            for dirpath, _dn, fnames in os.walk(pdir, topdown=False):
+                for name in fnames:
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.relpath(full, root)
+                    if rel not in live and os.stat(full).st_mtime < cutoff:
+                        os.remove(full)
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
     return victims
 
 
@@ -475,17 +567,21 @@ def store_delete(
     if cur is None:
         raise FileNotFoundError(f"no committed store snapshot under {root}")
     keys = store_read(spark, root).where(predicate).select(*key_cols).distinct()
-    sid = _next_store_id(root)
-    ddir = os.path.join(root, sid, "_deletes")
-    shutil.rmtree(os.path.join(root, sid), ignore_errors=True)
+    # Writer-unique prefix, same rationale as store_commit: a racing
+    # deleter can never rmtree or list another writer's files.
+    did = _new_data_prefix(root)
+    ddir = os.path.join(root, did, "_deletes")
     keys.coalesce(1).write.mode("overwrite").parquet(ddir)
     if spark.read.parquet(ddir).limit(1).count() == 0:
-        shutil.rmtree(os.path.join(root, sid), ignore_errors=True)
+        shutil.rmtree(os.path.join(root, did), ignore_errors=True)
         return None
     entry = {
         "path": os.path.relpath(ddir, root),
         "keys": list(key_cols),
-        "seq": int(sid[1:]),
+        # "delete what matched as-of this state": the sequence is the
+        # keys-read snapshot + 1, fixed across CAS retries (a later
+        # writer's re-inserted rows carry a higher seq and survive).
+        "seq": int(cur[1:]) + 1,
     }
     mdir = os.path.join(root, MANIFEST_DIR)
     for _attempt in range(max_retries):
@@ -503,6 +599,7 @@ def store_delete(
         if _put_if_absent(os.path.join(mdir, publish_id + ".json"), manifest):
             spark.catalog.refreshByPath(root)
             return publish_id
+    shutil.rmtree(os.path.join(root, did), ignore_errors=True)  # ours alone
     raise RuntimeError(
         f"store_delete lost the put-if-absent race {max_retries} times on {root}"
     )

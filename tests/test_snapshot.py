@@ -174,12 +174,22 @@ def test_store_commit_read_carry_forward_by_reference(spark):
     )
     assert v1 == "v000001"
     assert _store_rows(spark) == {(1, "a", 2023), (2, "B", 2024), (3, "c", 2024)}
-    # Carried 2023 partition exists ONLY under v000000's prefix — the
-    # new manifest references it; nothing was copied, linked, renamed.
-    assert not os.path.exists(os.path.join(STORE, "v000001", "year=2023"))
+    # Carried 2023 partition exists ONLY under the first commit's own
+    # (writer-unique) data prefix — the new manifest references it;
+    # nothing was copied, linked, renamed. Sequence numbers record
+    # which commit wrote each entry.
+    man0 = snapshot._store_manifest(STORE, "v000000")
     man = snapshot._store_manifest(STORE, "v000001")
+    prefix0 = {e["path"].split(os.sep, 1)[0] for e in man0["files"]}
+    assert len(prefix0) == 1
     prefixes = {e["path"].split(os.sep, 1)[0] for e in man["files"]}
-    assert prefixes == {"v000000", "v000001"}
+    assert len(prefixes) == 2 and prefix0 < prefixes
+    carried = [e for e in man["files"] if e["partition"] == {"year": "2023"}]
+    assert {e["path"].split(os.sep, 1)[0] for e in carried} == prefix0
+    assert all(e["seq"] == 0 for e in carried)
+    assert all(
+        e["seq"] == 1 for e in man["files"] if e["partition"] != {"year": "2023"}
+    )
     # And every data file under both prefixes has link count 1.
     for prefix in prefixes:
         for dirpath, _d, files in os.walk(os.path.join(STORE, prefix)):
@@ -240,11 +250,14 @@ def test_store_cas_loss_retries_against_winner(spark, monkeypatch):
             # Winner lands v000001 first: replaces 2023 with (7, "w").
             win_dir = os.path.join(STORE, "v000001", "year=2023")
             os.makedirs(win_dir)
-            src = None
-            for dirpath, _d, files in os.walk(os.path.join(STORE, "v000000")):
-                for f in files:
-                    if f.endswith(".parquet") and "2023" in dirpath:
-                        src = os.path.join(dirpath, f)
+            # The winner reuses the first commit's real 2023 parquet
+            # (resolved through the manifest — data prefixes are
+            # writer-unique uuids, not snapshot ids).
+            src = next(
+                os.path.join(STORE, e["path"])
+                for e in snapshot._store_manifest(STORE, "v000000")["files"]
+                if e["partition"] == {"year": "2023"}
+            )
             # Reuse a real parquet file for the winner's partition so
             # reads stay valid; rows are the same (1, 'a', 2023).
             shutil.copyfile(src, os.path.join(win_dir, "part-w.parquet"))
@@ -273,6 +286,78 @@ def test_store_cas_loss_retries_against_winner(spark, monkeypatch):
     assert _store_rows(spark) == {(1, "a", 2023), (5, "e", 2024)}
 
 
+def test_store_racing_writers_cannot_delete_or_claim_each_others_files(
+    spark, monkeypatch
+):
+    """The r7-advice high-severity race, with a REAL second writer: B
+    runs a full store_commit between A's data write and A's manifest
+    put. Under the old snapshot-id-named data prefixes, B derived the
+    SAME candidate prefix as A, rmtree'd A's in-flight files, and A's
+    retry could publish a manifest referencing B's (or deleted) files.
+    Writer-unique prefixes make the interleaving safe: every retained
+    manifest references only files that exist, both updates land, and
+    time travel to the intermediate snapshot stays whole."""
+    shutil.rmtree(STORE, ignore_errors=True)
+    snapshot.store_commit(
+        _mk(spark, [(1, "a", 2023), (2, "b", 2024)]), STORE, ["year"]
+    )
+    real_put = snapshot._put_if_absent
+    state = {"raced": False}
+
+    def racing_put(path, data):
+        if not state["raced"]:
+            state["raced"] = True
+            # Writer B commits FOR REAL while A sits between its data
+            # write and its manifest put.
+            snapshot.store_commit(
+                _mk(spark, [(7, "w", 2023)]), STORE, ["year"], replace_only=True
+            )
+        return real_put(path, data)
+
+    monkeypatch.setattr(snapshot, "_put_if_absent", racing_put)
+    sid = snapshot.store_commit(
+        _mk(spark, [(5, "e", 2024)]), STORE, ["year"], replace_only=True
+    )
+    monkeypatch.undo()
+    assert sid == "v000002"  # A lost the CAS to B's v000001 and retried
+    # Both writers' updates survive: B's 2023 replacement, A's 2024.
+    assert _store_rows(spark) == {(7, "w", 2023), (5, "e", 2024)}
+    # Time travel to B's snapshot is whole (A never disturbed it).
+    assert {
+        (r["k"], r["val"], r["year"])
+        for r in snapshot.store_read(spark, STORE, at="v000001").collect()
+    } == {(7, "w", 2023), (2, "b", 2024)}
+    # THE invariant the old code broke: every file every retained
+    # manifest references still exists on disk.
+    for vid in snapshot.store_history(STORE):
+        for e in snapshot._store_manifest(STORE, vid)["files"]:
+            assert os.path.exists(os.path.join(STORE, e["path"])), (vid, e)
+
+
+def test_store_vacuum_orphan_gc_age_gated(spark):
+    """Crashed writers leave unreferenced candidate prefixes; vacuum —
+    and only vacuum — reclaims them, and only past the age TTL (a young
+    orphan is indistinguishable from an in-flight writer's prefix)."""
+    shutil.rmtree(STORE, ignore_errors=True)
+    snapshot.store_commit(_mk(spark, [(1, "a", 2023)]), STORE, ["year"])
+    snapshot.store_commit(
+        _mk(spark, [(2, "b", 2024)]), STORE, ["year"], replace_only=True
+    )
+    # Simulate a crashed writer: a data prefix no manifest references.
+    orphan = os.path.join(STORE, "d-deadbeef0000", "year=2099")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-x.parquet"), "wb") as f:
+        f.write(b"garbage")
+    # Young orphan survives a vacuum with the default TTL...
+    snapshot.store_vacuum(STORE, keep=2)
+    assert os.path.exists(os.path.join(orphan, "part-x.parquet"))
+    # ...and is reclaimed once older than the TTL.
+    snapshot.store_vacuum(STORE, keep=2, orphan_ttl_sec=0.0)
+    assert not os.path.exists(os.path.join(STORE, "d-deadbeef0000"))
+    # Referenced data survived both sweeps.
+    assert _store_rows(spark) == {(1, "a", 2023), (2, "b", 2024)}
+
+
 def test_store_vacuum_keeps_referenced_files(spark):
     shutil.rmtree(STORE, ignore_errors=True)
     snapshot.store_commit(_mk(spark, [(1, "a", 2023), (2, "b", 2024)]), STORE, ["year"])
@@ -282,13 +367,17 @@ def test_store_vacuum_keeps_referenced_files(spark):
     snapshot.store_commit(
         _mk(spark, [(3, "c", 2025)]), STORE, ["year"], replace_only=True
     )
+    prefix0 = {
+        e["path"].split(os.sep, 1)[0]
+        for e in snapshot._store_manifest(STORE, "v000000")["files"]
+    }.pop()
     removed = snapshot.store_vacuum(STORE, keep=2)
     assert removed == ["v000000"]
-    # v000000's 2023 file is still referenced by retained manifests and
-    # must survive; reads stay whole.
+    # The first commit's 2023 file is still referenced by retained
+    # manifests and must survive; reads stay whole.
     assert _store_rows(spark) == {(1, "a", 2023), (2, "B", 2024), (3, "c", 2025)}
     man = snapshot._store_manifest(STORE, "v000002")
-    assert any(e["path"].startswith("v000000") for e in man["files"])
+    assert any(e["path"].startswith(prefix0) for e in man["files"])
 
 
 def test_store_empty_read_raises(spark):
@@ -314,14 +403,19 @@ def test_store_equality_delete_merge_on_read(spark):
         DSTORE,
         ["year"],
     )
+    man0 = snapshot._store_manifest(DSTORE, "v000000")
     did = snapshot.store_delete(spark, DSTORE, "k = 2", ["k"])
     assert did is not None
     assert _dstore_rows(spark) == {(1, "a", 2023), (3, "c", 2024)}
-    # merge-on-read: NO data file was rewritten — v000000's files are
-    # all still referenced, the only new object is the delete file
+    # merge-on-read: NO data file was rewritten — the first commit's
+    # files are all still referenced verbatim, the only new object is
+    # the delete file (under the deleter's own unique prefix).
     man = snapshot._store_manifest(DSTORE, did)
-    assert {e["path"].split(os.sep, 1)[0] for e in man["files"]} == {"v000000"}
+    assert {e["path"] for e in man["files"]} == {e["path"] for e in man0["files"]}
     assert len(man["deletes"]) == 1 and man["deletes"][0]["keys"] == ["k"]
+    assert man["deletes"][0]["path"].split(os.sep, 1)[0] not in {
+        e["path"].split(os.sep, 1)[0] for e in man["files"]
+    }
 
 
 def test_store_delete_sequence_rows_reinserted_later_survive(spark):
