@@ -84,6 +84,10 @@ SCOPES = {
     # heavy-hitters pass over the raw token stream
     "text_metrics": 2,
     "corpus_vocabulary": 2,
+    # round 7 (declared r8, per VERDICT r7 #2): the Manku generalization
+    # changed simhash_suite's work under its stable name — exact
+    # <=r-Hamming banding (C(n_blocks, r) tables) replaced pigeonhole-1
+    "simhash_suite": 2,
 }
 
 #: Queries whose 100-TB claim is LINEAR scaling, re-timed live at the
@@ -135,6 +139,7 @@ SCALING_EXCLUDED = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
     qs = registry.queries()
     # Warm the JVM/session (codegen infra, parquet reader, decimal agg
@@ -182,6 +187,12 @@ def main() -> None:
         "scopes": {n: SCOPES.get(n, 1) for n in HEADLINE},
         "cold_start_sec": cold_start,
         "sf": sf,
+        # Contention self-identification (VERDICT r7 #3: the driver's
+        # official r7 run was inflated ~1.3x by a loaded host and
+        # round-over-round deltas had to be re-measured): 1-min load
+        # average at start and end. Anything >~2 at start means read
+        # the per-query times with suspicion.
+        "loadavg": [load_start, round(os.getloadavg()[0], 2)],
     }
     scaling = measure_scaling(spark, qs, times)
     spark.stop()
@@ -209,7 +220,16 @@ def emit(out: dict, scaling, sink=print, sidecar: str | None = None) -> None:
             )
         with open(sidecar, "w") as fh:
             json.dump(scaling, fh, indent=1)
-    allowed = {"metric", "value", "unit", "queries", "scopes", "cold_start_sec", "sf"}
+    allowed = {
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "scopes",
+        "cold_start_sec",
+        "sf",
+        "loadavg",
+    }
     sink(json.dumps({k: v for k, v in out.items() if k in allowed}))
 
 

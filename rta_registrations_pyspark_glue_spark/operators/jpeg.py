@@ -476,6 +476,18 @@ def decode_jpeg(content: bytes) -> "np.ndarray":
             vmax = max(c.v for c in comps)
             if hmax > 4 or vmax > 4 or hmax < 1 or vmax < 1:
                 raise ValueError(f"bad sampling factors {hmax}x{vmax}")
+            for c in comps:
+                # The upsampler replicates by the integer ratio
+                # hmax//c.h × vmax//c.v; spec-legal NON-DIVISOR
+                # combinations (e.g. hmax=3 with a 2×1 component) need
+                # fractional upsampling we don't implement — fail at
+                # the documented boundary instead of emitting a
+                # wrong-sized plane.
+                if hmax % c.h or vmax % c.v:
+                    raise NotImplementedError(
+                        f"non-divisor JPEG sampling factors {c.h}x{c.v} "
+                        f"vs max {hmax}x{vmax} not supported"
+                    )
             mcus_x = -(-width // (8 * hmax))
             mcus_y = -(-height // (8 * vmax))
             for c in comps:

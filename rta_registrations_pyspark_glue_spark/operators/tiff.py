@@ -413,14 +413,20 @@ def encode_tiff(
     def short(v):
         return struct.unpack(e + "I", struct.pack(e + "HH", v, 0))[0]
 
-    bits_val = (
-        short(8)
-        if c == 1
-        else alloc(struct.pack(e + "H" * c, *([8] * c)))
-    )
+    # TIFF inline rule: a value whose total size is <= 4 bytes lives IN
+    # the value field. One SHORT (c==1) and two SHORTs (c==2, gray+alpha)
+    # are inline — the c==2 case previously packed (8, 0) via short(),
+    # zeroing the alpha sample's bit depth (r7 advice); three or more
+    # SHORTs go to the data area.
+    if c == 1:
+        bits_val = short(8)
+    elif c == 2:
+        bits_val = struct.unpack(e + "I", struct.pack(e + "HH", 8, 8))[0]
+    else:
+        bits_val = alloc(struct.pack(e + "H" * c, *([8] * c)))
     entries.append((WIDTH, 4, 1, w))
     entries.append((HEIGHT, 4, 1, h))
-    entries.append((BITS_PER_SAMPLE, 3, c, bits_val if c > 2 else short(8)))
+    entries.append((BITS_PER_SAMPLE, 3, c, bits_val))
     entries.append((COMPRESSION, 3, 1, short(compression)))
     entries.append((PHOTOMETRIC, 3, 1, short(photometric)))
     entries.append(

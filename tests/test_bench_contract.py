@@ -34,6 +34,7 @@ def _fake_out():
         "scopes": {n: bench.SCOPES.get(n, 1) for n in bench.HEADLINE},
         "cold_start_sec": 9.9,
         "sf": 0.1,
+        "loadavg": [0.5, 1.0],
     }
 
 
@@ -57,7 +58,8 @@ def test_headline_is_last_line_and_parseable(tmp_path):
     last = json.loads(lines[-1])
     assert last["metric"] == "headline_queries_total"
     assert set(last) == {
-        "metric", "value", "unit", "queries", "scopes", "cold_start_sec", "sf"
+        "metric", "value", "unit", "queries", "scopes", "cold_start_sec",
+        "sf", "loadavg",
     }
     assert "scaling" not in last
 

@@ -299,3 +299,22 @@ def test_progressive_restart_markers():
             ), "fixture produced no RST markers"
             p = decode_baseline_jpeg(data)
             assert (b == p).all(), (shape, samp, ri)
+
+
+def test_non_divisor_sampling_rejected():
+    """Spec-legal but non-divisor sampling combinations (hmax=3 with a
+    2x1 component) would silently upsample by a truncated integer ratio
+    (r7 advice): they must fail at the documented NotImplementedError
+    boundary, at SOF-parse time, not produce wrong-sized planes."""
+    base = _gradient(16, 16)
+    img = np.stack([base, base, base], axis=2).astype(np.uint8)
+    data = bytearray(encode_baseline_jpeg(img, y_sampling=(2, 2)))
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    # SOF0 layout: marker(2) len(2) precision(1) height(2) width(2)
+    # ncomp(1), then per component: id(1) hv(1) tq(1).
+    comp0 = i + 2 + 2 + 1 + 2 + 2 + 1
+    data[comp0 + 1] = 0x31  # Y: 3x1
+    data[comp0 + 4] = 0x21  # Cb: 2x1 -> hmax=3, 3 % 2 != 0
+    with pytest.raises(NotImplementedError, match="non-divisor"):
+        decode_baseline_jpeg(bytes(data))

@@ -225,3 +225,23 @@ def test_apply_orientation_all_eight():
     )
     assert (ap(got[6], 8) == arr).all()
     assert (apply_orientation(arr, 99) == arr).all()  # unknown: no-op
+
+
+def test_gray_alpha_two_sample_roundtrip():
+    """c==2 (gray+alpha): BITS_PER_SAMPLE is two SHORTs = 4 bytes, which
+    the TIFF inline rule stores IN the value field — the encoder
+    previously packed (8, 0) there, zeroing the alpha bit depth so its
+    own decoder rejected the file (r7 advice). Both endiannesses."""
+    import numpy as np
+
+    from rta_registrations_pyspark_glue_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 7, 2), dtype=np.uint8)
+    for be in (False, True):
+        out = decode_tiff(encode_tiff(img, big_endian=be))
+        assert out.shape == (5, 7, 2)
+        assert (out == img).all()
