@@ -577,12 +577,35 @@ def _simhash_sql(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
 # (simhash_suite is registered below, after _simhash_pairs_sql.)
 
 
-def _simhash_pairs_sql(n_bands: int = 4, max_hamming: int = 3) -> str:
-    band_bits = 64 // n_bands
-    mask = (1 << band_bits) - 1
+def _simhash_pairs_sql(n_bands: int = 4, max_hamming: int = 3, r: int = 1) -> str:
+    """DuckDB mirror of textdedup.simhash_near_pairs at ANY (n_bands, r)
+    scheme — same block partition (_simhash_blocks), same C(n_bands, r)
+    combination tables keyed by concatenated blocks, so the derived
+    schemes (derive_simhash_scheme) are oracle-mirrorable, not just the
+    (4, 1) gate floor (r7 verdict's last parity gap). Arithmetic >> on
+    BIGINT slices identically in both engines because every slice is
+    masked."""
+    import itertools
+
+    from rta_registrations_pyspark_glue_spark.operators.textdedup import (
+        _simhash_blocks,
+    )
+
+    widths, offsets = _simhash_blocks(n_bands)
+
+    def table_key(combo: tuple[int, ...]) -> str:
+        terms, shift = [], 0
+        for j in combo:
+            mask = (1 << widths[j]) - 1
+            terms.append(
+                f"(((simhash >> {offsets[j]}) & {mask}) * {1 << shift})"
+            )
+            shift += widths[j]
+        return " + ".join(terms)
+
     bands = "\n        UNION ALL ".join(
-        f"SELECT doc_id, simhash, {t} AS band, (simhash >> {t * band_bits}) & {mask} AS bkey FROM fp"
-        for t in range(n_bands)
+        f"SELECT doc_id, simhash, {t} AS band, {table_key(combo)} AS bkey FROM fp"
+        for t, combo in enumerate(itertools.combinations(range(n_bands), r))
     )
     return f"""
     WITH fp AS ({_simhash_sql(SQL_NEAR_CORPUS)}
