@@ -88,6 +88,9 @@ SCOPES = {
     # changed simhash_suite's work under its stable name — exact
     # <=r-Hamming banding (C(n_blocks, r) tables) replaced pigeonhole-1
     "simhash_suite": 2,
+    # round 8: multimodal_suite gains the 'webp' rows (VP8L lossless
+    # decode over palette-mode WebPs)
+    "multimodal_suite": 2,
 }
 
 #: Queries whose 100-TB claim is LINEAR scaling, re-timed live at the

@@ -112,10 +112,16 @@ def decode_image(content: bytes) -> "np.ndarray":
         from rta_registrations_pyspark_glue_spark.operators.tiff import decode_tiff
 
         return decode_tiff(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from rta_registrations_pyspark_glue_spark.operators.webp import decode_webp
+
+        # lossless VP8L decodes natively (r8); lossy VP8 / animation
+        # raise NotImplementedError inside — the remaining boundary
+        return decode_webp(content)
     raise NotImplementedError(
         f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP/"
-        "JPEG(baseline+progressive)/PNG/GIF/TIFF decode natively — WebP "
-        "needs an external codec (wire PIL here)"
+        "JPEG(baseline+progressive)/PNG/GIF/TIFF/WebP-lossless decode "
+        "natively — lossy (VP8) WebP needs an external codec (wire PIL here)"
     )
 
 
@@ -384,6 +390,44 @@ def synthesize_tiff_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                     cache[base] = encode_tiff(
                         img, compression=5, rows_per_strip=size // 2
                     )
+                payloads.append(cache[base])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
+def synthesize_webp_docs(docs: DataFrame, size: int = 16) -> DataFrame:
+    """(doc_id, content): a deterministic lossless WebP (VP8L) per doc —
+    16×16 RGB over a 4-color palette (color i = (doc_id·5 + i·40) % 256
+    on every channel, pixel p uses color p % 4), encoded in palette
+    mode so the gate runs color-indexing + 2-bit pixel packing + the
+    prefix-code machinery on every document. VP8L is lossless, so the
+    decoded pixel sum is ANALYTIC:
+    3·64·Σ_i (doc_id·5 + i·40) % 256 + 255·256 (RGBA alpha rides as a
+    4th channel of 255s)."""
+    from rta_registrations_pyspark_glue_spark.operators.webp import encode_webp
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (d * 5) % 256
+                if base not in cache:
+                    colors = (base + 40 * np.arange(4, dtype=np.int64)) % 256
+                    p = np.arange(size * size, dtype=np.int64)
+                    img = (
+                        colors[p % 4]
+                        .astype(np.uint8)
+                        .repeat(3)
+                        .reshape(size, size, 3)
+                    )
+                    cache[base] = encode_webp(img, palette=True)
                 payloads.append(cache[base])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}

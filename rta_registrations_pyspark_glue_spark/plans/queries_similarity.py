@@ -541,6 +541,33 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(multimodal.synthesize_jpeg_docs(docs))
 
 
+_MM_WEBP_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(4 AS INT) AS channels,
+           CAST(3 * 64 * list_sum(list_transform(
+               range(0, 4), i -> (doc_id * 5 + i * 40) % 256))
+               + 255 * 256 AS BIGINT) AS pixel_sum,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode through the Arrow/pandas path:
+    each doc gets a deterministic 4-color palette VP8L
+    (multimodal.synthesize_webp_docs — color indexing + 2-bit pixel
+    packing + canonical prefix codes on every document), the
+    pure-Python decoder (operators/webp.py) walks RIFF → VP8L header →
+    transforms → entropy-coded image, and width/height/channels/
+    pixel_sum verify against the oracle's ANALYTIC palette-sum formula
+    — a prefix-code, packing, or palette-delta bug shifts pixel_sum
+    and fails the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.decode_image_features(multimodal.synthesize_webp_docs(docs))
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the Arrow/pandas path: each doc gets a
     deterministic synthetic P6 image (multimodal.synthesize_ppm_docs),
@@ -573,6 +600,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'wav' AS kind, * FROM ({_MM_WAV_ORACLE})
     UNION ALL BY NAME
     SELECT 'y4m' AS kind, * FROM ({_MM_Y4M_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'webp' AS kind, * FROM ({_MM_WEBP_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,7 +619,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'y4m' rows
     complete the triad — REAL audio (RIFF/PCM, operators/audio.py) and
     video (YUV4MPEG2, operators/video.py) decode against analytic
-    sample/Y-plane sums), each through the full
+    sample/Y-plane sums; 'webp' rows added round 8 with the VP8L
+    lossless decoder — palette-mode WebPs against the analytic
+    palette-sum formula), each through the full
     Arrow/pandas mapInPandas path — union-tagged under one gate slot
     (separate slots through round 4; consolidated in round 5 to free
     oracle capacity under the 50-row cap; every row of all three still
@@ -619,6 +650,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     y4m = multimodal_decode_y4m(spark, sf_dir).select(
         F.lit("y4m").alias("kind"), "*"
     )
+    wbp = multimodal_decode_webp(spark, sf_dir).select(
+        F.lit("webp").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -628,6 +662,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tif, allowMissingColumns=True)
         .unionByName(wav, allowMissingColumns=True)
         .unionByName(y4m, allowMissingColumns=True)
+        .unionByName(wbp, allowMissingColumns=True)
     )
 
 
