@@ -13,12 +13,17 @@ standards; G.711 §µ-law/A-law are public ITU tables):
 - IEEE float (format 3): float32/float64;
 - G.711 µ-law (format 7) and A-law (format 6): table-free bit
   expansion to 16-bit PCM per the ITU definitions;
+- IMA/DVI ADPCM (format 0x11, r8): block-structured 4-bit nibbles,
+  standard 89-entry step table with the shift-add difference form
+  real WAV decoders use (NOT audioop's multiply form — the two differ
+  in the low bits, and files in the wild are written against the
+  shift-add one);
 - WAVE_FORMAT_EXTENSIBLE (0xFFFE): sub-format GUID unwrapped, then
   routed as above.
 
-Compressed codecs (ADPCM, MP3-in-WAV, …) raise NotImplementedError —
-the same plug-in boundary contract as decode_image; malformed/
-truncated payloads raise ValueError.
+Remaining compressed codecs (MS ADPCM, MP3-in-WAV, …) raise
+NotImplementedError — the same plug-in boundary contract as
+decode_image; malformed/truncated payloads raise ValueError.
 
 Scale note: decode runs inside Arrow-batched ``mapInPandas``
 (decode_audio_features) — bounded by the Arrow batch size, parallel
@@ -50,6 +55,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("truncated WAV header")
     fmt = None
     data = None
+    fact_frames = None
     pos = 12
     n = len(content)
     while pos + 8 <= n:
@@ -62,12 +68,16 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif ctag == b"data":
             data = body
+        elif ctag == b"fact" and size >= 4:
+            # total sample frames — how compressed codecs communicate
+            # that the last block is padded
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # RIFF pads chunks to even length
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     if len(fmt) < 16:
         raise ValueError("short fmt chunk")
-    audio_format, channels, rate, _brate, _balign, bits = struct.unpack_from(
+    audio_format, channels, rate, _brate, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
     if channels == 0 or rate == 0:
@@ -94,10 +104,26 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     elif audio_format == 6:  # G.711 A-law
         samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM needs 4-bit samples (got {bits})")
+        # wSamplesPerBlock rides in the fmt extension when present;
+        # otherwise it follows from the block layout: 4 header bytes
+        # per channel, then 2 samples per data byte per channel, +1
+        # for the header's verbatim predictor sample.
+        if len(fmt) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt, 18)
+        else:
+            spb = (block_align - 4 * channels) * 2 // channels + 1
+        frames = _decode_ima_adpcm(data, channels, block_align, spb)
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return frames, rate
     else:
         raise NotImplementedError(
             f"compressed WAV codec (format tag {audio_format}) needs an "
-            "external decoder — PCM/float/mu-law/A-law decode natively"
+            "external decoder — PCM/float/mu-law/A-law/IMA-ADPCM decode "
+            "natively"
         )
     frames = samples.reshape(-1, channels) if channels > 1 else samples[:, None]
     return frames, rate
@@ -120,6 +146,150 @@ def _decode_pcm(data: bytes, bits: int) -> np.ndarray:
         usable = len(data) // 4 * 4
         return np.frombuffer(data[:usable], dtype="<i4").astype(np.int32)
     raise ValueError(f"bad PCM bit depth {bits}")
+
+
+#: IMA ADPCM step table (89 entries) and index-adjust table — public
+#: IMA "Recommended Practices for Enhancing Digital Audio Compatibility"
+#: tables, identical in every WAV implementation.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition (shift-add difference form)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_ADJUST[nibble & 7]))
+    return predictor, index
+
+
+def _decode_ima_adpcm(
+    data: bytes, channels: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """IMA-WAV block layout: per block, a 4-byte header per channel
+    (int16 predictor — emitted verbatim as the block's first sample —
+    uint8 step index, reserved byte), then nibble data in 4-byte
+    per-channel groups (low nibble first), channels interleaved group
+    by group. Sequential by construction (each sample's step depends
+    on the previous state), so this runs as a Python loop — fine
+    inside Arrow-batched mapInPandas where parallelism comes from
+    partitions, not SIMD."""
+    if block_align < 4 * channels:
+        raise ValueError("IMA ADPCM block_align smaller than its headers")
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4 * channels:
+            break  # trailing partial block with no full header
+        preds, idxs = [], []
+        for c in range(channels):
+            pred, idx, _res = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            out[c].append(pred)  # header sample
+        emitted = 1
+        pos = 4 * channels
+        while pos < len(block) and emitted < samples_per_block:
+            for c in range(channels):
+                group = block[pos + 4 * c : pos + 4 * c + 4]
+                for byte in group:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        p, i = _ima_step(preds[c], idxs[c], nib)
+                        preds[c], idxs[c] = p, i
+                        out[c].append(p)
+            pos += 4 * channels
+            emitted += 8
+        # trim per-block overshoot (last group may carry pad nibbles)
+        want = (b0 // block_align + 1) * samples_per_block
+        for c in range(channels):
+            del out[c][want:]
+    n = min(len(ch) for ch in out)
+    return np.stack([np.array(ch[:n], dtype=np.int32) for ch in out], axis=1)
+
+
+def encode_ima_adpcm_wav(
+    frames: np.ndarray, rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Fixture-grade IMA ADPCM WAV writer (format tag 0x11): the
+    standard greedy compressor — pick the nibble whose shift-add
+    reconstruction lands closest, run the SAME state machine as the
+    decoder. Lossy by design; tests assert SNR, not equality, except
+    for the all-zero-nibble constant case which is exact."""
+    frames = np.asarray(frames)
+    if frames.ndim == 1:
+        frames = frames[:, None]
+    n, channels = frames.shape
+    per_block = samples_per_block
+    data_bytes_per_ch = (per_block - 1 + 7) // 8 * 4
+    block_align = 4 * channels + data_bytes_per_ch * channels
+    blocks = bytearray()
+    for b0 in range(0, n, per_block):
+        chunk = frames[b0 : b0 + per_block]
+        headers = bytearray()
+        payload = [bytearray() for _ in range(channels)]
+        states = []
+        for c in range(channels):
+            pred = int(chunk[0, c])
+            headers += struct.pack("<hBB", pred, 0, 0)
+            states.append((pred, 0))
+        nibbles: list[list[int]] = [[] for _ in range(channels)]
+        for s in range(1, per_block):
+            for c in range(channels):
+                pred, idx = states[c]
+                target = int(chunk[s, c]) if s < len(chunk) else pred
+                best, best_err = 0, None
+                for nib in range(16):
+                    p2, _ = _ima_step(pred, idx, nib)
+                    err = abs(p2 - target)
+                    if best_err is None or err < best_err:
+                        best, best_err = nib, err
+                states[c] = _ima_step(pred, idx, best)
+                nibbles[c].append(best)
+        for c in range(channels):
+            ns = nibbles[c] + [0] * (data_bytes_per_ch * 2 - len(nibbles[c]))
+            for i in range(0, len(ns), 2):
+                payload[c].append(ns[i] | (ns[i + 1] << 4))
+        block = bytearray(headers)
+        for off in range(0, data_bytes_per_ch, 4):
+            for c in range(channels):
+                block += payload[c][off : off + 4]
+        blocks += block
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        channels,
+        rate,
+        rate * block_align // per_block,
+        block_align,
+        4,
+        2,  # cbSize
+        per_block,
+    )
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"fact" + struct.pack("<II", 4, n)  # true frame count
+    riff += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def _mulaw_expand(u: np.ndarray) -> np.ndarray:
@@ -243,6 +413,37 @@ def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
                     i = np.arange(n, dtype=np.int64)
                     s = ((base + i * 17) % 4096 - 2048) * 16
                     cache[base] = encode_wav(s.astype(np.int32), 8000)
+                payloads.append(cache[base])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
+def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
+    """(doc_id, content): a deterministic IMA-ADPCM WAV per doc holding
+    a CONSTANT signal C = ((doc_id·29) % 4096 − 2048)·13. A constant
+    encodes as all-zero nibbles whose step-0 difference is exactly 0
+    (7 >> 3), so the lossy codec is EXACT here and the decoded sums
+    are analytic: sample_sum = 64·C, sum_sq = 64·C², n_clipped = 0.
+    The gate row therefore pins the block header layout, nibble order,
+    fact-chunk trim, and fmt-extension parse byte-for-byte; the moving
+    state machine is pinned by the hand-vector pytest."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (d * 29) % 4096
+                if base not in cache:
+                    c = (base - 2048) * 13
+                    sig = np.full(n, c, dtype=np.int32)
+                    cache[base] = encode_ima_adpcm_wav(
+                        sig, 8000, samples_per_block=n
+                    )
                 payloads.append(cache[base])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}

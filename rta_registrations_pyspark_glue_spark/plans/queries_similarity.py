@@ -501,6 +501,34 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.decode_audio_features(audio.synthesize_wav_docs(docs))
 
 
+_MM_ADPCM_ORACLE = """
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(64 * (((doc_id * 29) % 4096 - 2048) * 13) AS BIGINT)
+               AS sample_sum,
+           CAST(64 * (((doc_id * 29) % 4096 - 2048) * 13)
+                   * (((doc_id * 29) % 4096 - 2048) * 13) AS BIGINT)
+               AS sum_sq,
+           CAST(0 AS BIGINT) AS n_clipped,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA-ADPCM WAV decode through the Arrow/pandas path: each
+    doc gets a constant-signal ADPCM WAV (audio.synthesize_adpcm_docs
+    — exact because the all-zero-nibble step is a perfect no-op), the
+    block-structured nibble decoder (operators/audio.py) runs the full
+    header/fact/fmt-extension path, and the analytic constant sums
+    verify byte-for-byte; the moving state machine is pinned by the
+    hand-computed pytest vector."""
+    docs = load_table(spark, "documents", sf_dir)
+    return audio.decode_audio_features(audio.synthesize_adpcm_docs(docs))
+
+
 _MM_Y4M_ORACLE = """
     SELECT doc_id,
            CAST(8 AS INT) AS width,
@@ -602,6 +630,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'y4m' AS kind, * FROM ({_MM_Y4M_ORACLE})
     UNION ALL BY NAME
     SELECT 'webp' AS kind, * FROM ({_MM_WEBP_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'adpcm' AS kind, * FROM ({_MM_ADPCM_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +683,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     wbp = multimodal_decode_webp(spark, sf_dir).select(
         F.lit("webp").alias("kind"), "*"
     )
+    adp = multimodal_decode_adpcm(spark, sf_dir).select(
+        F.lit("adpcm").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -663,6 +696,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wav, allowMissingColumns=True)
         .unionByName(y4m, allowMissingColumns=True)
         .unionByName(wbp, allowMissingColumns=True)
+        .unionByName(adp, allowMissingColumns=True)
     )
 
 

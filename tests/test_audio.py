@@ -18,6 +18,8 @@ import wave as wave_mod
 import numpy as np
 import pytest
 
+from rta_registrations_pyspark_glue_spark.operators import audio
+
 from rta_registrations_pyspark_glue_spark.operators.audio import (
     _alaw_expand,
     _mulaw_expand,
@@ -233,3 +235,82 @@ def test_trim_silence():
     # all-silent input -> empty
     assert trim_silence(silent, frame=160).shape[0] == 0
     assert trim_silence(np.zeros((0, 1), dtype=np.int32)).shape[0] == 0
+
+
+def test_ima_adpcm_hand_vector():
+    """IMA ADPCM state machine against hand-computed arithmetic
+    (independent of the implementation): header pred=0 idx=20
+    (step 50), nibbles 5, 9, 2, 15.
+
+    n=5 (0101): diff = 50>>3 + 50>>2 + 50 = 6+12+50 = 68 -> +68,
+                idx 20+4=24
+    n=9 (1001): step 73; diff = 9+18 = 27, sign -> 68-27 = 41, idx 23
+    n=2 (0010): step 66; diff = 8+33 = 41 -> 82, idx 22
+    n=15(1111): step 60; diff = 7+15+30+60 = 112, sign -> -30, idx 30
+    """
+    import struct
+
+    block = struct.pack("<hBB", 0, 20, 0) + bytes(
+        [5 | (9 << 4), 2 | (15 << 4), 0, 0]
+    )
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 8, 4, 2, 9)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(block)) + block
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    frames, rate = audio.decode_wav(wav)
+    assert rate == 8000
+    assert list(frames[:5, 0]) == [0, 68, 41, 82, -30]
+    assert len(frames) == 9  # samples_per_block honoured
+
+
+def test_ima_adpcm_constant_is_exact_and_fact_trims():
+    """All-zero nibbles at step index 0 are a perfect no-op (diff
+    7>>3 = 0), so a constant signal round-trips EXACTLY — and the fact
+    chunk trims the final block's padding to the true frame count."""
+    const = np.full(10, -555, dtype=np.int32)
+    wav = audio.encode_ima_adpcm_wav(const, 16000, samples_per_block=64)
+    frames, rate = audio.decode_wav(wav)
+    assert rate == 16000
+    assert frames.shape == (10, 1)
+    assert (frames[:, 0] == -555).all()
+
+
+def test_ima_adpcm_sine_snr_mono_and_stereo():
+    t = np.arange(1500)
+    sig = (11000 * np.sin(2 * np.pi * t / 40)).astype(np.int32)
+    frames, _ = audio.decode_wav(audio.encode_ima_adpcm_wav(sig, 8000))
+    err = frames[:, 0].astype(np.float64) - sig
+    snr = 10 * np.log10((sig.astype(np.float64) ** 2).sum() / (err**2).sum())
+    assert snr > 20, snr
+    # Stereo: each channel's ADPCM state is independent, so the stereo
+    # decode must EQUAL the per-channel mono decodes — the sharpest pin
+    # on the 4-byte-group channel interleave.
+    st = np.stack([sig[:600], -sig[:600]], axis=1)
+    frames, _ = audio.decode_wav(
+        audio.encode_ima_adpcm_wav(st, 44100, samples_per_block=128)
+    )
+    assert frames.shape == (600, 2)
+    for c in range(2):
+        mono, _ = audio.decode_wav(
+            audio.encode_ima_adpcm_wav(st[:, c], 44100, samples_per_block=128)
+        )
+        assert (frames[:, c] == mono[:, 0]).all()
+
+
+def test_ima_adpcm_malformed_raises():
+    import struct
+
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 2, 4, 2, 9)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError, match="block_align"):
+        audio.decode_wav(wav)  # block smaller than its own header
+    # bad step index in header
+    block = struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 8, 4, 2, 9)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(block)) + block
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError, match="step index"):
+        audio.decode_wav(wav)
