@@ -136,7 +136,7 @@ SCALING_EXCLUDED = {
     "cosine_topk_bruteforce": "exact all-pairs baseline, O(N^2) by definition; scale path is cosine_topk_ivf (in the subset)",
     "cosine_topk_bruteforce_fast": "same O(N^2) exact baseline, BLAS-verified variant",
     "embedding_near_dup_bucketed": "fixed 16-bucket/band loose LSH bank, required for recall at this corpus's 0.35 threshold, has O(N^2) bucket occupancy; scale path is the IVF-blocked variant (semantic_dedup_survivors in the subset)",
-    "embedding_near_dup_bucketed_fast": "same bank, BLAS verify",
+    "embedding_near_dup_bucketed_fast": "same bank, scored in-cell (r8) — pair WORK is still the bank's O(N^2) bucket occupancy even though the verify-join width is gone",
 }
 
 

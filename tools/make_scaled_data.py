@@ -132,14 +132,21 @@ def _transform_embeddings(tab: pa.Table, replica: int) -> pa.Table:
     return tab.set_column(idx, tab.schema.field(idx), arr)
 
 
-def build(base: str, out: str, k: int) -> None:
+def build(base: str, out: str, k: int, only: list[str] | None = None) -> None:
+    """``only`` builds a PARTIAL directory holding just the named
+    tables (plus the fixed dims) — the r8 third-decade spot-check
+    needs sf15 documents+embeddings (~2 GB) without paying for a 4.5M-
+    row lineitem nobody will query there. A partial dir is for
+    targeted scaling_study.py --queries runs only; bench.py's full
+    sweep needs a complete one."""
     os.makedirs(out, exist_ok=True)
+    tables = [t for t in TABLES if only is None or t in only or t in FIXED_DIMS]
     tabs = {t: pq.read_table(f"{base}/{t}.parquet") for t in TABLES}
     strides = {
         name: pc.max(tabs[t].column(c)).as_py() + 1
         for name, (t, c) in STRIDE_KEY.items()
     }
-    for t in TABLES:
+    for t in tables:
         dest = f"{out}/{t}.parquet"
         if os.path.isdir(dest):
             shutil.rmtree(dest)
@@ -186,8 +193,13 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset to build (partial dir; fixed dims ride along)",
+    )
     args = ap.parse_args()
-    build(args.base, args.out, args.k)
+    only = args.tables.split(",") if args.tables else None
+    build(args.base, args.out, args.k, only=only)
 
 
 if __name__ == "__main__":
