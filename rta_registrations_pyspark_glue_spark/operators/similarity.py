@@ -1136,7 +1136,7 @@ def ivf_build(
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
     centroids: list[tuple[int, list[float]]] | None = None,
-    distributed_training: bool = False,
+    distributed_training: bool | None = None,
 ) -> IvfIndex:
     """Build the IVF index: train the coarse quantizer, then assign every
     corpus vector to its nearest centroid — scan-side, zero shuffle.
@@ -1162,12 +1162,26 @@ def ivf_build(
     train_ivf_centroids_distributed — bit-identical centroids, but each
     Lloyd iteration runs as a distributed job instead of driver flops.
     The ≥10⁹-vector path, where sample and k both grow with N and the
-    in-RAM trainer's O(sample·k·d) becomes the wall (SCALING.md §5)."""
+    in-RAM trainer's O(sample·k·d) becomes the wall (SCALING.md §5).
+    Default ``None`` AUTO-dispatches on estimated training flops
+    (sample plan bytes × k × iters — the spread_for_gemm estimate): the
+    r8 third-decade decomposition measured the sf15 driver trainer at
+    51s of single-process numpy (46 GFLOP) while the bit-identical
+    distributed twin spreads the same flops across the executor threads.
+    The estimate ignores the sample filter's selectivity (basic Catalyst
+    stats don't), which only errs toward dispatching distributed
+    earlier — never toward silently keeping a 10⁹-vector sample on the
+    driver. Gate corpora stay far below the threshold."""
     train_src = (
         corpus
         if train_sample_mod <= 1
         else corpus.filter(F.col(corpus_id) % train_sample_mod == 0)
     )
+    if distributed_training is None and train_iters > 0 and centroids is None:
+        from rta_registrations_pyspark_glue_spark.io import estimate_plan_bytes
+
+        est_flops = train_iters * 2.0 * n_pivots * estimate_plan_bytes(train_src) / 5.0
+        distributed_training = est_flops > _DIST_TRAIN_MIN_FLOPS
     if centroids is not None:
         cents = centroids
     elif train_iters > 0 and distributed_training:
@@ -1224,12 +1238,18 @@ def ivf_build(
     from rta_registrations_pyspark_glue_spark.io import estimate_plan_bytes
 
     c = spread_for_gemm(c, 2.0 * len(cents) * estimate_plan_bytes(c) / 5.0)
-    # Assignment strategy dispatch (bit-identical either way): the
-    # literal-expression transform is O(N·k·d) in interpreted lambdas
-    # and became the dominant build cost once k grew with the corpus
-    # (r7 sf5 study); past _VEC_ASSIGN_MIN_CELLS the Arrow-GEMM twin
-    # takes over. Gate corpora (k=8 floor) stay on the expression path.
-    if len(cents) > _VEC_ASSIGN_MIN_CELLS:
+    # Assignment strategy dispatch: the literal-expression transform is
+    # O(N·k·d) in interpreted lambdas and became the dominant build
+    # cost once k grew with the corpus (r7 sf5 study); past
+    # _VEC_ASSIGN_MIN_CELLS the BIT-IDENTICAL Arrow-GEMM twin takes
+    # over; past _HIER_ASSIGN_MIN_CELLS (k ∝ N makes even the GEMM N² —
+    # the r8 third-decade wall, SCALING.md §9) the two-level quantizer
+    # routes through √k super-cells, trading exact assignment for
+    # N·2√k·d flops. Gate corpora (k=8 floor) stay on the expression
+    # path; both measured-decade scales stay on exact paths.
+    if len(cents) > _HIER_ASSIGN_MIN_CELLS:
+        assigned = assign_cells_hierarchical(c, cents, corpus_id)
+    elif len(cents) > _VEC_ASSIGN_MIN_CELLS:
         assigned = assign_cells_vectorized(c, cents, corpus_id)
     else:
         assigned = c.withColumn("__cell", best_cell_expr(cents, "__cv", "__cn"))
@@ -1334,6 +1354,121 @@ def assign_cells_vectorized(
             sqrtn = np.sqrt(pdf["__cn"].to_numpy())
             order = _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, 1)
             yield pdf.assign(__cell=cells[order[:, 0]])
+
+    return c.mapInPandas(op, schema=schema)
+
+
+#: Cell count past which assignment routes through a two-level
+#: (hierarchical) coarse quantizer. The r8 third-decade study
+#: (SCALING.md §9) measured the flat assignment's N·k·d GEMM going
+#: quadratic once derive_n_pivots pushes k past ~10³ (k ∝ N): sf15's
+#: 300k×1200 assignment is ~46 GFLOP flat vs ~8 GFLOP through √k
+#: super-cells. Gate corpora (k=8 floor) and both measured-decade
+#: scales (sf1 k=80, sf5 k=400) stay on the exact flat paths.
+_HIER_ASSIGN_MIN_CELLS = 512
+_HIER_SUPER_PROBE = 2
+
+#: Estimated k-means training flops past which ivf_build auto-routes
+#: to the distributed trainer: ~4 GFLOP ≈ 4s of this container's
+#: single-process numpy — below it, driver training (one collect, zero
+#: jobs) wins on fixed latency; above it, the bit-identical distributed
+#: twin wins on parallelism (sf15 measured 51s driver vs the same
+#: flops spread across 32 Arrow tasks).
+_DIST_TRAIN_MIN_FLOPS = 4e9
+
+
+def _cluster_centroids(np, centroids, n_super: int, iters: int = 4):
+    """Driver-side spherical k-means over the k CHILD centroids —
+    the second quantizer level. Deterministic (init = first n_super
+    children, argmax-cosine assignment, unit-normalized means); empty
+    supers are dropped. Returns (super_matrix (s, d) float64,
+    children: list of ascending child-POSITION arrays into the
+    ``centroids`` list order)."""
+    mat = np.array([cv for _, cv in centroids], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    unit = mat / nrm[:, None]
+    sup = unit[:n_super].copy()
+    for _ in range(iters):
+        assign = (unit @ sup.T).argmax(axis=1)
+        for j in range(n_super):
+            members = unit[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    sup[j] = m / n
+    assign = (unit @ sup.T).argmax(axis=1)
+    children = [np.nonzero(assign == j)[0] for j in range(n_super)]
+    keep = [j for j in range(n_super) if len(children[j])]
+    return sup[keep], [children[j] for j in keep]
+
+
+def assign_cells_hierarchical(
+    c: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    corpus_id: str,
+    super_probe: int = _HIER_SUPER_PROBE,
+    n_super: int | None = None,
+) -> DataFrame:
+    """Two-level cell assignment (FAISS-IMI-shaped): each vector is
+    routed to its top-``super_probe`` of ~√k SUPER-cells (plain dgemm —
+    routing only), then scored against just those supers' children with
+    the SAME exact column-fold and (cosine DESC, cell ASC) order as the
+    flat paths. Flops drop from N·k·d to ~N·(√k + super_probe·√k)·d —
+    the N² build term SCALING.md §9 measured at the third decade.
+
+    APPROXIMATE by design: a vector whose true best cell hangs under a
+    super-cell outside its top-``super_probe`` routes to its best
+    candidate instead (multi-probe search recovers such vectors the
+    same way it recovers cell-boundary splits). Exactness is recovered
+    when ``super_probe >= number of supers`` — candidates become all k
+    children in original order, making the output BIT-IDENTICAL to
+    assign_cells_vectorized (test-pinned); that equivalence is the
+    correctness anchor for the routing machinery. Never engaged on any
+    oracle-checked corpus (dispatch threshold _HIER_ASSIGN_MIN_CELLS is
+    far above the gate floor k=8)."""
+    import math
+
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(c.schema.fields) + [StructField("__cell", LongType())])
+    s = n_super or max(2, int(round(math.sqrt(len(centroids)))))
+
+    def op(batches):
+        cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
+        sup_m, children = _cluster_centroids(np, centroids, s)
+        sp = min(super_probe, len(children))
+        combo_children: dict[tuple[int, ...], object] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+            sqrtn = np.sqrt(pdf["__cn"].to_numpy())
+            # routing: plain dgemm against unit supers (norms cancel in
+            # per-row ranking, so cosine ∝ dot here)
+            route = np.argsort(-(mat @ sup_m.T), axis=1, kind="stable")[:, :sp]
+            route = np.sort(route, axis=1)  # combo key
+            out_cell = np.empty(len(pdf), dtype=np.int64)
+            combos, inverse = np.unique(route, axis=0, return_inverse=True)
+            for ci in range(len(combos)):
+                rows = np.nonzero(inverse == ci)[0]
+                key = tuple(int(j) for j in combos[ci])
+                if key not in combo_children:
+                    # ascending original positions: preserves the flat
+                    # path's column order, hence its exact tie-break
+                    combo_children[key] = np.unique(
+                        np.concatenate([children[j] for j in key])
+                    )
+                cand = combo_children[key]
+                order = _negcos_order(
+                    np, mat[rows], sqrtn[rows], cent_m[cand], cent_nrm[cand], 1
+                )
+                out_cell[rows] = cells[cand[order[:, 0]]]
+            yield pdf.assign(__cell=out_cell)
 
     return c.mapInPandas(op, schema=schema)
 

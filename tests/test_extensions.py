@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from rta_registrations_pyspark_glue_spark import caching
 from rta_registrations_pyspark_glue_spark.operators import multimodal, similarity, textdedup
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -1522,3 +1523,96 @@ def test_connected_components_default_failover_long_chain(spark):
     # Disabling the failover restores the explicit-failure contract.
     with pytest.raises(RuntimeError, match="fixpoint"):
         graph.connected_components(chain, max_rounds=8, star_fallback_after=None)
+
+
+def test_hierarchical_assignment_exact_when_all_supers_probed(spark, sf_dir):
+    """super_probe >= n_supers means the candidate set is all k children
+    in original order — the two-level path must then be BIT-IDENTICAL
+    to the flat GEMM assignment. This pins the routing machinery
+    (grouping, candidate union, position mapping, tie-break order)."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    c = (
+        emb.select(F.col("vec_id").alias("cid"), similarity.as_double("embedding").alias("__cv"))
+        .withColumn("__cn", similarity.dot("__cv", "__cv"))
+        .filter(F.col("__cn") > 0)
+    )
+    cents = similarity.train_ivf_centroids(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+        n_pivots=40,
+    )
+    flat = {
+        r["cid"]: r["__cell"]
+        for r in similarity.assign_cells_vectorized(c, cents, "cid").collect()
+    }
+    hier = {
+        r["cid"]: r["__cell"]
+        for r in similarity.assign_cells_hierarchical(
+            c, cents, "cid", super_probe=10_000
+        ).collect()
+    }
+    assert hier == flat and len(flat) > 0
+
+
+def test_hierarchical_assignment_agreement_and_determinism(spark, sf_dir):
+    """At the default super_probe=2 the routing is approximate: most
+    vectors must still land in their exact cell (boundary vectors may
+    route to a near-best cell — the documented trade), and the result
+    must be deterministic run to run."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    c = (
+        emb.select(F.col("vec_id").alias("cid"), similarity.as_double("embedding").alias("__cv"))
+        .withColumn("__cn", similarity.dot("__cv", "__cv"))
+        .filter(F.col("__cn") > 0)
+    )
+    cents = similarity.train_ivf_centroids(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+        n_pivots=40,
+    )
+    flat = {
+        r["cid"]: r["__cell"]
+        for r in similarity.assign_cells_vectorized(c, cents, "cid").collect()
+    }
+    h1 = {
+        r["cid"]: r["__cell"]
+        for r in similarity.assign_cells_hierarchical(c, cents, "cid").collect()
+    }
+    h2 = {
+        r["cid"]: r["__cell"]
+        for r in similarity.assign_cells_hierarchical(c, cents, "cid").collect()
+    }
+    assert h1 == h2  # deterministic
+    agree = sum(1 for k in flat if h1[k] == flat[k]) / len(flat)
+    assert agree >= 0.8, agree
+
+
+def test_ivf_build_dispatches_hierarchical_past_threshold(spark, monkeypatch):
+    """Force the dispatch threshold below the corpus's k and check the
+    built index still searches sanely (non-empty, correct shape, high
+    overlap with the flat index's results at the same nprobe)."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    flat_idx = similarity.ivf_build(corpus, n_pivots=40)
+    flat_out = {
+        (r["qid"], r["cid"])
+        for r in similarity.ivf_search(flat_idx, q, k=5, nprobe=8).collect()
+    }
+    caching.release_tracked()
+    monkeypatch.setattr(similarity, "_HIER_ASSIGN_MIN_CELLS", 16)
+    hier_idx = similarity.ivf_build(corpus, n_pivots=40)
+    hier_out = {
+        (r["qid"], r["cid"])
+        for r in similarity.ivf_search(hier_idx, q, k=5, nprobe=8).collect()
+    }
+    assert len(hier_out) > 0
+    overlap = len(flat_out & hier_out) / len(flat_out)
+    assert overlap >= 0.8, overlap
+    caching.release_tracked()
