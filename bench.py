@@ -89,7 +89,7 @@ SCOPES = {
     # <=r-Hamming banding (C(n_blocks, r) tables) replaced pigeonhole-1
     "simhash_suite": 2,
     # round 8: multimodal_suite gains the 'webp' rows (VP8L lossless
-    # decode over palette-mode WebPs)
+    # decode over palette-mode WebPs) + 'adpcm' rows (IMA ADPCM WAV)
     "multimodal_suite": 2,
 }
 

@@ -371,6 +371,92 @@ def simhash_near_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT duplicated-substring detection — the substring-level dedup
+    operator of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL 2022): document-level dedup misses boilerplate,
+    licenses, and quoted passages that repeat INSIDE otherwise-unique
+    documents; those repeated substrings are what language models
+    memorize. Every ``span_tokens``-token window of normalized text
+    whose content occurs in >= ``min_docs`` DISTINCT documents is
+    duplicated; per document, overlapping/adjacent duplicated windows
+    merge into maximal intervals.
+
+    Output: (id_col, span_start, span_end, n_windows) — token indices,
+    end exclusive, one row per maximal duplicated interval. Callers
+    drop/trim the spans or filter docs on duplicated-token fraction.
+
+    Plan shape at scale (the suffix-array of the paper replaced by the
+    distributed-native windowed-hash formulation): window hashes are
+    computed SCAN-SIDE as one codegen'd transform over the token array
+    (no UDF, no per-window shuffle); the one heavy shuffle is the
+    inverted-index groupBy on the window hash (map-side partial
+    distinct-count, same cost class as decontaminate's shingle join);
+    the join back is a semi-join against only the duplicated keys; the
+    interval merge is a per-document window function over the (small)
+    duplicated-window stream. Nothing is ever quadratic in corpus size
+    — window volume is exactly token volume."""
+    L = span_tokens
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(normalize_text(text_col)), r"\s+").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    wins = (
+        toks.filter(F.col("__n") >= L)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - L),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("__toks", i + 1, L))
+                        ).alias("wkey"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(F.col(id_col), F.col("w.start").alias("start"), F.col("w.wkey").alias("wkey"))
+    )
+    wins = tracked_persist(wins)  # both the index build and the probe read it
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("wkey")
+    )
+    dup_wins = wins.join(dup_keys, "wkey").select(F.col(id_col), "start")
+    # gaps-and-islands: a window starts a new interval iff it begins
+    # past the running max end of everything before it
+    w_ord = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max(F.col("start") + L).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_wins.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__grp", F.sum("__new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + L).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(F.col(id_col), "span_start", "span_end", "n_windows")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

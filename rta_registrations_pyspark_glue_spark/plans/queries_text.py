@@ -299,6 +299,50 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZORDER_KEY_SQL = "(" + """((((doc_id % 256) >> 0) & 1) << 0) | (((((doc_id * 7) % 256) >> 0) & 1) << 1) | ((((doc_id % 256) >> 1) & 1) << 2) | (((((doc_id * 7) % 256) >> 1) & 1) << 3) | ((((doc_id % 256) >> 2) & 1) << 4) | (((((doc_id * 7) % 256) >> 2) & 1) << 5) | ((((doc_id % 256) >> 3) & 1) << 6) | (((((doc_id * 7) % 256) >> 3) & 1) << 7) | ((((doc_id % 256) >> 4) & 1) << 8) | (((((doc_id * 7) % 256) >> 4) & 1) << 9) | ((((doc_id % 256) >> 5) & 1) << 10) | (((((doc_id * 7) % 256) >> 5) & 1) << 11) | ((((doc_id % 256) >> 6) & 1) << 12) | (((((doc_id * 7) % 256) >> 6) & 1) << 13) | ((((doc_id % 256) >> 7) & 1) << 14) | (((((doc_id * 7) % 256) >> 7) & 1) << 15)""" + ")"
 
 
+def _duplicate_spans_sql(span_tokens: int = 8, min_docs: int = 2) -> str:
+    """DuckDB mirror of textdedup.duplicate_spans over the near-dup
+    corpus: same normalization/tokenization as the simhash mirror, the
+    same windowed md5 keys (list_slice is 1-based like Spark's slice),
+    the same gaps-and-islands interval merge."""
+    L = span_tokens
+    return f"""
+    WITH corpus AS (
+        {SQL_NEAR_CORPUS}
+    ), tok AS (
+        SELECT doc_id, string_split_regex({SQL_NORM}, '\\s+') AS toks
+        FROM corpus
+    ), idx AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - {L} + 2)) AS i
+        FROM tok WHERE len(toks) >= {L}
+    ), wins AS (
+        SELECT doc_id, i - 1 AS start,
+               md5(array_to_string(list_slice(toks, i, i + {L} - 1), ' ')) AS wkey
+        FROM idx
+    ), dup AS (
+        SELECT wkey FROM wins GROUP BY wkey
+        HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ), dw AS (
+        SELECT w.doc_id, w.start FROM wins w JOIN dup USING (wkey)
+    ), flagged AS (
+        SELECT doc_id, start,
+               CASE WHEN MAX(start + {L}) OVER w IS NULL
+                      OR start > MAX(start + {L}) OVER w
+                    THEN 1 ELSE 0 END AS newgrp
+        FROM dw
+        WINDOW w AS (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), islands AS (
+        SELECT doc_id, start,
+               SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM flagged
+    )
+    SELECT doc_id, MIN(start) AS span_start, MAX(start) + {L} AS span_end,
+           COUNT(*) AS n_windows
+    FROM islands GROUP BY doc_id, grp
+    """
+
+
 @register(
     "doc_fingerprints",
     oracle=f"""
@@ -310,17 +354,26 @@ _ZORDER_KEY_SQL = "(" + """((((doc_id % 256) >> 0) & 1) << 0) | (((((doc_id * 7)
     SELECT 'zorder' AS kind, doc_id,
            CAST({_ZORDER_KEY_SQL} AS BIGINT) AS zkey
     FROM documents
+    UNION ALL BY NAME
+    SELECT 'dupspan' AS kind, doc_id,
+           CAST(span_start AS INT) AS span_start,
+           CAST(span_end AS INT) AS span_end,
+           n_windows
+    FROM ({_duplicate_spans_sql()})
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprints over normalized text ('fp' rows), plus —
-    round 7 — 'zorder' rows hash-verifying the Morton-interleave key
-    expression (operators/zorder.morton_key) against an independent
-    unrolled bit-arithmetic SQL formulation: the 8-bit interleave of
-    (doc_id%256, (doc_id*7)%256). The key expression is the heart of
-    the z-order data-skipping layout; its physical payoff (per-file
+    """Content fingerprints over normalized text ('fp' rows); 'zorder'
+    rows (round 7) hash-verifying the Morton-interleave key expression
+    (operators/zorder.morton_key) against an independent unrolled
+    bit-arithmetic SQL formulation — the physical payoff (per-file
     footer envelopes tighten in every dimension) is pinned separately
-    by tests/test_zorder.py against pyarrow-read parquet statistics."""
+    by tests/test_zorder.py against pyarrow-read parquet statistics;
+    and 'dupspan' rows (round 8) hash-verifying
+    textdedup.duplicate_spans — EXACT duplicated-substring intervals
+    (Lee et al. 2022 substring-level dedup) over the near-dup corpus,
+    every merged (span_start, span_end, n_windows) interval compared
+    against an independent SQL gaps-and-islands formulation."""
     from rta_registrations_pyspark_glue_spark.operators import zorder
 
     docs = load_table(spark, "documents", sf_dir)
@@ -333,7 +386,16 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("zkey"),
     )
-    return fp.unionByName(zk, allowMissingColumns=True)
+    spans = textdedup.duplicate_spans(_near_dup_corpus(spark, sf_dir)).select(
+        F.lit("dupspan").alias("kind"),
+        "doc_id",
+        F.col("span_start").cast("int"),
+        F.col("span_end").cast("int"),
+        "n_windows",
+    )
+    return fp.unionByName(zk, allowMissingColumns=True).unionByName(
+        spans, allowMissingColumns=True
+    )
 
 
 @register(

@@ -477,3 +477,60 @@ def test_incremental_exact_dedup_decisions(spark):
     out = textdedup.incremental_exact_dedup(batch, existing).collect()
     assert {r["doc_id"] for r in out} == {11, 14}
     assert all(r["content_key"] for r in out)
+
+
+def test_duplicate_spans_exact_intervals(spark):
+    """Hand-built corpus: docs 1 and 2 share a 13-token run (6 windows
+    of 8), doc 3 is unique, doc 4 NULL, doc 5 too short — exactly two
+    maximal intervals come back, at the right offsets, and nothing
+    else. Also pins merge behavior: overlapping windows collapse to
+    ONE interval per doc, not 6 rows."""
+    from rta_registrations_pyspark_glue_spark.operators import textdedup
+
+    shared = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " from home base now"),
+            (2, "intro words here " + shared + " something else entirely"),
+            (3, "completely different text with no overlap in any of its windows"),
+            (4, None),
+            (5, "short text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        tuple(r)
+        for r in textdedup.duplicate_spans(docs, span_tokens=8).collect()
+    )
+    assert out == [(1, 0, 13, 6), (2, 3, 16, 6)]
+
+
+def test_duplicate_spans_disjoint_intervals_and_min_docs(spark):
+    """Two separated shared runs in one doc stay TWO intervals; a
+    window must hit min_docs distinct docs (a phrase repeated inside
+    ONE doc does not count)."""
+    from rta_registrations_pyspark_glue_spark.operators import textdedup
+
+    run_a = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    run_b = "one two three four five six seven eight"  # 8 tokens
+    filler = "xx yy zz ww vv uu tt ss rr qq"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run_a} {filler} {run_b}"),
+            (2, f"pre {run_a} post"),
+            (3, f"{run_b} trailing junk here"),
+            # doc 4 repeats run_a TWICE inside itself but shares with
+            # nobody new — windows still duplicated (docs 1,2 have it),
+            # but its self-repetition alone wouldn't qualify
+            (4, "solo sentence repeated phrase repeated phrase repeated phrase with padding tokens galore"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in textdedup.duplicate_spans(docs, span_tokens=8).collect()
+    }
+    assert (1, 0, 8) in out and (1, 18, 26) in out  # two disjoint spans
+    assert (2, 1, 9) in out
+    assert (3, 0, 8) in out
+    assert not any(d == 4 for d, _, _ in out)  # self-repetition excluded
