@@ -77,7 +77,8 @@ SCOPES = {
     "exact_dedup_documents": 2,
     "packed_sequences": 2,
     "dataset_split": 2,
-    "near_dup_clusters": 2,
+    # round 8: near_dup_clusters gains source-priority survivor columns
+    "near_dup_clusters": 3,
     "pii_scrub": 2,
     # round 7: text_metrics gains the trigram-LM quality filter + the
     # ftfy-lite repair rows; corpus_vocabulary gains the Misra-Gries

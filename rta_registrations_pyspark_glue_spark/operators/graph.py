@@ -26,7 +26,7 @@ O(log n) rounds with the same per-round shuffle; the operator contract
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.caching import tracked_persist
@@ -258,4 +258,39 @@ def dedup_clusters(
         "cluster_id",
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def priority_survivors(
+    clusters: DataFrame,
+    priorities: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Source-priority survivor selection over dedup clusters — the rule
+    real training pipelines apply when near-duplicates span sources of
+    different quality (keep the curated copy, drop the crawl copy):
+    within each cluster the survivor is the member with the LOWEST
+    ``priority`` value, ties broken by id — a deterministic total order,
+    so the selection is partitioning-independent like every other dedup
+    verdict here.
+
+    ``priorities`` is (id_col, priority_col); members missing from it
+    rank LAST (null priority sorts after every number under asc_nulls_last
+    — an unknown source never outranks a known one). Appends
+    ``keep_doc_id`` (the cluster's survivor) and ``keep`` (this row is
+    it) to ``clusters``. One broadcast-or-shuffle equi-join plus one
+    per-cluster window — no new scale shape beyond dedup_clusters
+    itself."""
+    joined = clusters.join(priorities, on=id_col, how="left")
+    w = (
+        Window.partitionBy(cluster_col)
+        .orderBy(F.col(priority_col).asc_nulls_last(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("keep_doc_id", F.first(F.col(id_col)).over(w))
+        .withColumn("keep", F.col(id_col) == F.col("keep_doc_id"))
+        .drop(priority_col)
     )

@@ -728,6 +728,19 @@ def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
     ), sizes AS (
         SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    ), pri AS (
+        SELECT c.doc_id, c.cluster_id,
+               CAST(substr(d.source, 4) AS INT) AS priority
+        FROM comp c
+        JOIN documents d ON d.doc_id = c.doc_id % 1000000
+    ), surv AS (
+        SELECT doc_id,
+               FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY priority ASC NULLS LAST, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS keep_doc_id
+        FROM pri
     )
     SELECT c.doc_id, c.cluster_id, s.cluster_size,
            c.doc_id = c.cluster_id AS is_canonical,
@@ -735,8 +748,10 @@ def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'train'
                 WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'e666'
                 THEN 'val'
-                ELSE 'test' END AS split
-    FROM comp c JOIN sizes s USING (cluster_id)
+                ELSE 'test' END AS split,
+           v.keep_doc_id,
+           c.doc_id = v.keep_doc_id AS keep
+    FROM comp c JOIN sizes s USING (cluster_id) JOIN surv v USING (doc_id)
     """,
     expensive=True,
 )
@@ -750,14 +765,34 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_split keyed on cluster_id rather than doc_id, so every member
     of a near-dup cluster lands in the same split — a near-duplicate of
     a training document can never leak into the test set (the
-    split-time complement of decontamination's audit-time check). The
-    oracle mirrors the fixpoint with a recursive transitive-closure
-    CTE over the identical verified pair set."""
+    split-time complement of decontamination's audit-time check).
+    Round 8 (scope v3) adds SOURCE-PRIORITY survivor selection
+    (graph.priority_survivors — the keep-the-curated-copy rule real
+    pipelines apply when near-dups span sources of different quality):
+    ``keep_doc_id``/``keep`` pick each cluster's member with the
+    lowest source rank ('src3' → 3; perturbed copies inherit their
+    original's source via doc_id % 1000000), ties by id. The oracle
+    mirrors the fixpoint with a recursive transitive-closure CTE over
+    the identical verified pair set and the survivor rule with the
+    same FIRST_VALUE total order."""
     corpus = tracked_persist(_near_dup_corpus(spark, sf_dir))
     cands = textdedup.minhash_lsh_candidates(corpus)
     pairs = textdedup.jaccard_verify(cands, corpus, threshold=0.35)
     clusters = graph.dedup_clusters(corpus.select("doc_id"), pairs)
-    return sampling.hash_split(clusters, "cluster_id")
+    split = sampling.hash_split(clusters, "cluster_id")
+    docs = load_table(spark, "documents", sf_dir)
+    priorities = (
+        corpus.select("doc_id")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("__src_id"),
+                F.substring("source", 4, 10).cast("int").alias("priority"),
+            ),
+            F.col("doc_id") % 1000000 == F.col("__src_id"),
+        )
+        .select("doc_id", "priority")
+    )
+    return graph.priority_survivors(split, priorities)
 
 
 # Mixture rates for the dataset_split 'mixture' rows: the 20 testdata

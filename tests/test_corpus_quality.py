@@ -534,3 +534,32 @@ def test_duplicate_spans_disjoint_intervals_and_min_docs(spark):
     assert (2, 1, 9) in out
     assert (3, 0, 8) in out
     assert not any(d == 4 for d, _, _ in out)  # self-repetition excluded
+
+
+def test_priority_survivors_rule(spark):
+    """Lowest priority wins, ties break by id, members with UNKNOWN
+    priority rank last (never outrank a known source), and singleton
+    clusters keep themselves."""
+    from rta_registrations_pyspark_glue_spark.operators import graph
+
+    clusters = spark.createDataFrame(
+        [
+            (10, 10), (11, 10), (12, 10),   # cluster 10
+            (20, 20), (21, 20),             # cluster 20 (tie on priority)
+            (30, 30),                       # singleton
+            (40, 40), (41, 40),             # cluster 40: 41 unknown priority
+        ],
+        ["doc_id", "cluster_id"],
+    )
+    pri = spark.createDataFrame(
+        [(10, 5), (11, 1), (12, 3), (20, 2), (21, 2), (30, 9), (40, None)],
+        "doc_id bigint, priority int",
+    )
+    out = {r["doc_id"]: (r["keep_doc_id"], r["keep"])
+           for r in graph.priority_survivors(clusters, pri).collect()}
+    assert out[10] == (11, False) and out[11] == (11, True) and out[12] == (11, False)
+    assert out[20] == (20, True) and out[21] == (20, False)  # tie -> min id
+    assert out[30] == (30, True)
+    # 40 has NULL priority but 41 is MISSING entirely — both unknown,
+    # tie broken by id
+    assert out[40] == (40, True) and out[41] == (40, False)
