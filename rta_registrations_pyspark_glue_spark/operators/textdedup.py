@@ -457,6 +457,55 @@ def duplicate_spans(
     )
 
 
+def duplication_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    max_dup_fraction: float = 0.5,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The document-level FILTER built on duplicate_spans: what fraction
+    of each document's tokens sit inside duplicated substrings, and the
+    keep verdict against ``max_dup_fraction`` — the drop-the-boilerplate
+    rule (a doc that is mostly license text / navigation chrome /
+    quoted passages is noise even when no whole-document duplicate
+    exists). Output: (id_col, n_tokens, dup_tokens, dup_fraction,
+    keep) — one row per input document, dup_fraction 0.0 when clean.
+
+    ``spans``: pass a precomputed duplicate_spans frame to share the
+    window-index shuffle with a caller that also wants the intervals
+    (the gate query does); merged intervals never overlap, so summing
+    their lengths IS the duplicated-token count."""
+    if spans is None:
+        spans = duplicate_spans(
+            df, text_col, id_col, span_tokens=span_tokens, min_docs=min_docs
+        )
+    n_tok = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(normalize_text(text_col)), r"\s+")).alias("n_tokens"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens")
+    )
+    joined = n_tok.join(per_doc, on=id_col, how="left").select(
+        F.col(id_col),
+        F.greatest(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0, F.col("dup_tokens") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_tokens",
+        frac.alias("dup_fraction"),
+        (frac <= max_dup_fraction).alias("keep"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

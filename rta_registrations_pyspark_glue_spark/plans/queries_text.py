@@ -360,6 +360,26 @@ def _duplicate_spans_sql(span_tokens: int = 8, min_docs: int = 2) -> str:
            CAST(span_end AS INT) AS span_end,
            n_windows
     FROM ({_duplicate_spans_sql()})
+    UNION ALL BY NAME
+    SELECT 'dupfrac' AS kind, n.doc_id,
+           CAST(n.n_tokens AS INT) AS n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN n.n_tokens > 0
+                THEN COALESCE(p.dup_tokens, 0) / n.n_tokens
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_fraction,
+           (CASE WHEN n.n_tokens > 0
+                 THEN COALESCE(p.dup_tokens, 0) / n.n_tokens
+                 ELSE CAST(0.0 AS DOUBLE) END) <= 0.5 AS keep
+    FROM (
+        SELECT doc_id,
+               COALESCE(len(string_split_regex({SQL_NORM}, '\\s+')), 0)
+                   AS n_tokens
+        FROM ({SQL_NEAR_CORPUS})
+    ) n
+    LEFT JOIN (
+        SELECT doc_id, SUM(span_end - span_start) AS dup_tokens
+        FROM ({_duplicate_spans_sql()}) GROUP BY doc_id
+    ) p USING (doc_id)
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,15 +406,32 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("zkey"),
     )
-    spans = textdedup.duplicate_spans(_near_dup_corpus(spark, sf_dir)).select(
+    corpus = _near_dup_corpus(spark, sf_dir)
+    from rta_registrations_pyspark_glue_spark.caching import tracked_persist
+
+    spans_df = tracked_persist(textdedup.duplicate_spans(corpus))
+    spans = spans_df.select(
         F.lit("dupspan").alias("kind"),
         "doc_id",
         F.col("span_start").cast("int"),
         F.col("span_end").cast("int"),
         "n_windows",
     )
-    return fp.unionByName(zk, allowMissingColumns=True).unionByName(
-        spans, allowMissingColumns=True
+    # 'dupfrac' rows (round 8): the doc-level boilerplate filter built
+    # on the same spans frame (persisted — one window-index shuffle
+    # feeds both row kinds).
+    frac = textdedup.duplication_stats(corpus, spans=spans_df).select(
+        F.lit("dupfrac").alias("kind"),
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        "dup_fraction",
+        "keep",
+    )
+    return (
+        fp.unionByName(zk, allowMissingColumns=True)
+        .unionByName(spans, allowMissingColumns=True)
+        .unionByName(frac, allowMissingColumns=True)
     )
 
 

@@ -563,3 +563,27 @@ def test_priority_survivors_rule(spark):
     # 40 has NULL priority but 41 is MISSING entirely — both unknown,
     # tie broken by id
     assert out[40] == (40, True) and out[41] == (40, False)
+
+
+def test_duplication_stats_fraction_and_keep(spark):
+    """dup_fraction = merged duplicated tokens / doc tokens; clean,
+    NULL, and mostly-duplicated docs get the right verdicts."""
+    from rta_registrations_pyspark_glue_spark.operators import textdedup
+
+    shared = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " plus unique suffix tokens here padding out the rest fine"),
+            (2, shared),          # 100% duplicated -> dropped
+            (3, "entirely unique content with no duplication at all anywhere in sight"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textdedup.duplication_stats(docs).collect()}
+    assert out[2]["dup_fraction"] == 1.0 and not out[2]["keep"]
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_fraction"] == 0.0 and out[3]["keep"]
+    assert out[4]["n_tokens"] == 0 and out[4]["keep"]
+    # doc 1: 13 duplicated of 23 tokens
+    assert out[1]["dup_tokens"] == 13 and out[1]["n_tokens"] == 23
+    assert abs(out[1]["dup_fraction"] - 13 / 23) < 1e-12 and not out[1]["keep"]
