@@ -184,3 +184,93 @@ def test_tiff_roundtrip_fuzz(dims, channels, compression, rps, big_endian, seed)
         )
     )
     assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    dims=_dims,
+    channels=st.sampled_from([3, 4]),
+    mode=st.sampled_from(["plain", "subtract_green", "palette"]),
+    n_colors=st.integers(1, 40),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_webp_vp8l_roundtrip_fuzz(dims, channels, mode, n_colors, seed):
+    """VP8L lossless must roundtrip arbitrary images across every
+    encoder mode — palette sizes straddle all three packing widths
+    (1/2/4 bpp) plus the unpacked >16-color case; 1-pixel images and
+    single-color palettes hit the degenerate prefix-code forms."""
+    from rta_registrations_pyspark_glue_spark.operators.webp import (
+        decode_webp,
+        encode_webp,
+    )
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    if mode == "palette":
+        base = rng.integers(0, 256, (n_colors, channels), dtype=np.uint8)
+        img = base[rng.integers(0, n_colors, (h, w))]
+        out = decode_webp(encode_webp(img, palette=True))
+    else:
+        img = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+        out = decode_webp(encode_webp(img, subtract_green=(mode == "subtract_green")))
+    assert out.shape == (h, w, 4)
+    assert (out[:, :, :channels] == img).all()
+    if channels == 3:
+        assert (out[:, :, 3] == 255).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 700),
+    spb=st.sampled_from([9, 17, 64, 505]),
+    channels=st.integers(1, 2),
+    amp=st.integers(0, 32000),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_ima_adpcm_decode_fuzz(n, spb, channels, amp, seed):
+    """IMA ADPCM decode of arbitrary encoded signals: shapes and rates
+    survive, samples stay in int16 range (the clamp), fact-chunk
+    trimming matches the input length, and decode is deterministic."""
+    from rta_registrations_pyspark_glue_spark.operators.audio import (
+        decode_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    sig = rng.integers(-amp - 1, amp + 1, (n, channels)).astype(np.int32)
+    wav = encode_ima_adpcm_wav(sig, 8000, samples_per_block=spb)
+    frames, rate = decode_wav(wav)
+    assert rate == 8000 and frames.shape == (n, channels)
+    assert frames.min() >= -32768 and frames.max() <= 32767
+    frames2, _ = decode_wav(wav)
+    assert (frames2 == frames).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 12),
+    truncate=st.booleans(),
+)
+def test_webp_corruption_raises_cleanly(seed, n_flips, truncate):
+    """Randomly corrupted/truncated VP8L payloads must fail with the
+    codec's declared exceptions (ValueError / NotImplementedError) or
+    decode to SOME image — never escape with IndexError/KeyError/
+    struct.error from the bit machinery."""
+    from rta_registrations_pyspark_glue_spark.operators.webp import (
+        decode_webp,
+        encode_webp,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    data = bytearray(encode_webp(img))
+    if truncate:
+        data = data[: rng.integers(12, len(data))]
+    for _ in range(n_flips):
+        data[rng.integers(0, len(data))] ^= 1 << rng.integers(0, 8)
+    try:
+        out = decode_webp(bytes(data))
+        assert out.ndim == 3  # corrupted-but-decodable is acceptable
+    except (ValueError, NotImplementedError):
+        pass  # the declared failure envelope
