@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Decompose cosine_topk_ivf's cost into train / assign / search at any
+SF directory — the instrument behind SCALING.md §9's third-decade
+analysis (the aggregate exponent hid WHICH term was going quadratic;
+this separates them).
+
+Usage:
+    python tools/ivf_decompose.py [sf_dir ...]     # default sf5 + sf15
+
+Prints one line per dir: n, k, nprobe, train/assign/search seconds,
+and which assignment strategy the dispatch chose.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rta_registrations_pyspark_glue_spark import caching
+from rta_registrations_pyspark_glue_spark.operators import similarity
+from rta_registrations_pyspark_glue_spark.session import get_spark
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["/root/repo/.scale/sf5", "/root/repo/.scale/sf15"]
+    spark = get_spark("ivf_decompose")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for sf in dirs:
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        q = emb.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        n = c.count()
+        k = similarity.derive_n_pivots(n)
+        nprobe = similarity.derive_nprobe(k)
+        t0 = time.perf_counter()
+        cents = similarity.train_ivf_centroids_distributed(
+            c.filter(F.col("cid") % 4 == 0), n_pivots=k
+        )
+        t1 = time.perf_counter()
+        idx = similarity.ivf_build(c, centroids=cents)
+        idx.assignment.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        out = similarity.ivf_search(idx, q, k=5, nprobe=nprobe)
+        out.write.format("noop").mode("overwrite").save()
+        t3 = time.perf_counter()
+        strategy = (
+            "hierarchical"
+            if k > similarity._HIER_ASSIGN_MIN_CELLS
+            else ("vectorized" if k > similarity._VEC_ASSIGN_MIN_CELLS else "expression")
+        )
+        print(
+            f"{sf}: n={n} k={k} nprobe={nprobe} assign_strategy={strategy} "
+            f"train={t1 - t0:.1f}s assign={t2 - t1:.1f}s search={t3 - t2:.1f}s"
+        )
+        caching.release_tracked()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
