@@ -110,10 +110,16 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         # wSamplesPerBlock rides in the fmt extension when present;
         # otherwise it follows from the block layout: 4 header bytes
         # per channel, then 2 samples per data byte per channel, +1
-        # for the header's verbatim predictor sample.
+        # for the header's verbatim predictor sample. The extension is
+        # only trusted when cbSize (fmt offset 16) declares >= 2 bytes —
+        # a fmt chunk padded past 16 bytes with cbSize=0 carries garbage
+        # there.
+        spb = None
         if len(fmt) >= 20:
-            (spb,) = struct.unpack_from("<H", fmt, 18)
-        else:
+            (cb_size,) = struct.unpack_from("<H", fmt, 16)
+            if cb_size >= 2:
+                (spb,) = struct.unpack_from("<H", fmt, 18)
+        if not spb:
             spb = (block_align - 4 * channels) * 2 // channels + 1
         frames = _decode_ima_adpcm(data, channels, block_align, spb)
         if fact_frames is not None:

@@ -476,7 +476,11 @@ def _inverse_predictor(pixels, w, h, size_bits, mode_img):
                 pred = pixels[i - w]  # top
             else:
                 mode = (mode_img[(y >> size_bits) * bw + (x >> size_bits)] >> 8) & 0xFF
-                tr = pixels[i - w + 1] if x + 1 < w else pixels[i - w]
+                # VP8L spec: the TR neighbour is pixels[i - w + 1]
+                # UNCONDITIONALLY — for the rightmost column this wraps
+                # (contiguous memory) to the current row's leftmost,
+                # already-reconstructed pixel, matching libwebp.
+                tr = pixels[i - w + 1]
                 pred = _predict(
                     mode, pixels[i - 1], pixels[i - w], tr, pixels[i - w - 1]
                 )

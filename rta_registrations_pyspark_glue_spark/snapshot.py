@@ -505,13 +505,40 @@ def store_vacuum(
             pdir = os.path.join(root, entry)
             if entry == MANIFEST_DIR or not os.path.isdir(pdir):
                 continue
+            # A prefix newer than the cutoff may be an in-flight
+            # store_commit that just reserved it via _new_data_prefix
+            # (between makedirs and write_parquet) — leave it alone
+            # entirely; deleting it (or rmdir-ing it while still empty)
+            # would void the exclusive-reservation guarantee.
+            if os.stat(pdir).st_mtime >= cutoff:
+                continue
+            # A prefix holding ANY referenced file is a committed, live
+            # data prefix — its unreferenced side files (_SUCCESS
+            # markers etc.) are part of the commit, not orphans.
+            prefix_live = any(
+                os.path.relpath(os.path.join(dp, n), root) in live
+                for dp, _d, fns in os.walk(pdir)
+                for n in fns
+            )
+            if prefix_live:
+                continue
+            # Dir age is judged by the PRE-sweep mtime (deleting a
+            # child bumps the parent's mtime to now, which must not
+            # shield it): snapshot every dir's mtime first, then only
+            # reap directories that are both empty and were already
+            # older than the cutoff — an empty-but-fresh subdir
+            # belongs to a live writer.
+            pre_mtimes = {
+                dp: os.stat(dp).st_mtime
+                for dp, _d, _f in os.walk(pdir)
+            }
             for dirpath, _dn, fnames in os.walk(pdir, topdown=False):
                 for name in fnames:
                     full = os.path.join(dirpath, name)
                     rel = os.path.relpath(full, root)
                     if rel not in live and os.stat(full).st_mtime < cutoff:
                         os.remove(full)
-                if not os.listdir(dirpath):
+                if not os.listdir(dirpath) and pre_mtimes[dirpath] < cutoff:
                     os.rmdir(dirpath)
     return victims
 

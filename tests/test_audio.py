@@ -314,3 +314,19 @@ def test_ima_adpcm_malformed_raises():
     wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
     with pytest.raises(ValueError, match="step index"):
         audio.decode_wav(wav)
+
+
+def test_ima_adpcm_padded_fmt_with_cbsize_zero_falls_back():
+    """A fmt chunk padded past 16 bytes with cbSize=0 must NOT trust
+    the garbage at offset 18 as wSamplesPerBlock — the decoder falls
+    back to the block-layout derivation ((align-4*ch)*2/ch + 1 = 9)."""
+    block = struct.pack("<hBB", 0, 20, 0) + bytes(
+        [5 | (9 << 4), 2 | (15 << 4), 0, 0]
+    )
+    # 20-byte fmt: cbSize=0, garbage 0xFFFF where spb would live
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 8, 4, 0, 0xFFFF)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(block)) + block
+    frames, rate = audio.decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert len(frames) == 9  # derived, not the garbage 65535
+    assert list(frames[:5, 0]) == [0, 68, 41, 82, -30]

@@ -528,3 +528,42 @@ def test_store_diff_change_data_feed(spark):
     # unchanged row 3 and carried row 1 produce no feed rows
     assert not any(k == 3 or k == 1 for k, _ in diff)
     assert len(diff) == 3
+
+
+def test_store_vacuum_spares_inflight_reserved_prefix(spark):
+    """An in-flight store_commit reserves its data prefix via
+    _new_data_prefix (makedirs) BEFORE writing any file; vacuum's
+    orphan sweep must not rmdir that fresh empty directory — doing so
+    would void the exclusive-reservation guarantee."""
+    shutil.rmtree(STORE, ignore_errors=True)
+    snapshot.store_commit(_mk(spark, [(1, "a", 2023)]), STORE, ["year"])
+    reserved = snapshot._new_data_prefix(STORE)  # fresh, still empty
+    assert os.path.isdir(os.path.join(STORE, reserved))
+    snapshot.store_vacuum(STORE, keep=2, orphan_ttl_sec=3600.0)
+    assert os.path.isdir(os.path.join(STORE, reserved))
+    # An OLD empty reservation (crashed writer) is still reclaimed.
+    old = os.path.join(STORE, reserved)
+    os.utime(old, (1.0, 1.0))
+    snapshot.store_vacuum(STORE, keep=2, orphan_ttl_sec=3600.0)
+    assert not os.path.exists(old)
+
+
+def test_store_vacuum_keeps_side_files_in_live_prefixes(spark):
+    """Unreferenced side files (_SUCCESS markers) inside a prefix that
+    holds ANY referenced data file are part of the commit, not orphans
+    — they survive the sweep even when older than the TTL."""
+    shutil.rmtree(STORE, ignore_errors=True)
+    snapshot.store_commit(_mk(spark, [(1, "a", 2023)]), STORE, ["year"])
+    man = snapshot._store_manifest(STORE, snapshot.store_current(STORE))
+    prefix = man["files"][0]["path"].split(os.sep, 1)[0]
+    marker = os.path.join(STORE, prefix, "_SUCCESS")
+    with open(marker, "w"):
+        pass
+    past = 1.0
+    for dp, _d, fns in os.walk(os.path.join(STORE, prefix)):
+        for n in fns:
+            os.utime(os.path.join(dp, n), (past, past))
+        os.utime(dp, (past, past))
+    snapshot.store_vacuum(STORE, keep=2, orphan_ttl_sec=3600.0)
+    assert os.path.exists(marker)
+    assert _store_rows(spark) == {(1, "a", 2023)}

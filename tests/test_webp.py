@@ -338,3 +338,40 @@ def test_truncation_and_garbage_raise():
         W.decode_vp8l(b"\x00\x01\x02")
     with pytest.raises((ValueError, NotImplementedError)):
         W.decode_webp(data[: len(data) - max(4, len(data) // 3)])
+
+
+# ----------------- predictor TR wrap (rightmost column) -----------------
+
+
+def test_predictor_tr_rightmost_column_wraps_to_row_start():
+    """VP8L spec exception: the TR neighbour for a rightmost-column
+    pixel is pixels[i - w + 1] UNCONDITIONALLY — contiguous-memory
+    wrap to the CURRENT row's leftmost (already reconstructed) pixel,
+    matching libwebp — not the top pixel. Hand vector, mode 3 (= TR)."""
+    w, h = 3, 2
+    # residuals; one 8x8 mode block (size_bits=3) covers the image
+    pixels = [0x00010203, 0, 0x00000005, 0x00100000, 0, 0]
+    W._inverse_predictor(pixels, w, h, 3, [3 << 8])
+    assert pixels[0] == 0xFF010203  # black + residual
+    assert pixels[1] == 0xFF010203  # row 0: left
+    assert pixels[2] == 0xFF010208
+    assert pixels[3] == 0xFF110203  # col 0: top
+    assert pixels[4] == 0xFF010208  # interior: true top-right
+    # rightmost column: TR == pixels[i-w+1] == row 1 leftmost (wrap),
+    # NOT the top pixel 0xFF010208
+    assert pixels[5] == 0xFF110203
+
+
+def test_predictor_tr_wrap_mode9_average():
+    """Same wrap through an averaging mode (9 = avg2(T, TR)): on the
+    rightmost column the average must mix the top pixel with the
+    current row's leftmost pixel, not collapse to avg2(T, T) == T."""
+    w, h = 2, 2
+    pixels = [0x00204060, 0, 0x00222222, 0]
+    W._inverse_predictor(pixels, w, h, 3, [9 << 8])
+    assert pixels[0] == 0xFF204060
+    assert pixels[1] == 0xFF204060  # row 0: left
+    assert pixels[2] == 0xFF426282  # col 0: top + residual
+    # x=1,y=1: t=0xFF204060, tr(wrap)=pixels[2]=0xFF426282
+    # avg2 per channel -> 0xFF315171 (buggy top-as-TR gave 0xFF204060)
+    assert pixels[3] == 0xFF315171
