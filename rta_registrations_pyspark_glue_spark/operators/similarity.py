@@ -1330,6 +1330,26 @@ def _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, nprobe):
     return np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
 
 
+def _negcos_order_gemm(np, mat, sqrtn, cent_m, cent_nrm, nprobe):
+    """_negcos_order with the accumulation done by ONE BLAS dgemm
+    instead of the d-step column fold. Mathematically the same sum;
+    floating-point rounding may differ in the last ulp, so the probe
+    ORDER can flip only between centroids whose cosines tie to ~1e-15
+    — which is why this runs ONLY past _HIER_ASSIGN_MIN_CELLS, where
+    no oracle-checked corpus lives (gate corpora stay on the
+    bit-exact fold). The r9 study measured the fold loop at 18.7s for
+    the sf15 ranking (30k×1200×64 — memory traffic, not flops: 64
+    full Q×k temporaries); the dgemm form is sub-second for the same
+    arithmetic, against which the two-level-quantizer alternative
+    (rank_probe_hierarchical) measured BOTH slower (6.4s) and lossy
+    (0.54 search-result overlap on the near-uniform corpus) — exact
+    ranking via BLAS beats approximate ranking via routing at every
+    k this container can hold."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        negcos = -((mat @ cent_m.T) / np.outer(sqrtn, cent_nrm))
+    return np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
+
+
 def assign_cells_vectorized(
     c: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -1473,6 +1493,117 @@ def assign_cells_hierarchical(
     return c.mapInPandas(op, schema=schema)
 
 
+def rank_probe_hierarchical(
+    np,
+    mat,
+    sqrtn,
+    centroids: list[tuple[int, list[float]]],
+    cent_m,
+    cent_nrm,
+    nprobe: int,
+    super_probe: int | None = None,
+    n_super: int | None = None,
+    quantizer=None,
+):
+    """assign_cells_hierarchical's SEARCH-side twin (r9, VERDICT r8 #2):
+    rank a query batch's top-``nprobe`` PROBE cells through the same
+    two-level quantizer instead of scoring all k centroids per query,
+    cutting Q·k·d to ~Q·(√k + super_probe·√k)·d.
+
+    OPT-IN, not wired into any default path: the r9 sf15 A/B measured
+    it both SLOWER than the dgemm exact ranking the search paths now
+    dispatch to (6.4s vs sub-second — see _negcos_order_gemm) and
+    LOSSY on the near-uniform benchmark corpus (0.54 search-result
+    overlap vs flat at derived super_probe; near-uniform vectors are
+    the adversarial case — super-cells barely align with
+    neighborhoods). Retained, tested, for the regime where it is the
+    right tool: k ≫ 10⁴ on clustered corpora, where even one Q×k
+    dgemm row is prohibitive per worker and FAISS-IMI routing is the
+    standard answer.
+
+    Same exactness anchor as the build side: scoring is the identical
+    per-lane column fold (acc[q,c] = Σ_d mat[q,d]·cent[c,d], dim order
+    — grouping queries per super changes nothing per lane), the merge
+    order is (negcos ASC, position ASC) == the flat stable argsort's
+    (negcos, cell) order (supers PARTITION the children, so each
+    (query, cell) lane is scored exactly once), and ``super_probe >=
+    number of supers`` makes every lane present — BIT-IDENTICAL to the
+    flat ranking (test-pinned). A query whose routed supers carry fewer
+    than ``nprobe`` children falls back to exact flat ranking, so the
+    contract "returns exactly min(nprobe, k) cells per query" always
+    holds. Returns (Q, min(nprobe, k)) POSITIONS into the centroid
+    list. ``quantizer``: a precomputed ``_cluster_centroids`` result,
+    so batch-loop callers cluster the k children once, not per batch.
+
+    Shape note: scoring iterates PER SUPER (~√k numpy calls on
+    (|Q_j|, |children_j|) blocks), not per distinct super-combo — the
+    first cut grouped queries by routed-super combination and at sf15
+    (30k queries x C(35,6) possible combos) degenerated into ~10⁴
+    tiny GEMMs whose fixed numpy overhead measured 271s; the per-super
+    formulation runs the same flops in ~35 calls, merged by one global
+    lexsort over Q·sp·√k (~6M) score rows."""
+    import math
+
+    k = len(centroids)
+    nprobe = min(nprobe, k)
+    if quantizer is None:
+        s = n_super or max(2, int(round(math.sqrt(k))))
+        quantizer = _cluster_centroids(np, centroids, s)
+    sup_m, children = quantizer
+    if super_probe is None:
+        # Unlike top-1 assignment (where only the argmax cell must
+        # survive routing, and super_probe=2 measures 0.8+ agreement),
+        # probe ranking must preserve a top-``nprobe`` SET — so derive
+        # enough supers that the candidate pool carries ~4x nprobe
+        # children (avg k/n_super children per super). At sf15 scale
+        # (k=1200, nprobe≈49, ~35 supers) this lands sp≈6: the Q·k·d
+        # flat term still drops ~5x, without the recall cliff a fixed
+        # sp=2 showed (0.6 top-k overlap on the gate corpus).
+        per = k / max(1, len(children))
+        super_probe = max(_HIER_SUPER_PROBE, math.ceil(4 * nprobe / per))
+    sp = min(super_probe, len(children))
+    # routing: plain dgemm against unit supers (norms cancel per-row)
+    route = np.argsort(-(mat @ sup_m.T), axis=1, kind="stable")[:, :sp]
+    q_parts, c_parts, s_parts = [], [], []
+    for j in range(len(children)):
+        rows = np.nonzero((route == j).any(axis=1))[0]
+        if len(rows) == 0:
+            continue
+        cand = children[j]  # ascending original positions
+        acc = np.zeros((len(rows), len(cand)))
+        for d in range(mat.shape[1]):
+            acc += np.outer(mat[rows, d], cent_m[cand, d])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            negcos = -(acc / np.outer(sqrtn[rows], cent_nrm[cand]))
+        q_parts.append(np.repeat(rows, len(cand)))
+        c_parts.append(np.tile(cand, len(rows)))
+        s_parts.append(negcos.reshape(-1))
+    qs = np.concatenate(q_parts)
+    cs = np.concatenate(c_parts)
+    ss = np.concatenate(s_parts)
+    # lexsort = successive stable sorts (cs, then ss, then qs): within
+    # a query, (negcos ASC, NaN last, position ASC among ties/NaN) —
+    # exactly the flat stable argsort's (negcos, cell) total order.
+    ord_ = np.lexsort((cs, ss, qs))
+    qs_s, cs_s = qs[ord_], cs[ord_]
+    counts = np.bincount(qs, minlength=len(mat))
+    first = np.zeros(len(mat), dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    out = np.empty((len(mat), nprobe), dtype=np.int64)
+    enough = counts >= nprobe
+    if enough.any():
+        take = first[enough][:, None] + np.arange(nprobe)[None, :]
+        out[enough] = cs_s[take]
+    if not enough.all():
+        # exact flat fallback for queries whose routed supers carry
+        # fewer than nprobe children (tiny quantizers / lopsided maps)
+        short = np.nonzero(~enough)[0]
+        out[short] = _negcos_order(
+            np, mat[short], sqrtn[short], cent_m, cent_nrm, nprobe
+        )
+    return out
+
+
 def probe_memberships_vectorized(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -1496,6 +1627,11 @@ def probe_memberships_vectorized(
         ]
     )
 
+    # Dispatch decided DRIVER-side so the threshold stays
+    # patchable/testable (a worker-side module lookup would not see a
+    # monkeypatched value).
+    gemm = len(centroids) > _HIER_ASSIGN_MIN_CELLS
+
     def op(batches):
         cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
         k = min(nprobe, len(cells))
@@ -1504,7 +1640,15 @@ def probe_memberships_vectorized(
                 continue
             mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
             sqrtn = np.sqrt(pdf[norm_col].to_numpy())
-            order = _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, k)
+            if gemm:
+                # r9: past the threshold the per-row ranking runs as
+                # one BLAS dgemm per Arrow batch — this op feeds the
+                # join search path AND multi-probe near-dup, both of
+                # which rank all rows against all k cells (N·k·d fold
+                # loop) on the exact path.
+                order = _negcos_order_gemm(np, mat, sqrtn, cent_m, cent_nrm, k)
+            else:
+                order = _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, k)
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {
@@ -1579,17 +1723,30 @@ def _ivf_search_broadcast(
     cent_nrm = np.array(
         [math.sqrt(_py_dot(cv, cv)) for _, cv in index.centroids]
     )
-    # negcos[q, c] = -(fold_dot(qv, cv) / (sqrt(qn) * nrm_c)) — column
-    # fold keeps every lane bit-identical to the SQL expression;
-    # division by a zero centroid norm yields ±inf/NaN exactly as SQL.
-    acc = np.zeros((len(q_mat), len(cells)))
-    for d in range(q_mat.shape[1]):
-        acc += np.outer(q_mat[:, d], cent_m[:, d])
-    with np.errstate(divide="ignore", invalid="ignore"):
-        negcos = -(acc / np.outer(q_sqrtn, cent_nrm))
-    # Stable argsort on negcos over cell-ascending columns == sorting
-    # (negcos, cell) ascending; NaN sorts last in numpy and Spark alike.
-    order = np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
+    if len(cells) > _HIER_ASSIGN_MIN_CELLS:
+        # r9: past the same threshold as build-side assignment, probe
+        # ranking switches to the BLAS dgemm form — the Q·k·d fold
+        # loop SCALING.md §9 measured inside the sf15 search becomes
+        # sub-second with IDENTICAL probe sets (see _negcos_order_gemm
+        # for why this beats two-level routing here). Gate corpora
+        # (k=8) never take this branch.
+        order = _negcos_order_gemm(
+            np, q_mat, q_sqrtn, cent_m, cent_nrm, nprobe
+        )
+    else:
+        # negcos[q, c] = -(fold_dot(qv, cv) / (sqrt(qn) * nrm_c)) —
+        # column fold keeps every lane bit-identical to the SQL
+        # expression; division by a zero centroid norm yields ±inf/NaN
+        # exactly as SQL.
+        acc = np.zeros((len(q_mat), len(cells)))
+        for d in range(q_mat.shape[1]):
+            acc += np.outer(q_mat[:, d], cent_m[:, d])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            negcos = -(acc / np.outer(q_sqrtn, cent_nrm))
+        # Stable argsort on negcos over cell-ascending columns ==
+        # sorting (negcos, cell) ascending; NaN sorts last in numpy and
+        # Spark alike.
+        order = np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
     cell2q: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
         for c in cells[order[qi]]:
@@ -1605,6 +1762,14 @@ def _ivf_search_broadcast(
             StructField("cosine", DoubleType()),
         ]
     )
+
+    # r9: past the probe-ranking threshold the PAIR scoring also runs
+    # as one BLAS dgemm per (cell, chunk) instead of the d-step fold —
+    # same sum, last-ulp rounding differences only, and no
+    # oracle-checked corpus lives past the threshold (gate corpora
+    # keep the bit-exact fold the SQL mirrors). Decided driver-side so
+    # tests can patch it.
+    score_gemm = len(cells) > _HIER_ASSIGN_MIN_CELLS
 
     def op(batches):
         ids, mat, sqrtn, c2q = bq.value
@@ -1627,9 +1792,12 @@ def _ivf_search_broadcast(
                 # semantically.
                 for start in range(0, len(qidx), _GEMM_QUERY_CHUNK):
                     qc = qidx[start : start + _GEMM_QUERY_CHUNK]
-                    gacc = np.zeros((len(qc), len(c_ids)))
-                    for d in range(c_mat.shape[1]):
-                        gacc += np.outer(mat[qc][:, d], c_mat[:, d])
+                    if score_gemm:
+                        gacc = mat[qc] @ c_mat.T
+                    else:
+                        gacc = np.zeros((len(qc), len(c_ids)))
+                        for d in range(c_mat.shape[1]):
+                            gacc += np.outer(mat[qc][:, d], c_mat[:, d])
                     cos = gacc / np.outer(sqrtn[qc], c_sqrtn)
                     self_mask = ids[qc][:, None] == c_ids[None, :]
                     # Local prune: keep >= the k-th best NON-SELF score
@@ -1701,6 +1869,7 @@ def _ivf_search_join(
         probe_schema = StructType(
             list(q.schema.fields) + [StructField("__cell", LongType())]
         )
+        gemm = len(centroids) > _HIER_ASSIGN_MIN_CELLS  # driver-side
 
         def probe_op(batches):
             cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
@@ -1710,7 +1879,12 @@ def _ivf_search_join(
                     continue
                 mat = np.stack(pdf["__qv"].map(np.asarray)).astype(np.float64)
                 sqrtn = np.sqrt(pdf["__qn"].to_numpy())
-                order = _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, kk)
+                if gemm:  # r9: see _negcos_order_gemm
+                    order = _negcos_order_gemm(
+                        np, mat, sqrtn, cent_m, cent_nrm, kk
+                    )
+                else:
+                    order = _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, kk)
                 rep = pdf.iloc[np.repeat(np.arange(len(pdf)), kk)].reset_index(
                     drop=True
                 )

@@ -1607,6 +1607,11 @@ def test_ivf_build_dispatches_hierarchical_past_threshold(spark, monkeypatch):
     }
     caching.release_tracked()
     monkeypatch.setattr(similarity, "_HIER_ASSIGN_MIN_CELLS", 16)
+    # Pin the SEARCH side exact (r9 added hierarchical probe ranking
+    # behind the same threshold; deriving sp >= n_supers recovers the
+    # flat probe set) so this test keeps measuring the ASSIGNMENT
+    # approximation alone — the search-side trade has its own test.
+    monkeypatch.setattr(similarity, "_HIER_SUPER_PROBE", 10_000)
     hier_idx = similarity.ivf_build(corpus, n_pivots=40)
     hier_out = {
         (r["qid"], r["cid"])
@@ -1615,4 +1620,88 @@ def test_ivf_build_dispatches_hierarchical_past_threshold(spark, monkeypatch):
     assert len(hier_out) > 0
     overlap = len(flat_out & hier_out) / len(flat_out)
     assert overlap >= 0.8, overlap
+    caching.release_tracked()
+
+
+def test_rank_probe_hierarchical_exact_when_all_supers_probed():
+    """rank_probe_hierarchical (the r9 SEARCH-side twin): with
+    super_probe >= n_supers the candidate set is all k children in
+    original order, so the probed-cell matrix must be BIT-IDENTICAL to
+    the flat stable argsort — pins the routing/union/position-mapping
+    machinery without needing a >512-cell Spark corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    k, d, Q, nprobe = 60, 16, 40, 6
+    cents = [(int(i * 3 + 1), rng.normal(size=d).tolist()) for i in range(k)]
+    cells, cent_m, cent_nrm = similarity._centroid_arrays(np, cents)
+    mat = rng.normal(size=(Q, d))
+    sqrtn = np.sqrt((mat * mat).sum(axis=1))
+    flat = similarity._negcos_order(np, mat, sqrtn, cent_m, cent_nrm, nprobe)
+    hier = similarity.rank_probe_hierarchical(
+        np, mat, sqrtn, cents, cent_m, cent_nrm, nprobe, super_probe=10_000
+    )
+    assert (hier == flat).all()
+    # Default routing is approximate but close: the TOP probe cell must
+    # agree for the overwhelming majority of queries (each query's best
+    # centroid is in its best super by construction most of the time).
+    approx = similarity.rank_probe_hierarchical(
+        np, mat, sqrtn, cents, cent_m, cent_nrm, nprobe
+    )
+    assert approx.shape == flat.shape
+    top_agree = (approx[:, 0] == flat[:, 0]).mean()
+    # uniform-random vectors are the documented adversarial case for
+    # any coarse quantizer; the real-corpus end-to-end test pins 0.8
+    assert top_agree >= 0.7, top_agree
+    # Deterministic
+    again = similarity.rank_probe_hierarchical(
+        np, mat, sqrtn, cents, cent_m, cent_nrm, nprobe
+    )
+    assert (approx == again).all()
+
+
+def test_rank_probe_hierarchical_small_combo_falls_back_exact():
+    """A super combo with fewer children than nprobe must fall back to
+    exact flat ranking for its rows (contract: always exactly
+    min(nprobe, k) cells per query, correctly ordered)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    k, d, Q = 10, 8, 12
+    cents = [(i, rng.normal(size=d).tolist()) for i in range(k)]
+    cells, cent_m, cent_nrm = similarity._centroid_arrays(np, cents)
+    mat = rng.normal(size=(Q, d))
+    sqrtn = np.sqrt((mat * mat).sum(axis=1))
+    # nprobe == k with many supers: every combo has < nprobe children
+    out = similarity.rank_probe_hierarchical(
+        np, mat, sqrtn, cents, cent_m, cent_nrm, k, super_probe=1, n_super=5
+    )
+    flat = similarity._negcos_order(np, mat, sqrtn, cent_m, cent_nrm, k)
+    assert (out == flat).all()
+
+
+def test_ivf_search_gemm_probe_ranking(spark, monkeypatch):
+    """End-to-end: past the (monkeypatched) threshold the broadcast
+    search ranks probes with the BLAS dgemm form (_negcos_order_gemm)
+    — same scores up to the last ulp, so the search RESULTS must match
+    the exact-fold flat search on any corpus without pathological
+    cosine ties. Gate corpora (k=8) never cross the real threshold."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    idx = similarity.ivf_build(corpus, n_pivots=40)
+    flat = {
+        (r["qid"], r["cid"], r["rank"])
+        for r in similarity.ivf_search(idx, q, k=5, nprobe=8).collect()
+    }
+    monkeypatch.setattr(similarity, "_HIER_ASSIGN_MIN_CELLS", 16)
+    gemm = {
+        (r["qid"], r["cid"], r["rank"])
+        for r in similarity.ivf_search(idx, q, k=5, nprobe=8).collect()
+    }
+    assert gemm == flat
     caching.release_tracked()
