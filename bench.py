@@ -95,8 +95,9 @@ SCOPES = {
     # <=r-Hamming banding (C(n_blocks, r) tables) replaced pigeonhole-1
     "simhash_suite": 2,
     # round 8: multimodal_suite gains the 'webp' rows (VP8L lossless
-    # decode over palette-mode WebPs) + 'adpcm' rows (IMA ADPCM WAV)
-    "multimodal_suite": 2,
+    # decode over palette-mode WebPs) + 'adpcm' rows (IMA ADPCM WAV);
+    # round 9: + 'msadpcm' rows (MS ADPCM two-tap predictor WAV)
+    "multimodal_suite": 3,
 }
 
 #: Queries whose 100-TB claim is LINEAR scaling, re-timed live at the

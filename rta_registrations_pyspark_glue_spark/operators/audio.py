@@ -21,7 +21,13 @@ standards; G.711 §µ-law/A-law are public ITU tables):
 - WAVE_FORMAT_EXTENSIBLE (0xFFFE): sub-format GUID unwrapped, then
   routed as above.
 
-Remaining compressed codecs (MS ADPCM, MP3-in-WAV, …) raise
+- MS ADPCM (format 0x02, r9): block-structured 4-bit nibbles over a
+  two-tap linear predictor — per-block coefficient-pair index, initial
+  delta and the two seed samples in the header, the public 16-entry
+  adaptation table, coefficient pairs read from the fmt extension when
+  declared (standard 7-pair table otherwise).
+
+Remaining compressed codecs (MP3-in-WAV, …) raise
 NotImplementedError — the same plug-in boundary contract as
 decode_image; malformed/truncated payloads raise ValueError.
 
@@ -125,11 +131,41 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         if fact_frames is not None:
             frames = frames[:fact_frames]
         return frames, rate
+    elif audio_format == 2:  # MS ADPCM
+        if bits != 4:
+            raise ValueError(f"MS ADPCM needs 4-bit samples (got {bits})")
+        # fmt extension: cbSize, wSamplesPerBlock, wNumCoef, then
+        # wNumCoef (int16, int16) pairs — only trusted as far as
+        # cbSize declares (same rationale as the IMA cbSize guard).
+        spb = None
+        coefs = None
+        if len(fmt) >= 20:
+            (cb_size,) = struct.unpack_from("<H", fmt, 16)
+            if cb_size >= 2:
+                (spb,) = struct.unpack_from("<H", fmt, 18)
+            if cb_size >= 4 and len(fmt) >= 22:
+                (ncoef,) = struct.unpack_from("<H", fmt, 20)
+                if ncoef and cb_size >= 4 + 4 * ncoef and len(fmt) >= 22 + 4 * ncoef:
+                    coefs = [
+                        struct.unpack_from("<hh", fmt, 22 + 4 * i)
+                        for i in range(ncoef)
+                    ]
+        if not spb:
+            # block layout: 7 header bytes/channel (uint8 pred index,
+            # int16 idelta, int16 sample1, int16 sample2), then 2
+            # nibbles per data byte; the 2 header samples are emitted
+            spb = (block_align - 7 * channels) * 2 // channels + 2
+        frames = _decode_ms_adpcm(
+            data, channels, block_align, spb, coefs or _MS_ADPCM_COEFS
+        )
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return frames, rate
     else:
         raise NotImplementedError(
             f"compressed WAV codec (format tag {audio_format}) needs an "
-            "external decoder — PCM/float/mu-law/A-law/IMA-ADPCM decode "
-            "natively"
+            "external decoder — PCM/float/mu-law/A-law/IMA-ADPCM/MS-ADPCM "
+            "decode natively"
         )
     frames = samples.reshape(-1, channels) if channels > 1 else samples[:, None]
     return frames, rate
@@ -232,6 +268,203 @@ def _decode_ima_adpcm(
             del out[c][want:]
     n = min(len(ch) for ch in out)
     return np.stack([np.array(ch[:n], dtype=np.int32) for ch in out], axis=1)
+
+
+#: MS ADPCM public tables (Microsoft multimedia standards — identical
+#: in every implementation): the 7 standard two-tap predictor
+#: coefficient pairs (fixed-point /256) and the 16-entry delta
+#: adaptation table indexed by the UNSIGNED nibble.
+_MS_ADPCM_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+_MS_ADPCM_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _ms_step(s1: int, s2: int, idelta: int, c1: int, c2: int, nibble: int):
+    """One MS ADPCM state transition: two-tap predictor + signed-nibble
+    scaled delta, int16 clamp, multiplicative delta adaptation with the
+    floor of 16. Returns (sample, new_idelta)."""
+    signed = nibble - 16 if nibble >= 8 else nibble
+    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * idelta
+    pred = max(-32768, min(32767, pred))
+    idelta = (_MS_ADPCM_ADAPT[nibble] * idelta) >> 8
+    return pred, max(16, idelta)
+
+
+def _decode_ms_adpcm(
+    data: bytes,
+    channels: int,
+    block_align: int,
+    samples_per_block: int,
+    coefs: list[tuple[int, int]],
+) -> np.ndarray:
+    """MS-ADPCM block layout: per block, channel-interleaved header
+    fields — uint8 coefficient-pair index per channel, int16 initial
+    delta per channel, int16 sample1 per channel, int16 sample2 per
+    channel (sample2 is the OLDER seed: output order is sample2 then
+    sample1) — then nibble data, HIGH nibble first, nibbles rotating
+    through channels. Sequential per block (each delta depends on the
+    previous nibble), so a Python loop, same contract as the IMA
+    decoder: parallelism comes from Arrow partitions."""
+    if block_align < 7 * channels:
+        raise ValueError("MS ADPCM block_align smaller than its headers")
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 7 * channels:
+            break  # trailing partial block with no full header
+        preds, ideltas, s1s, s2s = [], [], [], []
+        for c in range(channels):
+            pidx = block[c]
+            if pidx >= len(coefs):
+                raise ValueError(f"MS ADPCM predictor index {pidx} out of range")
+            preds.append(coefs[pidx])
+        for c in range(channels):
+            (d,) = struct.unpack_from("<h", block, channels + 2 * c)
+            ideltas.append(max(16, d))
+        for c in range(channels):
+            (v,) = struct.unpack_from("<h", block, 3 * channels + 2 * c)
+            s1s.append(v)
+        for c in range(channels):
+            (v,) = struct.unpack_from("<h", block, 5 * channels + 2 * c)
+            s2s.append(v)
+        for c in range(channels):
+            out[c].append(s2s[c])  # older seed first
+            out[c].append(s1s[c])
+        emitted = 2
+        ch = 0
+        for byte in block[7 * channels :]:
+            if emitted >= samples_per_block and ch == 0:
+                break
+            for nib in (byte >> 4, byte & 0x0F):
+                c1, c2 = preds[ch]
+                sample, ideltas[ch] = _ms_step(
+                    s1s[ch], s2s[ch], ideltas[ch], c1, c2, nib
+                )
+                s2s[ch], s1s[ch] = s1s[ch], sample
+                out[ch].append(sample)
+                ch = (ch + 1) % channels
+                if ch == 0:
+                    emitted += 1
+        # trim per-block overshoot (pad nibbles in the last data byte)
+        want = (b0 // block_align + 1) * samples_per_block
+        for c in range(channels):
+            del out[c][want:]
+    n = min(len(chn) for chn in out)
+    return np.stack([np.array(chn[:n], dtype=np.int32) for chn in out], axis=1)
+
+
+def encode_ms_adpcm_wav(
+    frames: np.ndarray, rate: int, samples_per_block: int = 500
+) -> bytes:
+    """Fixture-grade MS ADPCM WAV writer (format tag 0x02): per block,
+    try every standard coefficient pair with the greedy
+    closest-reconstruction nibble choice and keep the pair with the
+    lowest total error (ties break to the LOWEST pair index, so a
+    constant signal deterministically picks pair 0 — whose (256, 0)
+    taps make the all-zero-nibble path EXACT, the property the gate's
+    analytic oracle rows lean on). Runs the SAME state machine as the
+    decoder. Writes the full fmt extension (wSamplesPerBlock, wNumCoef,
+    the 7 standard pairs) and a fact chunk with the true frame count."""
+    frames = np.asarray(frames)
+    if frames.ndim == 1:
+        frames = frames[:, None]
+    n, channels = frames.shape
+    per_block = samples_per_block
+    if per_block < 2:
+        raise ValueError("MS ADPCM needs >= 2 samples per block")
+    data_bytes_per_ch = (per_block - 2 + 1) // 2
+    # channel-rotating nibble stream: total data bytes per block
+    data_bytes = (per_block - 2) * channels // 2 + (
+        ((per_block - 2) * channels) % 2
+    )
+    block_align = 7 * channels + data_bytes
+    del data_bytes_per_ch
+    blocks = bytearray()
+    for b0 in range(0, n, per_block):
+        chunk = frames[b0 : b0 + per_block]
+
+        def encode_with_pair(pidx: int):
+            c1, c2 = _MS_ADPCM_COEFS[pidx]
+            nibbles: list[int] = []
+            err = 0
+            s2 = [int(chunk[0, c]) for c in range(channels)]
+            s1 = [
+                int(chunk[min(1, len(chunk) - 1), c]) for c in range(channels)
+            ]
+            # initial delta: a rough scale estimate, floored at 16 —
+            # any positive int16 is valid (it is stored per block)
+            if len(chunk) > 2:
+                diffs = np.abs(np.diff(chunk.astype(np.int64), axis=0))
+                d0 = int(diffs.mean() // 4) if diffs.size else 16
+            else:
+                d0 = 16
+            d0 = max(16, min(32767, d0))
+            idelta = [d0] * channels
+            init = (list(s2), list(s1), d0)
+            ch = 0
+            # nibble t belongs to channel t % channels at sample index
+            # 2 + t // channels — the decoder's exact rotation
+            total = (per_block - 2) * channels
+            for t in range(total):
+                c = ch
+                target = (
+                    int(chunk[2 + t // channels, c])
+                    if 2 + t // channels < len(chunk)
+                    else s1[c]
+                )
+                best, best_err, best_state = 0, None, None
+                for nib in range(16):
+                    smp, nd = _ms_step(s1[c], s2[c], idelta[c], c1, c2, nib)
+                    e = abs(smp - target)
+                    if best_err is None or e < best_err:
+                        best, best_err, best_state = nib, e, (smp, nd)
+                nibbles.append(best)
+                err += best_err
+                smp, nd = best_state
+                s2[c], s1[c] = s1[c], smp
+                idelta[c] = nd
+                ch = (ch + 1) % channels
+            return err, nibbles, init
+
+        results = [encode_with_pair(p) for p in range(len(_MS_ADPCM_COEFS))]
+        errs = [r[0] for r in results]
+        pidx = errs.index(min(errs))  # ties -> lowest index
+        _err, nibbles, (s2, s1, d0) = results[pidx]
+        block = bytearray()
+        block += bytes([pidx] * channels)
+        for c in range(channels):
+            block += struct.pack("<h", d0)
+        for c in range(channels):
+            block += struct.pack("<h", s1[c])
+        for c in range(channels):
+            block += struct.pack("<h", s2[c])
+        ns = nibbles + [0] * (2 * data_bytes - len(nibbles))
+        for i in range(0, len(ns), 2):
+            block.append((ns[i] << 4) | ns[i + 1])  # HIGH nibble first
+        blocks += block
+    fmt = struct.pack(
+        "<HHIIHHHHH",
+        0x02,
+        channels,
+        rate,
+        rate * block_align // per_block,
+        block_align,
+        4,
+        4 + 4 * len(_MS_ADPCM_COEFS),  # cbSize
+        per_block,
+        len(_MS_ADPCM_COEFS),
+    )
+    for c1, c2 in _MS_ADPCM_COEFS:
+        fmt += struct.pack("<hh", c1, c2)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"fact" + struct.pack("<II", 4, n)
+    riff += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def encode_ima_adpcm_wav(
@@ -448,6 +681,38 @@ def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
                     c = (base - 2048) * 13
                     sig = np.full(n, c, dtype=np.int32)
                     cache[base] = encode_ima_adpcm_wav(
+                        sig, 8000, samples_per_block=n
+                    )
+                payloads.append(cache[base])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
+def synthesize_msadpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
+    """(doc_id, content): a deterministic MS-ADPCM WAV per doc holding
+    a CONSTANT signal C = ((doc_id·31) % 4096 − 2048)·11. The encoder's
+    tie-break picks coefficient pair 0 ((256, 0) — predictor == s1), so
+    the all-zero-nibble path reproduces C exactly and the decoded sums
+    are analytic: sample_sum = 64·C, sum_sq = 64·C², n_clipped = 0. The
+    gate row therefore pins the 7-byte/channel header layout, HIGH-
+    nibble-first order, coefficient-table parse from the fmt extension,
+    and the fact-chunk trim byte-for-byte; the moving two-tap state
+    machine is pinned by the hand-computed pytest vector."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (d * 31) % 4096
+                if base not in cache:
+                    c = (base - 2048) * 11
+                    sig = np.full(n, c, dtype=np.int32)
+                    cache[base] = encode_ms_adpcm_wav(
                         sig, 8000, samples_per_block=n
                     )
                 payloads.append(cache[base])

@@ -529,6 +529,35 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.decode_audio_features(audio.synthesize_adpcm_docs(docs))
 
 
+_MM_MSADPCM_ORACLE = """
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(64 * (((doc_id * 31) % 4096 - 2048) * 11) AS BIGINT)
+               AS sample_sum,
+           CAST(64 * (((doc_id * 31) % 4096 - 2048) * 11)
+                   * (((doc_id * 31) % 4096 - 2048) * 11) AS BIGINT)
+               AS sum_sq,
+           CAST(0 AS BIGINT) AS n_clipped,
+           TRUE AS decode_ok
+    FROM documents
+    """
+
+
+def multimodal_decode_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MS-ADPCM WAV decode through the Arrow/pandas path (r9):
+    each doc gets a constant-signal MS-ADPCM WAV
+    (audio.synthesize_msadpcm_docs — exact because pair 0's two-tap
+    predictor reproduces a constant and the zero nibble adds nothing),
+    the block decoder (operators/audio.py) runs the full header /
+    coefficient-table / fact path, and the analytic constant sums
+    verify byte-for-byte; the moving state machine is pinned by the
+    hand-computed pytest vector."""
+    docs = load_table(spark, "documents", sf_dir)
+    return audio.decode_audio_features(audio.synthesize_msadpcm_docs(docs))
+
+
 _MM_Y4M_ORACLE = """
     SELECT doc_id,
            CAST(8 AS INT) AS width,
@@ -632,6 +661,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'webp' AS kind, * FROM ({_MM_WEBP_ORACLE})
     UNION ALL BY NAME
     SELECT 'adpcm' AS kind, * FROM ({_MM_ADPCM_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'msadpcm' AS kind, * FROM ({_MM_MSADPCM_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,6 +717,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     adp = multimodal_decode_adpcm(spark, sf_dir).select(
         F.lit("adpcm").alias("kind"), "*"
     )
+    msa = multimodal_decode_msadpcm(spark, sf_dir).select(
+        F.lit("msadpcm").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -697,6 +731,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(y4m, allowMissingColumns=True)
         .unionByName(wbp, allowMissingColumns=True)
         .unionByName(adp, allowMissingColumns=True)
+        .unionByName(msa, allowMissingColumns=True)
     )
 
 

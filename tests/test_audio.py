@@ -134,8 +134,13 @@ def test_malformed_and_unsupported_contract():
     with pytest.raises(ValueError):
         decode_wav(b"OggS\x00\x00")  # not RIFF
     good = bytearray(encode_wav(np.zeros(4, dtype=np.int32), 8000))
-    good[20:22] = struct.pack("<H", 2)  # ADPCM format tag
+    good[20:22] = struct.pack("<H", 0x55)  # MP3-in-WAV format tag
     with pytest.raises(NotImplementedError):
+        decode_wav(bytes(good))
+    # MS ADPCM (tag 2) decodes natively since r9 — a 16-bit retag is
+    # malformed (needs 4-bit samples), not unsupported
+    good[20:22] = struct.pack("<H", 2)
+    with pytest.raises(ValueError, match="4-bit"):
         decode_wav(bytes(good))
 
 
@@ -330,3 +335,92 @@ def test_ima_adpcm_padded_fmt_with_cbsize_zero_falls_back():
     frames, rate = audio.decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
     assert len(frames) == 9  # derived, not the garbage 65535
     assert list(frames[:5, 0]) == [0, 68, 41, 82, -30]
+
+
+def test_ms_adpcm_hand_vector():
+    """MS ADPCM state machine against hand-computed arithmetic
+    (independent of the implementation): header pred-index 1
+    (coefs 512, -256), idelta 32, sample1=200, sample2=100, nibbles
+    3 then 9 (HIGH nibble first in the data byte).
+
+    output starts [s2, s1] = [100, 200]
+    n=3:  base = (200*512 + 100*(-256)) >> 8 = 76800 >> 8 = 300;
+          +3*32 = 396; idelta = (ADAPT[3]=230 * 32) >> 8 = 28
+    n=9 (signed -7): base = (396*512 + 200*(-256)) >> 8
+          = 151552 >> 8 = 592; -7*28 = -196 -> 396
+    """
+    block = (
+        bytes([1])
+        + struct.pack("<h", 32)
+        + struct.pack("<h", 200)
+        + struct.pack("<h", 100)
+        + bytes([(3 << 4) | 9])
+    )
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 8, 4)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(block)) + block
+    frames, rate = audio.decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert rate == 8000
+    assert list(frames[:, 0]) == [100, 200, 396, 396]
+
+
+def test_ms_adpcm_constant_is_exact_and_fact_trims():
+    const = np.full(100, -1234, dtype=np.int32)
+    wav = audio.encode_ms_adpcm_wav(const, 16000, samples_per_block=64)
+    frames, rate = audio.decode_wav(wav)
+    assert rate == 16000
+    assert frames.shape == (100, 1)  # fact chunk trims block padding
+    assert (frames[:, 0] == -1234).all()
+
+
+def test_ms_adpcm_sine_snr_mono_and_stereo():
+    t = np.arange(2000)
+    sig = (6000 * np.sin(2 * np.pi * t / 50)).astype(np.int32)
+    dec, _ = audio.decode_wav(audio.encode_ms_adpcm_wav(sig, 8000))
+    dec = dec[: len(sig), 0]
+    snr = 10 * np.log10(
+        (sig.astype(float) ** 2).sum() / ((sig - dec).astype(float) ** 2).sum()
+    )
+    assert snr > 25, snr
+    st2 = np.stack([sig, np.roll(sig, 7)], axis=1)
+    dec_st, _ = audio.decode_wav(
+        audio.encode_ms_adpcm_wav(st2, 44100, samples_per_block=128)
+    )
+    snr2 = 10 * np.log10(
+        (st2.astype(float) ** 2).sum()
+        / ((st2 - dec_st[: len(st2)]).astype(float) ** 2).sum()
+    )
+    assert snr2 > 25, snr2
+
+
+def test_ms_adpcm_malformed_raises():
+    # predictor index out of range
+    block = bytes([9]) + struct.pack("<hhh", 16, 0, 0) + b"\x00"
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 8, 4)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(block)) + block
+    with pytest.raises(ValueError, match="predictor index"):
+        audio.decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    # block_align smaller than headers
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 3, 4)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(block)) + block
+    with pytest.raises(ValueError):
+        audio.decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_ms_adpcm_padded_fmt_with_cbsize_zero_falls_back():
+    """Same cbSize guard as IMA: a 22-byte fmt with cbSize=0 must not
+    trust the garbage where wSamplesPerBlock/wNumCoef would live."""
+    block = (
+        bytes([1])
+        + struct.pack("<h", 32)
+        + struct.pack("<h", 200)
+        + struct.pack("<h", 100)
+        + bytes([(3 << 4) | 9])
+    )
+    fmt = struct.pack("<HHIIHHHH", 2, 1, 8000, 8000, 8, 4, 0, 0xFFFF)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(block)) + block
+    frames, _ = audio.decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert list(frames[:, 0]) == [100, 200, 396, 396]  # derived spb=4

@@ -274,3 +274,62 @@ def test_webp_corruption_raises_cleanly(seed, n_flips, truncate):
         assert out.ndim == 3  # corrupted-but-decodable is acceptable
     except (ValueError, NotImplementedError):
         pass  # the declared failure envelope
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 700),
+    spb=st.sampled_from([4, 17, 64, 500]),
+    channels=st.integers(1, 2),
+    amp=st.integers(0, 32000),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_ms_adpcm_decode_fuzz(n, spb, channels, amp, seed):
+    """MS ADPCM decode of arbitrary encoded signals: shapes and rates
+    survive, samples stay in int16 range (the clamp), fact-chunk
+    trimming matches the input length, and decode is deterministic."""
+    from rta_registrations_pyspark_glue_spark.operators.audio import (
+        decode_wav,
+        encode_ms_adpcm_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    sig = rng.integers(-amp - 1, amp + 1, (n, channels)).astype(np.int32)
+    wav = encode_ms_adpcm_wav(sig, 8000, samples_per_block=spb)
+    frames, rate = decode_wav(wav)
+    assert rate == 8000 and frames.shape == (n, channels)
+    assert frames.min() >= -32768 and frames.max() <= 32767
+    frames2, _ = decode_wav(wav)
+    assert (frames2 == frames).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 12),
+    truncate=st.booleans(),
+)
+def test_ms_adpcm_corruption_raises_cleanly(seed, n_flips, truncate):
+    """Randomly corrupted/truncated MS-ADPCM payloads must fail with
+    the decoder's declared exceptions (ValueError /
+    NotImplementedError) or decode to SOME frames — never escape with
+    IndexError/struct.error from the block walker."""
+    from rta_registrations_pyspark_glue_spark.operators.audio import (
+        decode_wav,
+        encode_ms_adpcm_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    sig = rng.integers(-8000, 8000, 150).astype(np.int32)
+    wav = bytearray(encode_ms_adpcm_wav(sig, 8000, samples_per_block=64))
+    if truncate:
+        wav = wav[: rng.integers(8, len(wav))]
+    for _ in range(n_flips):
+        if not wav:
+            break
+        wav[rng.integers(0, len(wav))] ^= 1 << rng.integers(0, 8)
+    try:
+        frames, rate = decode_wav(bytes(wav))
+        assert frames.ndim == 2 and rate >= 0
+    except (ValueError, NotImplementedError):
+        pass
