@@ -69,6 +69,10 @@ HEADLINE = [
     # the flagship r8 operator gets its measured scale point, VERDICT
     # r8 #1; fp/zorder rows are row-local and cheap by comparison)
     "doc_fingerprints",
+    # round 9: the PRODUCTION substring-dedup mode — window_index over
+    # history + batch-only probe (closes VERDICT r8 #5); measured so
+    # the O(|batch|)+probe cost claim has a number behind it
+    "incremental_substring_dedup",
 ]
 
 #: Per-query SCOPE VERSION, emitted in the bench JSON ("scopes") so
@@ -98,6 +102,10 @@ SCOPES = {
     # decode over palette-mode WebPs) + 'adpcm' rows (IMA ADPCM WAV);
     # round 9: + 'msadpcm' rows (MS ADPCM two-tap predictor WAV)
     "multimodal_suite": 3,
+    # round 9 (first benched round): relative to its r8 GATE scope,
+    # doc_fingerprints gains the 'incdup' union leg (incremental
+    # substring dedup, oracle-consolidated under the 50-query cap)
+    "doc_fingerprints": 2,
 }
 
 #: Queries whose 100-TB claim is LINEAR scaling, re-timed live at the
@@ -136,6 +144,9 @@ SCALING_SUBSET = [
     # round 9: substring dedup — window volume == token volume, one
     # inverted-index shuffle; expected exponent ~1
     "doc_fingerprints",
+    # round 9: incremental variant — index build dominates at bench
+    # shape (history ~= corpus); the batch probe itself is O(|batch|)
+    "incremental_substring_dedup",
 ]
 
 #: name -> why it is not in the scaling pass. These are DESIGNED

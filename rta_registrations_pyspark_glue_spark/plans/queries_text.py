@@ -343,6 +343,36 @@ def _duplicate_spans_sql(span_tokens: int = 8, min_docs: int = 2) -> str:
     """
 
 
+def _incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Spark side of the incremental-substring-dedup check:
+    history = base documents, batch = the +1,000,000 near-dup copies,
+    PRODUCTION path (window_index over history once, then
+    incremental_duplicate_spans probing only the batch's windows).
+    Used by both the doc_fingerprints 'incdup' oracle rows (the gate
+    is capped at 50 oracle-backed queries — consolidation by union-tag
+    is the designed mechanism) and the rows-only
+    incremental_substring_dedup bench query (isolated timing)."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    existing = corpus.filter(F.col("doc_id") < 1000000)
+    batch = corpus.filter(F.col("doc_id") >= 1000000)
+    idx = textdedup.window_index(existing, span_tokens=6)
+    return textdedup.incremental_duplicate_spans(batch, idx, span_tokens=6).select(
+        "doc_id",
+        F.col("span_start").cast("int"),
+        F.col("span_end").cast("int"),
+        "n_windows",
+    )
+
+
+_INCDUP_SQL = f"""
+    SELECT doc_id, CAST(span_start AS INT) AS span_start,
+           CAST(span_end AS INT) AS span_end, n_windows
+    FROM ({_duplicate_spans_sql(span_tokens=6)})
+    WHERE doc_id >= 1000000
+"""
+
+
+
 @register(
     "doc_fingerprints",
     oracle=f"""
@@ -380,6 +410,9 @@ def _duplicate_spans_sql(span_tokens: int = 8, min_docs: int = 2) -> str:
         SELECT doc_id, SUM(span_end - span_start) AS dup_tokens
         FROM ({_duplicate_spans_sql()}) GROUP BY doc_id
     ) p USING (doc_id)
+    UNION ALL BY NAME
+    SELECT 'incdup' AS kind, doc_id, span_start, span_end, n_windows
+    FROM ({_INCDUP_SQL})
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,11 +461,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_fraction",
         "keep",
     )
+    # 'incdup' rows (round 9): the PRODUCTION incremental substring
+    # dedup — window_index over history + batch-only probe — hash-
+    # verified against the full-union SQL restricted to batch docs
+    # (the incremental contract, end-to-end on real data). Lives here
+    # because the gate caps oracle-backed queries at 50; the rows-only
+    # incremental_substring_dedup entry times the same plan isolated.
+    incdup = _incremental_spans(spark, sf_dir).select(
+        F.lit("incdup").alias("kind"),
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_windows",
+    )
     return (
         fp.unionByName(zk, allowMissingColumns=True)
         .unionByName(spans, allowMissingColumns=True)
         .unionByName(frac, allowMissingColumns=True)
+        .unionByName(incdup, allowMissingColumns=True)
     )
+
+
+@register("incremental_substring_dedup")
+def incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring-level dedup (round 9): history = the base
+    documents, batch = the token-dropped near-dup copies (ids
+    +1,000,000). The Spark side runs the PRODUCTION incremental path —
+    window_index over history once, then incremental_duplicate_spans
+    probing only the batch's windows — while the oracle recomputes the
+    FULL union with the independent SQL gaps-and-islands formulation
+    and restricts to batch docs: a hash match proves the incremental
+    contract (sum of disjoint-id counts == union count) end-to-end on
+    real data, not just on the pytest micro-corpus. span_tokens=6, not
+    the default 8: dropping every 7th token leaves kept runs of exactly
+    6, so EVERY batch doc shares 6-token windows with its history
+    original (at 8 no window survives the perturbation) — the
+    cross-corpus regime the index exists for, exercised corpus-wide.
+
+    Registered rows-only: the gate caps oracle-backed queries at 50,
+    so the ORACLE for these exact rows lives in doc_fingerprints'
+    'incdup' union leg (same _incremental_spans plan, hash-checked by
+    the driver); this standalone entry exists for isolated bench
+    timing of the production incremental path."""
+    return _incremental_spans(spark, sf_dir)
 
 
 @register(

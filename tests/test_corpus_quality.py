@@ -536,6 +536,110 @@ def test_duplicate_spans_disjoint_intervals_and_min_docs(spark):
     assert not any(d == 4 for d, _, _ in out)  # self-repetition excluded
 
 
+def test_incremental_duplicate_spans_matches_full_union(spark):
+    """THE incremental contract: incremental_duplicate_spans(batch,
+    window_index(existing)) is bit-identical to duplicate_spans over
+    the union, restricted to batch docs — covering windows duplicated
+    only cross-corpus (batch doc repeats an existing doc's run),
+    batch-internal duplicates the index has never seen, and
+    existing-internal duplicates that must NOT leak into batch spans."""
+    from rta_registrations_pyspark_glue_spark.operators import textdedup
+
+    run_x = "the quick brown fox jumps over the lazy dog again and again"
+    run_y = "one two three four five six seven eight nine ten"
+    existing = spark.createDataFrame(
+        [
+            (1, run_x + " with an existing tail here"),
+            (2, "existing pair " + run_y + " shared inside history"),
+            (3, "second holder of " + run_y + " so history alone duplicates it"),
+            (4, "totally unrelated historical content with many plain words"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # cross-corpus: shares run_x with existing doc 1 ONLY
+            (101, "fresh intro " + run_x + " batch ending"),
+            # batch-internal pair: a run the index never saw
+            (102, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (103, "pre alpha beta gamma delta epsilon zeta eta theta iota kappa post"),
+            # clean batch doc (long enough to window, shares nothing)
+            (104, "nothing here overlaps any other document in any window at all"),
+            (105, None),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = textdedup.window_index(existing)
+    inc = sorted(
+        tuple(r)
+        for r in textdedup.incremental_duplicate_spans(batch, idx).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in textdedup.duplicate_spans(existing.unionByName(batch)).collect()
+        if r["doc_id"] >= 100
+    )
+    assert inc == full
+    assert any(d == 101 for d, *_ in inc)  # cross-corpus dup found
+    assert any(d == 102 for d, *_ in inc) and any(d == 103 for d, *_ in inc)
+    assert not any(d in (104, 105) for d, *_ in inc)
+
+
+def test_incremental_duplicate_spans_min_docs_sums_counts(spark):
+    """min_docs=3 crosses only when batch + index counts SUM to the
+    threshold: one history holder + two batch holders qualifies; two
+    history holders + one batch holder qualifies; one + one does not."""
+    from rta_registrations_pyspark_glue_spark.operators import textdedup
+
+    r1 = "aa bb cc dd ee ff gg hh"
+    r2 = "ii jj kk ll mm nn oo pp"
+    r3 = "qq rr ss tt uu vv ww xx"
+    existing = spark.createDataFrame(
+        [(1, r1), (2, r2), (3, r2), (4, r3)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(101, r1), (102, r1), (103, r2), (104, r3)], ["doc_id", "text"]
+    )
+    idx = textdedup.window_index(existing)
+    out = {
+        r["doc_id"]
+        for r in textdedup.incremental_duplicate_spans(
+            batch, idx, min_docs=3
+        ).collect()
+    }
+    assert out == {101, 102, 103}  # r1: 1+2 ok; r2: 2+1 ok; r3: 1+1 no
+
+
+def test_merge_window_index_associative(spark):
+    """window_index(A ∪ B) == merge_window_index(window_index(A), B) —
+    the append-only index update never needs history text."""
+    from rta_registrations_pyspark_glue_spark.operators import textdedup
+
+    a = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog today"),
+            (4, "an entirely different sentence with eight tokens plus padding"),
+        ],
+        ["doc_id", "text"],
+    )
+    merged = {
+        (r["wkey"], r["n_docs"])
+        for r in textdedup.merge_window_index(textdedup.window_index(a), b).collect()
+    }
+    direct = {
+        (r["wkey"], r["n_docs"])
+        for r in textdedup.window_index(a.unionByName(b)).collect()
+    }
+    assert merged == direct and any(n == 3 for _, n in merged)
+
+
 def test_priority_survivors_rule(spark):
     """Lowest priority wins, ties break by id, members with UNKNOWN
     priority rank last (never outrank a known source), and singleton
