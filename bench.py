@@ -100,8 +100,10 @@ SCOPES = {
     "simhash_suite": 2,
     # round 8: multimodal_suite gains the 'webp' rows (VP8L lossless
     # decode over palette-mode WebPs) + 'adpcm' rows (IMA ADPCM WAV);
-    # round 9: + 'msadpcm' rows (MS ADPCM two-tap predictor WAV)
-    "multimodal_suite": 3,
+    # round 9: + 'msadpcm' rows (MS ADPCM two-tap predictor WAV),
+    # then + 'vp8' rows (LOSSY WebP keyframe decode, closed-form
+    # token-injection oracle) — scope 4
+    "multimodal_suite": 4,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental
     # substring dedup, oracle-consolidated under the 50-query cap)

@@ -115,13 +115,14 @@ def decode_image(content: bytes) -> "np.ndarray":
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         from rta_registrations_pyspark_glue_spark.operators.webp import decode_webp
 
-        # lossless VP8L decodes natively (r8); lossy VP8 / animation
-        # raise NotImplementedError inside — the remaining boundary
+        # lossless VP8L (r8) AND lossy VP8 keyframes + ALPH alpha (r9)
+        # decode natively; only ANMF animation raises inside
         return decode_webp(content)
     raise NotImplementedError(
         f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP/"
-        "JPEG(baseline+progressive)/PNG/GIF/TIFF/WebP-lossless decode "
-        "natively — lossy (VP8) WebP needs an external codec (wire PIL here)"
+        "JPEG(baseline+progressive)/PNG/GIF/TIFF/WebP (lossless VP8L + "
+        "lossy VP8 + alpha) decode natively — animated WebP needs an "
+        "external codec (wire PIL here)"
     )
 
 
@@ -429,6 +430,37 @@ def synthesize_webp_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                     )
                     cache[base] = encode_webp(img, palette=True)
                 payloads.append(cache[base])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
+def synthesize_vp8_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): a deterministic LOSSY WebP (VP8 keyframe)
+    per doc — a single 16x16 DC16 macroblock whose Y2/U/V dc tokens
+    are derived from doc_id (vp8_enc.synthesize_vp8_stream), so every
+    document runs the full lossy path: boolean decoder, frame header,
+    token trees, dequant, WHT+IDCT, intra prediction, and the
+    fancy-upsample RGB conversion. The token injection makes the
+    decoded planes CLOSED-FORM integers, which is what lets the gate's
+    SQL oracle predict pixel_sum analytically for a lossy codec."""
+    from rta_registrations_pyspark_glue_spark.operators.vp8_enc import (
+        synthesize_vp8_stream,
+        wrap_webp,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int, int], bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                key = (1 + d % 11, 1 + (d * 3) % 7, 1 + (d * 7) % 5)
+                if key not in cache:
+                    cache[key] = wrap_webp(synthesize_vp8_stream(40, *key))
+                payloads.append(cache[key])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )

@@ -905,6 +905,41 @@ def decode_vp8(data: bytes):
     )
 
 
+def yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """libwebp-exact YUV420 -> RGB: the 9-3-3-1 "fancy" chroma
+    upsampler followed by the fixed-point BT.601 conversion
+    (coefficients 19077/26149/6419/13320/33050, >>6 clip) — output is
+    bit-identical to WebPDecodeRGB on the same planes (pinned by
+    tests against the ctypes oracle when libwebp is present)."""
+    H, W = y.shape
+    # upsample chroma with edge replication: chroma sample (i,j) sits
+    # at luma (2i+0.5, 2j+0.5); output (r,c) blends the 4 nearest
+    # samples with weights 9/3/3/1
+    def up(c):
+        ch, cw = c.shape
+        p = np.pad(c.astype(np.int32), 1, mode="edge")
+        a = p[1:1 + ch, 1:1 + cw]  # nearest sample, every parity
+        out = np.empty((ch * 2, cw * 2), np.int32)
+        for dy in (0, 1):
+            ys = 2 * dy  # vertical neighbor row offset into the pad
+            for dx in (0, 1):
+                xs = 2 * dx
+                bv = p[ys:ys + ch, 1:1 + cw]
+                bh = p[1:1 + ch, xs:xs + cw]
+                d = p[ys:ys + ch, xs:xs + cw]
+                out[dy::2, dx::2] = (9 * a + 3 * (bv + bh) + d + 8) >> 4
+        return out[:H, :W]
+
+    uu = up(u)
+    vv = up(v)
+    yy = y.astype(np.int32)
+    ymul = yy * 19077 >> 8
+    r = (ymul + (vv * 26149 >> 8) - 14234) >> 6
+    g = (ymul - (uu * 6419 >> 8) - (vv * 13320 >> 8) + 8708) >> 6
+    b = (ymul + (uu * 33050 >> 8) - 17685) >> 6
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
 def _loop_filter(h, y_plane, u_plane, v_plane, mb_seg, mb_bpred,
                  mb_has_coeffs):
     """§15: per-MB deblocking in raster order — vertical (left) MB

@@ -421,11 +421,13 @@ def encode_vp8(y: np.ndarray, u: np.ndarray, v: np.ndarray, q_index: int = 40,
                         a = [int(t) for t in recon_y[ay, ax:ax + 4]]
                         if c < 12:
                             ar = [int(t) for t in recon_y[ay, ax + 4:ax + 8]]
+                        elif y0 == 0:
+                            ar = [127] * 4
                         elif x0 + 16 < W:
                             ar = [int(t) for t in
                                   recon_y[y0 - 1, x0 + 16:x0 + 20]]
                         else:
-                            ar = [127] * 4
+                            ar = [int(recon_y[y0 - 1, W - 1])] * 4
                         if x0 + c == 0:
                             tl = 129
                         else:
@@ -495,6 +497,66 @@ def encode_vp8(y: np.ndarray, u: np.ndarray, v: np.ndarray, q_index: int = 40,
     out += b"\x9d\x01\x2a"
     out += bytes((width & 0xFF, (width >> 8) & 0x3F))
     out += bytes((height & 0xFF, (height >> 8) & 0x3F))
+    out += part0
+    out += part1
+    return bytes(out)
+
+
+def synthesize_vp8_stream(q_index: int, ty: int, tu: int, tv: int) -> bytes:
+    """One 16x16 VP8 keyframe with EXACTLY-known decode: a single
+    DC16 macroblock whose Y2 block carries dc token ``ty`` and whose
+    four U / four V blocks carry dc tokens ``tu`` / ``tv`` (all other
+    coefficients EOB). The decoded planes are closed-form integers —
+    Y = 128 + (((ty*y2dc + 3)>>3) + 4)>>3 uniformly (WHT spread then
+    DC-only IDCT), U/V = 128 + ((t*uvdc + 4)>>3) — which is what lets
+    the driver gate hash lossy-VP8 decode against an ANALYTIC SQL
+    oracle (queries_similarity._MM_VP8_ORACLE mirrors these exact
+    shifts). Tokens must be small enough to stay below clipping."""
+    (y1dc, y1ac), (y2dc, y2ac), (uvdc, uvac) = _quant_factors(
+        _clamp_q(q_index), 0, 0, 0, 0, 0
+    )
+    probs = list(COEFF_DEFAULT_PROBS)
+    hdr = BoolEncoder()
+    hdr.bit(0)  # color space
+    hdr.bit(0)  # clamping
+    hdr.bit(0)  # segmentation disabled
+    hdr.bit(0)  # normal filter
+    hdr.literal(0, 6)  # filter level 0
+    hdr.literal(0, 3)  # sharpness
+    hdr.bit(0)  # no lf deltas
+    hdr.literal(0, 2)  # one token partition
+    hdr.literal(_clamp_q(q_index), 7)
+    for _ in range(5):
+        hdr.bit(0)  # no quant deltas
+    hdr.bit(0)  # refresh entropy
+    for i in range(1056):
+        hdr.put(COEFF_UPDATE_PROBS[i], 0)
+    hdr.bit(0)  # no skip flags
+    hdr.tree(KF_YMODE_TREE, KF_YMODE_PROBS, DC_PRED)
+    hdr.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, DC_PRED)
+
+    tok = BoolEncoder()
+    _encode_block(tok, probs, 1, 0, 0, [ty] + [0] * 15)
+    for _ in range(16):
+        # every luma block is all-zero, so left/above nz contexts
+        # stay 0 throughout (frame-corner MB)
+        _encode_block(tok, probs, 0, 1, 0, [0] * 16)
+    for t in (tu, tv):
+        lnz = [0, 0]
+        anz = [0, 0]
+        for sb in range(4):
+            r, c = sb >> 1, sb & 1
+            ctx = int(lnz[r]) + int(anz[c])
+            b = _encode_block(tok, probs, 2, 0, ctx, [t] + [0] * 15)
+            lnz[r] = anz[c] = b
+
+    part0 = hdr.finish()
+    part1 = tok.finish()
+    tag = (len(part0) << 5) | (1 << 4)
+    out = bytearray()
+    out += bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+    out += b"\x9d\x01\x2a"
+    out += bytes((16, 0, 16, 0))
     out += part0
     out += part1
     return bytes(out)

@@ -7,16 +7,19 @@ packing), per the public "WebP Lossless Bitstream Specification".
 
 Closes the last mainstream image-format gap named by the r7 verdict
 (modern web-scraped corpora are increasingly WebP). LOSSY WebP (VP8
-chunks — boolean arithmetic coder + DCT reconstruction) remains behind
-the NotImplementedError boundary: it is a video-codec intra frame, a
-different engineering project, and the lossless mode is the one that
-carries screenshots/charts/UI corpora.
+keyframes) decodes natively since r9 via operators/vp8.py — this
+module's decode_webp dispatches VP8 chunks there and also decodes the
+ALPH alpha plane (raw or VP8L-compressed + predictive filters), so
+still WebP of every flavor decodes; only ANMF animation remains
+behind the NotImplementedError boundary.
 
-No external VP8L files exist in this container, so correctness is
-pinned three ways: byte-level roundtrips through the fixture encoder
-(every feature path), hand-computed bit vectors for the prefix-code
-reader and the distance map, and decode-vs-numpy-model equality for
-each inverse transform.
+Correctness is pinned four ways: byte-level roundtrips through the
+fixture encoder (every feature path), hand-computed bit vectors for
+the prefix-code reader and the distance map, decode-vs-numpy-model
+equality for each inverse transform, and (r9, when a system libwebp
+is present) bit-exact decode of REAL libwebp lossless encodes — the
+check that caught the transposed CODE_LENGTH_ORDER constant the
+self-consistent fixtures could never see.
 """
 
 from __future__ import annotations
@@ -72,7 +75,12 @@ class BitWriter:
 # ------------------------------------------------------------------
 
 #: order in which the 3-bit code-length-code lengths are stored
-CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+#: Spec order of the code-length-code lengths: 16 (the repeat code)
+#: comes right after 5, NOT at the end. (r9 fix: with 16 misplaced at
+#: the tail, the decoder and the fixture encoder stayed perfectly
+#: self-consistent — only decoding a REAL libwebp stream, enabled by
+#: the ctypes oracle, exposed the transposition.)
+CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
 
 def canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
@@ -580,24 +588,102 @@ def decode_vp8l(payload: bytes):
     return out
 
 
+def decode_alpha(body: bytes, w: int, h: int):
+    """Decode an ALPH chunk (the alpha plane that accompanies a lossy
+    VP8 frame): 1-byte header (2 reserved / 2 preprocessing / 2
+    filtering / 2 compression bits), then either raw w*h bytes or a
+    VP8L-compressed image (headerless stream, alpha in the GREEN
+    channel), then the inverse of the horizontal / vertical /
+    gradient predictive filter."""
+    import numpy as np
+
+    if not body:
+        raise ValueError("ALPH: empty chunk")
+    hdr = body[0]
+    if hdr >> 6:
+        raise ValueError("ALPH: reserved bits set")
+    filt = (hdr >> 2) & 3
+    comp = hdr & 3
+    if comp == 0:
+        if len(body) < 1 + w * h:
+            raise ValueError("ALPH: raw plane truncated")
+        a = np.frombuffer(body[1 : 1 + w * h], np.uint8).reshape(h, w).astype(np.int32)
+    elif comp == 1:
+        br = BitReader(body[1:])
+        pixels, transforms, cur_w = _decode_image_stream(br, w, h, True)
+        for t in reversed(transforms):
+            if t[0] == "predictor":
+                _inverse_predictor(pixels, cur_w, h, t[1], t[2])
+            elif t[0] == "color":
+                _inverse_color_transform(pixels, cur_w, h, t[1], t[2])
+            elif t[0] == "subtract_green":
+                _inverse_subtract_green(pixels)
+            else:
+                pixels, cur_w = _inverse_color_indexing(
+                    pixels, cur_w, h, t[1], t[2], t[3]
+                )
+        arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+        a = ((arr >> 8) & 0xFF).astype(np.int32)  # alpha rides green
+    else:
+        raise ValueError(f"ALPH: unknown compression {comp}")
+    if filt:
+        # inverse predictive filter, sequential by construction
+        for r in range(h):
+            for c in range(w):
+                if filt == 1:  # horizontal
+                    pred = a[r, c - 1] if c else (a[r - 1, 0] if r else 0)
+                elif filt == 2:  # vertical
+                    pred = a[r - 1, c] if r else (a[0, c - 1] if c else 0)
+                else:  # gradient
+                    if r == 0:
+                        pred = a[0, c - 1] if c else 0
+                    elif c == 0:
+                        pred = a[r - 1, 0]
+                    else:
+                        g = int(a[r, c - 1]) + int(a[r - 1, c]) - int(a[r - 1, c - 1])
+                        pred = 0 if g < 0 else (255 if g > 255 else g)
+                a[r, c] = (a[r, c] + pred) & 0xFF
+    return a.astype(np.uint8)
+
+
 def decode_webp(content: bytes):
-    """RIFF walk → VP8L decode. Lossy VP8 / animation stay behind the
-    NotImplementedError plug-in boundary."""
+    """RIFF walk → VP8L (lossless) or VP8 keyframe (lossy, r9 —
+    operators/vp8.py, bit-exact against libwebp incl. the fancy-
+    upsampler RGB conversion) with optional ALPH alpha plane.
+    Animation (ANMF) stays behind the NotImplementedError boundary."""
+    import numpy as np
+
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     pos, end = 12, len(content)
     seen = []
+    alpha_body = None
     while pos + 8 <= end:
         tag = content[pos : pos + 4]
         (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
         body = content[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
             return decode_vp8l(body)
+        if tag == b"ALPH":
+            alpha_body = body
+        elif tag == b"VP8 ":
+            from rta_registrations_pyspark_glue_spark.operators.vp8 import (
+                decode_vp8,
+                yuv_to_rgb,
+            )
+
+            y, u, v = decode_vp8(body)
+            rgb = yuv_to_rgb(y, u, v)
+            if alpha_body is None:
+                return rgb
+            hh, ww = rgb.shape[:2]
+            a = decode_alpha(alpha_body, ww, hh)
+            return np.dstack([rgb, a])
         seen.append(tag.decode("ascii", "replace").strip())
         pos += 8 + size + (size & 1)
     raise NotImplementedError(
-        f"WebP container holds no lossless VP8L chunk (chunks: {seen}); "
-        "lossy VP8 / ANMF animation need an external codec (wire PIL here)"
+        f"WebP container holds no VP8L/VP8 image chunk (chunks: {seen}); "
+        "ANMF animation needs an external codec (wire PIL here)"
     )
 
 

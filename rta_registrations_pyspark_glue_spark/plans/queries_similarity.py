@@ -611,6 +611,56 @@ _MM_WEBP_ORACLE = """
     """
 
 
+#: Lossy VP8 decode, predicted ANALYTICALLY: the synthesized stream is
+#: a single DC16 macroblock with injected Y2/U/V dc tokens, so the
+#: decoded planes are Y = 128 + (((ty*y2dc+3)>>3)+4)>>3 (WHT spread +
+#: DC-only IDCT), U/V = 128 + ((t*uvdc+4)>>3) at q_index 40 (y2dc=74,
+#: uvdc=37), and RGB follows libwebp's fixed-point BT.601 — every
+#: shift mirrored below with // (floor division). All intermediates
+#: are positive at these token ranges; clamps kept for fidelity.
+_MM_VP8_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               1 + doc_id % 11 AS ty,
+               1 + (doc_id * 3) % 7 AS tu,
+               1 + (doc_id * 7) % 5 AS tv
+        FROM documents
+    ), planes AS (
+        SELECT doc_id,
+               128 + (((ty * 74 + 3) // 8) + 4) // 8 AS yv,
+               128 + (tu * 37 + 4) // 8 AS uv,
+               128 + (tv * 37 + 4) // 8 AS vv
+        FROM toks
+    ), rgb AS (
+        SELECT doc_id,
+               GREATEST(0, LEAST(255, ((yv*19077)//256 + (vv*26149)//256 - 14234) // 64)) AS r,
+               GREATEST(0, LEAST(255, ((yv*19077)//256 - (uv*6419)//256 - (vv*13320)//256 + 8708) // 64)) AS g,
+               GREATEST(0, LEAST(255, ((yv*19077)//256 + (uv*33050)//256 - 17685) // 64)) AS b
+        FROM planes
+    )
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(256 * (r + g + b) AS BIGINT) AS pixel_sum,
+           TRUE AS decode_ok
+    FROM rgb
+    """
+
+
+def multimodal_decode_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-WebP (VP8) decode through the Arrow/pandas path:
+    each doc gets a deterministic single-MB VP8 keyframe with injected
+    dc tokens (multimodal.synthesize_vp8_docs), the pure-Python
+    decoder (operators/vp8.py — bit-exact against libwebp, see
+    tests/test_vp8.py) runs bool-decode → token trees → dequant →
+    IWHT/IDCT → intra prediction → fancy-upsample RGB, and pixel_sum
+    verifies against the closed-form integer oracle — a probability-
+    table, transform, or RGB-conversion bug shifts every row."""
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.decode_image_features(multimodal.synthesize_vp8_docs(docs))
+
+
 def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless-WebP (VP8L) decode through the Arrow/pandas path:
     each doc gets a deterministic 4-color palette VP8L
@@ -663,6 +713,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'adpcm' AS kind, * FROM ({_MM_ADPCM_ORACLE})
     UNION ALL BY NAME
     SELECT 'msadpcm' AS kind, * FROM ({_MM_MSADPCM_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'vp8' AS kind, * FROM ({_MM_VP8_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +772,11 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     msa = multimodal_decode_msadpcm(spark, sf_dir).select(
         F.lit("msadpcm").alias("kind"), "*"
     )
+    # 'vp8' rows (round 9): LOSSY WebP decode against the closed-form
+    # token-injection oracle — the full keyframe pipeline per doc
+    lvp = multimodal_decode_vp8(spark, sf_dir).select(
+        F.lit("vp8").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -732,6 +789,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wbp, allowMissingColumns=True)
         .unionByName(adp, allowMissingColumns=True)
         .unionByName(msa, allowMissingColumns=True)
+        .unionByName(lvp, allowMissingColumns=True)
     )
 
 

@@ -72,9 +72,12 @@ def test_decode_image_dispatches_webp():
     assert out.shape == (4, 6, 4) and (out[:, :, 0] == 99).all()
 
 
-def test_lossy_vp8_stays_behind_boundary():
-    """The stdlib's python.webp is lossy (VP8+ALPH): the container
-    walks, finds no VP8L, and raises the documented plug-in boundary."""
+def test_lossy_vp8_with_alpha_decodes():
+    """The stdlib's python.webp is lossy (VP8X + ALPH + VP8): since r9
+    the full chain decodes natively — VP8 keyframe to YUV, fancy
+    upsample + fixed-point conversion to RGB, VP8L-compressed ALPH
+    plane stacked as the 4th channel. (Before r9 this file was the
+    documented NotImplementedError boundary.)"""
     import glob
 
     paths = glob.glob(
@@ -82,8 +85,11 @@ def test_lossy_vp8_stays_behind_boundary():
     )
     if not paths:
         pytest.skip("no lossy sample in container")
-    with pytest.raises(NotImplementedError, match="VP8L"):
-        W.decode_webp(open(paths[0], "rb").read())
+    out = W.decode_webp(open(paths[0], "rb").read())
+    assert out.shape == (16, 16, 4) and out.dtype.name == "uint8"
+    # the logo has real transparency and real color content
+    assert (out[..., 3] == 0).any() and (out[..., 3] == 255).any()
+    assert out[..., :3].std() > 10
 
 
 # -------------------- hand-built bitstream vectors --------------------
