@@ -101,8 +101,10 @@ SCOPES = {
     # round 8: multimodal_suite gains the 'webp' rows (VP8L lossless
     # decode over palette-mode WebPs) + 'adpcm' rows (IMA ADPCM WAV);
     # round 9: + 'msadpcm' rows (MS ADPCM two-tap predictor WAV),
-    # then + 'vp8' rows (LOSSY WebP keyframe decode, closed-form
-    # token-injection oracle) — scope 4
+    # + 'vp8' rows (LOSSY WebP keyframe decode, closed-form
+    # token-injection oracle), + 'flac' rows (FLAC rice/fixed-
+    # prediction/mid-side decode vs closed-form ramp polynomials)
+    # — one bump to 4 covering the round-9 additions
     "multimodal_suite": 4,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental

@@ -660,6 +660,45 @@ def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
 
 
+def synthesize_flac_docs(docs: DataFrame, n: int = 96) -> DataFrame:
+    """(doc_id, content): a deterministic STEREO FLAC per doc — linear
+    ramps ch0[i] = a0 + b0·i, ch1[i] = a1 + b1·i with
+    a0 = (doc_id·37) % 2000 − 1000, b0 = doc_id % 7 − 3,
+    a1 = (doc_id·53) % 1600 − 800,  b1 = (doc_id·3) % 5 − 2,
+    encoded with FIXED order-2 subframes (ramps predict exactly — the
+    residual stream is pure rice-coded zeros) under MID/SIDE stereo
+    decorrelation, one 96-sample frame. FLAC is lossless, so
+    sample_sum / sum_sq / n_clipped are closed-form polynomials in
+    (a, b, n) that the DuckDB oracle computes without parsing a bit —
+    while the Spark side runs the real decoder: STREAMINFO, frame
+    header + CRC-8, subframe trees, rice partitions, fixed
+    prediction, mid/side reconstruction, frame CRC-16."""
+    from rta_registrations_pyspark_glue_spark.operators.flac import encode_flac
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int, int, int], bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                key = ((d * 37) % 2000 - 1000, d % 7 - 3,
+                       (d * 53) % 1600 - 800, (d * 3) % 5 - 2)
+                if key not in cache:
+                    a0, b0, a1, b1 = key
+                    i = np.arange(n, dtype=np.int64)
+                    sig = np.stack([a0 + b0 * i, a1 + b1 * i], axis=-1)
+                    cache[key] = encode_flac(
+                        sig, 16000, bps=16, blocksize=n,
+                        mode="fixed2", stereo="mid_side",
+                    )
+                payloads.append(cache[key])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
+            )
+
+    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+
+
 def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     """(doc_id, content): a deterministic IMA-ADPCM WAV per doc holding
     a CONSTANT signal C = ((doc_id·29) % 4096 − 2048)·13. A constant
@@ -723,12 +762,25 @@ def synthesize_msadpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
 
 
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Format-dispatching audio decode: RIFF/WAVE (decode_wav — PCM,
+    float, G.711, IMA/MS ADPCM) or FLAC (operators/flac.py, r9 —
+    rice-coded fixed/LPC prediction with stereo decorrelation and
+    per-frame CRC verification). Returns (frames, sample_rate)."""
+    if content[:4] == b"fLaC":
+        from rta_registrations_pyspark_glue_spark.operators.flac import decode_flac
+
+        return decode_flac(content)
+    return decode_wav(content)
+
+
 def decode_audio_features(df: DataFrame) -> DataFrame:
-    """Decode the binary column with the REAL WAV parser and emit
-    sample-level features: frame count, rate, channel count, exact
-    integer sample sum, energy (Σ s² — the loudness/silence signal),
-    and the clipped-sample count (|s| ≥ CLIP_THRESHOLD — damaged-audio
-    detection); float payloads round-half-even to int64.
+    """Decode the binary column with the REAL audio parsers (WAV via
+    decode_wav, FLAC via operators/flac.py — dispatched on magic) and
+    emit sample-level features: frame count, rate, channel count,
+    exact integer sample sum, energy (Σ s² — the loudness/silence
+    signal), and the clipped-sample count (|s| ≥ CLIP_THRESHOLD —
+    damaged-audio detection); float payloads round-half-even to int64.
     Undecodable rows come back decode_ok=false with NULL features —
     a mixed-media corpus never kills the job."""
 
@@ -737,7 +789,7 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
             ns, rates, chs, sums, sqs, clips, oks = [], [], [], [], [], [], []
             for content in pdf["content"]:
                 try:
-                    frames, rate = decode_wav(bytes(content))
+                    frames, rate = decode_audio(bytes(content))
                     f64 = frames.astype(np.float64)
                     ns.append(frames.shape[0])
                     rates.append(rate)

@@ -529,6 +529,31 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.decode_audio_features(audio.synthesize_adpcm_docs(docs))
 
 
+#: FLAC (r9): stereo linear ramps under mid/side + fixed-2 subframes;
+#: losslessness makes the sums exact polynomials in (a, b) with
+#: n = 96, SUM(i) = 4560, SUM(i^2) = 290320.
+_MM_FLAC_ORACLE = """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id * 37) % 2000 - 1000 AS a0,
+               doc_id % 7 - 3 AS b0,
+               (doc_id * 53) % 1600 - 800 AS a1,
+               (doc_id * 3) % 5 - 2 AS b1
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(96 AS BIGINT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(2 AS INT) AS channels,
+           CAST(96 * (a0 + a1) + 4560 * (b0 + b1) AS BIGINT) AS sample_sum,
+           CAST(96 * (a0*a0 + a1*a1) + 2 * 4560 * (a0*b0 + a1*b1)
+                + 290320 * (b0*b0 + b1*b1) AS BIGINT) AS sum_sq,
+           CAST(0 AS BIGINT) AS n_clipped,
+           TRUE AS decode_ok
+    FROM p
+    """
+
+
 _MM_MSADPCM_ORACLE = """
     SELECT doc_id,
            CAST(64 AS BIGINT) AS n_samples,
@@ -543,6 +568,18 @@ _MM_MSADPCM_ORACLE = """
            TRUE AS decode_ok
     FROM documents
     """
+
+
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode through the Arrow/pandas path: each doc gets a
+    deterministic stereo ramp FLAC (audio.synthesize_flac_docs —
+    mid/side decorrelation + fixed order-2 prediction + rice-coded
+    residuals + CRC-8/CRC-16 verification on every document), and the
+    decoded sums verify against the oracle's closed-form ramp
+    polynomials — a bit-reader, rice, predictor, or stereo-
+    reconstruction bug shifts every row."""
+    docs = load_table(spark, "documents", sf_dir)
+    return audio.decode_audio_features(audio.synthesize_flac_docs(docs))
 
 
 def multimodal_decode_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +752,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'msadpcm' AS kind, * FROM ({_MM_MSADPCM_ORACLE})
     UNION ALL BY NAME
     SELECT 'vp8' AS kind, * FROM ({_MM_VP8_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'flac' AS kind, * FROM ({_MM_FLAC_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,6 +816,11 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvp = multimodal_decode_vp8(spark, sf_dir).select(
         F.lit("vp8").alias("kind"), "*"
     )
+    # 'flac' rows (round 9): lossless FLAC decode against closed-form
+    # ramp polynomials — rice/fixed-prediction/mid-side per doc
+    flc = multimodal_decode_flac(spark, sf_dir).select(
+        F.lit("flac").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -790,6 +834,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(adp, allowMissingColumns=True)
         .unionByName(msa, allowMissingColumns=True)
         .unionByName(lvp, allowMissingColumns=True)
+        .unionByName(flc, allowMissingColumns=True)
     )
 
 
