@@ -115,13 +115,14 @@ def decode_image(content: bytes) -> "np.ndarray":
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         from rta_registrations_pyspark_glue_spark.operators.webp import decode_webp
 
-        # lossless VP8L (r8) AND lossy VP8 keyframes + ALPH alpha (r9)
-        # decode natively; only ANMF animation raises inside
+        # the full WebP family decodes natively: lossless VP8L (r8),
+        # lossy VP8 keyframes + ALPH alpha (r9), and ANMF animation
+        # (r9 — first composited frame, the GIF convention)
         return decode_webp(content)
     raise NotImplementedError(
         f"unsupported image format (magic {content[:2]!r}); PPM/PGM/BMP/"
-        "JPEG(baseline+progressive)/PNG/GIF/TIFF/WebP (lossless VP8L + "
-        "lossy VP8 + alpha) decode natively — animated WebP needs an "
+        "JPEG(baseline+progressive)/PNG/GIF/TIFF/WebP (lossless + lossy "
+        "+ alpha + animation) decode natively — other formats need an "
         "external codec (wire PIL here)"
     )
 

@@ -9,9 +9,10 @@ Closes the last mainstream image-format gap named by the r7 verdict
 (modern web-scraped corpora are increasingly WebP). LOSSY WebP (VP8
 keyframes) decodes natively since r9 via operators/vp8.py — this
 module's decode_webp dispatches VP8 chunks there and also decodes the
-ALPH alpha plane (raw or VP8L-compressed + predictive filters), so
-still WebP of every flavor decodes; only ANMF animation remains
-behind the NotImplementedError boundary.
+ALPH alpha plane (raw or VP8L-compressed + predictive filters), and
+decode_webp_frames composites ANMF animations (blend/dispose
+semantics, per-frame durations), so the WebP family is COMPLETE —
+no plug-in boundary remains for this container.
 
 Correctness is pinned four ways: byte-level roundtrips through the
 fixture encoder (every feature path), hand-computed bit vectors for
@@ -646,22 +647,14 @@ def decode_alpha(body: bytes, w: int, h: int):
     return a.astype(np.uint8)
 
 
-def decode_webp(content: bytes):
-    """RIFF walk → VP8L (lossless) or VP8 keyframe (lossy, r9 —
-    operators/vp8.py, bit-exact against libwebp incl. the fancy-
-    upsampler RGB conversion) with optional ALPH alpha plane.
-    Animation (ANMF) stays behind the NotImplementedError boundary."""
+def _decode_frame_chunks(chunks):
+    """Decode one still image from an (ALPH?, VP8|VP8L) chunk pair —
+    the shared payload decoder for top-level stills and ANMF frames.
+    Returns an (h, w, 3|4) uint8 array."""
     import numpy as np
 
-    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
-        raise ValueError("not a WebP (RIFF/WEBP) container")
-    pos, end = 12, len(content)
-    seen = []
     alpha_body = None
-    while pos + 8 <= end:
-        tag = content[pos : pos + 4]
-        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
-        body = content[pos + 8 : pos + 8 + size]
+    for tag, body in chunks:
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"ALPH":
@@ -677,14 +670,159 @@ def decode_webp(content: bytes):
             if alpha_body is None:
                 return rgb
             hh, ww = rgb.shape[:2]
-            a = decode_alpha(alpha_body, ww, hh)
-            return np.dstack([rgb, a])
+            return np.dstack([rgb, decode_alpha(alpha_body, ww, hh)])
+    raise ValueError("frame holds no VP8/VP8L chunk")
+
+
+def decode_webp_frames(content: bytes):
+    """Decode an ANIMATED WebP (VP8X + ANIM + ANMF chunks, r9) to the
+    list of COMPOSITED canvases: [(rgba_array, duration_ms), ...].
+    Each ANMF subframe (own x/y offset, dimensions, VP8 or VP8L
+    payload, optional ALPH) is composited onto the canvas per its
+    blend flag (alpha-blend vs overwrite) and the PREVIOUS frame's
+    dispose flag (keep vs clear-to-background); the canvas starts
+    fully transparent per the spec's recommendation for independent
+    decoding. Still images come back as a single frame with
+    duration 0."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    pos, end = 12, len(content)
+    canvas_w = canvas_h = None
+    frames = []
+    pending = []  # non-ANMF chunks (still image)
+    while pos + 8 <= end:
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X":
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == b"ANMF":
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            blend_none = bool(flags & 2)  # 1 = do NOT blend
+            dispose_bg = bool(flags & 1)
+            sub = []
+            p2 = 16
+            while p2 + 8 <= len(body):
+                t2 = body[p2 : p2 + 4]
+                (s2,) = struct.unpack("<I", body[p2 + 4 : p2 + 8])
+                sub.append((t2, body[p2 + 8 : p2 + 8 + s2]))
+                p2 += 8 + s2 + (s2 & 1)
+            frames.append((fx, fy, fw, fh, dur, blend_none, dispose_bg, sub))
+        elif tag in (b"VP8 ", b"VP8L", b"ALPH"):
+            pending.append((tag, body))
+        pos += 8 + size + (size & 1)
+
+    if not frames:
+        img = _decode_frame_chunks(pending)
+        if img.shape[2] == 3:
+            img = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+        return [(img, 0)]
+
+    if canvas_w is None:
+        raise ValueError("ANMF frames without a VP8X canvas")
+    canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+    out = []
+    prev_dispose = False
+    prev_rect = None
+    for fx, fy, fw, fh, dur, blend_none, dispose_bg, sub in frames:
+        if prev_dispose and prev_rect is not None:
+            x0, y0, x1, y1 = prev_rect
+            canvas[y0:y1, x0:x1] = 0
+        img = _decode_frame_chunks(sub)
+        if img.shape[0] != fh or img.shape[1] != fw:
+            raise ValueError("ANMF frame size mismatch")
+        if img.shape[2] == 3:
+            img = np.dstack([img, np.full((fh, fw), 255, np.uint8)])
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        if blend_none:
+            region[:] = img
+        else:
+            # spec alpha-blend, integer premultiplied-free form
+            a = img[..., 3:4].astype(np.int32)
+            ca = region[..., 3:4].astype(np.int32)
+            oa = a + ca * (255 - a) // 255
+            safe = np.maximum(oa, 1)
+            rgb = (img[..., :3].astype(np.int32) * a
+                   + region[..., :3].astype(np.int32) * ca * (255 - a) // 255
+                   ) // safe
+            region[..., :3] = np.where(oa > 0, rgb, 0).astype(np.uint8)
+            region[..., 3:4] = oa.astype(np.uint8)
+        out.append((canvas.copy(), dur))
+        prev_dispose = dispose_bg
+        prev_rect = (fx, fy, fx + fw, fy + fh)
+    return out
+
+
+def decode_webp(content: bytes):
+    """RIFF walk → VP8L (lossless) or VP8 keyframe (lossy, r9 —
+    operators/vp8.py, bit-exact against libwebp incl. the fancy-
+    upsampler RGB conversion) with optional ALPH alpha plane; for
+    ANIMATED WebP (ANMF, r9) returns the FIRST composited frame, the
+    same convention as the GIF decoder."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    pos, end = 12, len(content)
+    seen = []
+    stills = []
+    while pos + 8 <= end:
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if tag == b"ANMF":
+            return decode_webp_frames(content)[0][0]
+        if tag in (b"VP8L", b"VP8 ", b"ALPH"):
+            stills.append((tag, body))
+            if tag != b"ALPH":
+                return _decode_frame_chunks(stills)
         seen.append(tag.decode("ascii", "replace").strip())
         pos += 8 + size + (size & 1)
-    raise NotImplementedError(
-        f"WebP container holds no VP8L/VP8 image chunk (chunks: {seen}); "
-        "ANMF animation needs an external codec (wire PIL here)"
+    raise ValueError(
+        f"WebP container holds no VP8L/VP8/ANMF image chunk (chunks: {seen})"
     )
+
+
+def wrap_webp_anim(canvas_w: int, canvas_h: int, frames) -> bytes:
+    """Fixture ANIMATED-WebP muxer: ``frames`` is a list of
+    (x, y, payload_chunks, duration_ms, blend_none, dispose_bg) where
+    payload_chunks is [(tag, body), ...] — e.g. a ('VP8L', ...) from
+    encode_webp's inner stream or a ('VP8 ', ...) from vp8_enc.
+    Emits VP8X (animation flag) + ANIM + one ANMF per frame. Frame
+    width/height are read from the payload headers by the decoder, so
+    they are encoded here from the caller-supplied dims in chunks[0]'s
+    stream; offsets must be even (stored /2 per spec)."""
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    vp8x = bytes([0x12, 0, 0, 0])  # animation + alpha hint flags
+    vp8x += (canvas_w - 1).to_bytes(3, "little")
+    vp8x += (canvas_h - 1).to_bytes(3, "little")
+    out = _chunk(b"VP8X", vp8x)
+    out += _chunk(b"ANIM", b"\x00\x00\x00\x00" + b"\x00\x00")  # bg, loops
+    for x, y, chunks, dur, blend_none, dispose_bg, fw, fh in frames:
+        body = bytearray()
+        body += (x // 2).to_bytes(3, "little")
+        body += (y // 2).to_bytes(3, "little")
+        body += (fw - 1).to_bytes(3, "little")
+        body += (fh - 1).to_bytes(3, "little")
+        body += int(dur).to_bytes(3, "little")
+        body += bytes([(2 if blend_none else 0) | (1 if dispose_bg else 0)])
+        for tag, cbody in chunks:
+            body += _chunk(tag, cbody)
+        out += _chunk(b"ANMF", bytes(body))
+    return b"RIFF" + (len(out) + 4).to_bytes(4, "little") + b"WEBP" + out
 
 
 # ------------------------------------------------------------------

@@ -92,6 +92,71 @@ def test_lossy_vp8_with_alpha_decodes():
     assert out[..., :3].std() > 10
 
 
+def _vp8l_body(img):
+    data = W.encode_webp(img)
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if tag == b"VP8L":
+            return data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8L chunk")
+
+
+def test_animation_composites_blend_and_dispose():
+    """ANMF compositing (r9): frame 1 paints the canvas; frame 2
+    overwrites a 4x4 region at an offset (blend_none); frame 2's
+    dispose_bg clears ONLY its rect before frame 3, which then
+    alpha-blends a fully-opaque patch (equivalent to overwrite)."""
+    import numpy as np
+
+    f1 = np.full((8, 8, 3), 50, np.uint8)
+    f2 = np.full((4, 4, 3), 200, np.uint8)
+    f3 = np.full((2, 2, 3), 99, np.uint8)
+    anim = W.wrap_webp_anim(8, 8, [
+        (0, 0, [(b"VP8L", _vp8l_body(f1))], 40, True, False, 8, 8),
+        (2, 2, [(b"VP8L", _vp8l_body(f2))], 60, True, True, 4, 4),
+        (0, 0, [(b"VP8L", _vp8l_body(f3))], 10, False, False, 2, 2),
+    ])
+    frames = W.decode_webp_frames(anim)
+    assert [d for _, d in frames] == [40, 60, 10]
+    c0, c1, c2 = (f for f, _ in frames)
+    assert (c0[..., :3] == 50).all()
+    assert (c1[2:6, 2:6, :3] == 200).all() and (c1[0, 0, :3] == 50).all()
+    # frame 2's rect was cleared to transparent before frame 3
+    assert (c2[2:6, 2:6, 3] == 0).all() and (c2[0:2, 0:2, :3] == 99).all()
+    assert (c2[6:, 6:, :3] == 50).all()  # untouched canvas survives
+    # decode_webp returns the FIRST composited frame (GIF convention)
+    assert np.array_equal(W.decode_webp(anim), c0)
+
+
+def test_animation_lossy_vp8_frames():
+    """ANMF frames can carry lossy VP8 payloads: a synthesized
+    single-MB keyframe decodes inside the animation to its closed-form
+    constant RGB."""
+    import numpy as np
+
+    from rta_registrations_pyspark_glue_spark.operators import vp8_enc
+
+    chunk = vp8_enc.synthesize_vp8_stream(40, 5, 4, 3)
+    anim = W.wrap_webp_anim(16, 16, [
+        (0, 0, [(b"VP8 ", chunk)], 25, True, False, 16, 16),
+    ])
+    frames = W.decode_webp_frames(anim)
+    assert len(frames) == 1 and frames[0][1] == 25
+    img = frames[0][0]
+    assert img.shape == (16, 16, 4)
+    assert (img[..., :3] == img[0, 0, :3]).all() and (img[..., 3] == 255).all()
+
+
+def test_animation_without_canvas_rejected():
+    bad = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + \
+        b"ANMF" + (16).to_bytes(4, "little") + b"\x00" * 16
+    with pytest.raises(ValueError):
+        W.decode_webp_frames(bad)
+
+
 # -------------------- hand-built bitstream vectors --------------------
 
 
