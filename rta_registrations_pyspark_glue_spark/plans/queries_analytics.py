@@ -88,26 +88,51 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_orders_year_segment",
+    "grouping_sets_suite",
     oracle="""
-    SELECT EXTRACT(year FROM o.o_orderdate)::INT AS order_year,
+    SELECT 'rollup' AS tag,
+           EXTRACT(year FROM o.o_orderdate)::INT AS order_year,
            c.c_mktsegment AS mktsegment,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY ROLLUP(order_year, mktsegment)
+    UNION ALL BY NAME
+    SELECT 'cube' AS tag,
+           EXTRACT(year FROM o_orderdate)::INT AS order_year,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (order_year, o_orderstatus)
     """,
 )
-def rollup_orders_year_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (A5 extension; Spark expands grouping sets
-    in a single aggregate — no extra pass per level)."""
+def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals + CUBE all-combination totals under one
+    union-tagged slot (A5 extension; Spark expands grouping sets in a
+    single aggregate per leg — no extra pass per level). Round 9
+    consolidates the former rollup_orders_year_segment and
+    cube_orders_year_status entries (their rows carried verbatim as the
+    'rollup'/'cube' legs) — the union-tag mechanism the gate's 50-slot
+    cap is designed for, freeing the oracle slot taken by
+    corpus_curation_pipeline."""
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-    return joined.rollup(
-        F.year("o_orderdate").alias("order_year"),
-        F.col("c_mktsegment").alias("mktsegment"),
-    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    r = (
+        joined.rollup(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .select(F.lit("rollup").alias("tag"), "*")
+    )
+    c = (
+        orders.cube(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .select(F.lit("cube").alias("tag"), "*")
+    )
+    return r.unionByName(c, allowMissingColumns=True)
 
 
 @register(

@@ -66,24 +66,9 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cube_orders_year_status",
-    oracle="""
-    SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year,
-           o_orderstatus,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM orders
-    GROUP BY CUBE (order_year, o_orderstatus)
-    """,
-)
-def cube_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 2^n grouping-set combinations in one aggregate pass
-    (completes the rollup/cube surface from SURVEY.md §2.4 A5)."""
-    orders = load_table(spark, "orders", sf_dir)
-    return orders.cube(
-        F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus")
-    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+# cube_orders_year_status moved into queries_analytics.grouping_sets_suite
+# (round 9) — the 'cube' union leg carries its rows verbatim; the freed
+# oracle slot went to corpus_curation_pipeline.
 
 
 _MULTISET_ORACLE = """

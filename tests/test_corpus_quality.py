@@ -691,3 +691,64 @@ def test_duplication_stats_fraction_and_keep(spark):
     # doc 1: 13 duplicated of 23 tokens
     assert out[1]["dup_tokens"] == 13 and out[1]["n_tokens"] == 23
     assert abs(out[1]["dup_fraction"] - 13 / 23) < 1e-12 and not out[1]["keep"]
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The curation composite (operators/curation.py): boilerplate-heavy
+    docs drop at the duplication stage and never reach clustering
+    (NULL cluster columns), near-dups among the survivors cluster and
+    elect the lowest-priority-value member, the split is cluster-keyed
+    (identical for every member), and final_keep = dup_keep AND
+    survivor."""
+    from rta_registrations_pyspark_glue_spark.operators import curation
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu"
+    ).split()
+    # 78 unique tokens: long enough that the drop-every-7th perturbation
+    # deterministically survives LSH banding (shorter texts miss every
+    # band with these md5-seeded minhashes — checked empirically).
+    toks = [words[i % 26] + str(i) for i in range(78)]
+    base = " ".join(toks)
+    # near-dup of doc 1: drop every 7th token -> no 8-token window
+    # survives (dup_fraction stays 0) but word-3-shingle Jaccard stays
+    # high enough for LSH + the 0.35 verification threshold.
+    near = " ".join(t for i, t in enumerate(toks) if (i + 1) % 7 != 0)
+    boiler = (
+        "terms of service apply to all content herein and any reproduction "
+        "requires written permission from the publisher of record"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, near),
+            (3, boiler),   # 100% duplicated with 4 -> dropped
+            (4, boiler),
+            (5, "wholly unrelated clean document text with nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    pri = spark.createDataFrame(
+        [(1, 5), (2, 1), (5, 2)], "doc_id bigint, priority int"
+    )
+    out = {r["doc_id"]: r for r in curation.curate_corpus(docs, pri).collect()}
+    assert len(out) == 5  # one row per INPUT doc
+    # stage 1: boilerplate pair dropped, with decision columns nulled
+    for d in (3, 4):
+        r = out[d]
+        assert r["dup_fraction"] == 1.0 and not r["dup_keep"]
+        assert r["cluster_id"] is None and r["survivor"] is None
+        assert r["split"] is None and not r["final_keep"]
+    # stage 2+3: docs 1,2 cluster together; priority 1 beats 5
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 2 and out[2]["keep_doc_id"] == 2
+    assert out[2]["survivor"] and not out[1]["survivor"]
+    assert out[2]["final_keep"] and not out[1]["final_keep"]
+    # stage 4: split is cluster-keyed -> identical within the cluster
+    assert out[1]["split"] == out[2]["split"] and out[1]["split"] in (
+        "train", "val", "test"
+    )
+    # clean singleton survives itself
+    assert out[5]["cluster_id"] == 5 and out[5]["survivor"] and out[5]["final_keep"]

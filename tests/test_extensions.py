@@ -609,12 +609,15 @@ def test_resize_media_deterministic_tile(spark, sf_dir):
 
 
 def test_decode_unsupported_format_raises():
-    # WebP remains the plug-in boundary (PIL slots in here); JPEG and
-    # PNG decode natively since round 7, so payloads with those magics
-    # that are merely truncated are MALFORMED streams (ValueError), not
-    # unsupported formats.
-    with pytest.raises(NotImplementedError):
+    # The WebP family decodes natively since r9 (lossless, lossy,
+    # alpha, animation), so — like JPEG and PNG below — a payload with
+    # the right magic but a truncated chunk is a MALFORMED stream
+    # (ValueError), not an unsupported format. Genuinely unsupported
+    # magics still raise NotImplementedError.
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00\x11unknown-magic-payload")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError):
