@@ -104,8 +104,10 @@ SCOPES = {
     # + 'vp8' rows (LOSSY WebP keyframe decode, closed-form
     # token-injection oracle), + 'flac' rows (FLAC rice/fixed-
     # prediction/mid-side decode vs closed-form ramp polynomials)
-    # — one bump to 4 covering the round-9 additions
-    "multimodal_suite": 4,
+    # — one bump to 4 covering those round-9 additions; then 5 for the
+    # 'avi' rows (RIFF container demux: MJPG + BI_RGB DIB frame decode
+    # with an interleaved-PCM audio leg, doc_id % 8 ∈ {2,5} subset)
+    "multimodal_suite": 5,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental
     # substring dedup, oracle-consolidated under the 50-query cap)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from rta_registrations_pyspark_glue_spark.caching import register_release_hook
 from rta_registrations_pyspark_glue_spark.operators import (
     audio,
+    avi,
     multimodal,
     similarity,
     video,
@@ -728,6 +729,50 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(multimodal.synthesize_ppm_docs(docs))
 
 
+#: AVI container demux (r9): MJPG (even doc_id — solid frames, DC-only
+#: exact) and BI_RGB DIB (odd — per-pixel formula, bottom-up + stride),
+#: each with an interleaved mono PCM track the demux must route through
+#: the WAV sample decoders. Subset doc_id % 8 ∈ {2, 5} (one even, one
+#: odd residue = both codecs at a quarter of the corpus cost, the same
+#: budget convention as the other r9 codec kinds).
+_MM_AVI_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(2 AS INT) AS n_frames,
+           CASE WHEN doc_id % 2 = 0 THEN 'MJPG' ELSE 'DIB ' END AS codec,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 3 * 256 * (((doc_id * 37) % 256)
+                                + ((doc_id * 37 + 11) % 256))
+                ELSE list_sum(list_transform(range(0, 1536), i ->
+                     (doc_id * 7 + (i // 768) * 11
+                      + ((i % 768) // 3) * 3 + (i % 3)) % 256))
+                END AS BIGINT) AS pix_sum,
+           CAST(64 AS BIGINT) AS n_audio,
+           CAST(list_sum(list_transform(range(0, 64), s ->
+                ((doc_id * 3 + s) % 256 - 128) * 4)) AS BIGINT) AS audio_sum,
+           TRUE AS decode_ok
+    FROM documents WHERE doc_id % 8 = 2 OR doc_id % 8 = 5
+    """
+
+
+def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI container demux through the Arrow/pandas path (r9):
+    each doc gets a two-stream interleaved AVI (avi.synthesize_avi_docs
+    — MJPG solid frames for even ids, per-pixel BI_RGB DIBs for odd,
+    both with a mono PCM track), the RIFF walker (operators/avi.py)
+    parses hdrl/strl/movi, decodes frames via the JPEG decoder or the
+    bottom-up DIB path, routes 01wb chunks through the WAV sample
+    decoders, and the pixel/audio sums verify against the closed-form
+    oracle — a chunk-walk, stride, row-order, or stream-routing bug
+    shifts every row. The missing-DHT Annex K convention is pinned
+    separately by hand-built entropy vectors (tests/test_avi.py)."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 8 == 2) | (F.col("doc_id") % 8 == 5)
+    )
+    return avi.decode_avi_features(avi.synthesize_avi_docs(docs))
+
+
 @register(
     "multimodal_suite",
     oracle=f"""
@@ -758,6 +803,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'vp8' AS kind, * FROM ({_MM_VP8_ORACLE})
     UNION ALL BY NAME
     SELECT 'flac' AS kind, * FROM ({_MM_FLAC_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'avi' AS kind, * FROM ({_MM_AVI_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +872,11 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     flc = multimodal_decode_flac(spark, sf_dir).select(
         F.lit("flac").alias("kind"), "*"
     )
+    # 'avi' rows (round 9): container video — RIFF demux, MJPG + DIB
+    # frame decode, interleaved-PCM routing against closed-form sums
+    avr = multimodal_decode_avi(spark, sf_dir).select(
+        F.lit("avi").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -839,6 +891,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(msa, allowMissingColumns=True)
         .unionByName(lvp, allowMissingColumns=True)
         .unionByName(flc, allowMissingColumns=True)
+        .unionByName(avr, allowMissingColumns=True)
     )
 
 

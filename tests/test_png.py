@@ -151,8 +151,9 @@ def test_decode_image_dispatches_png():
     img = RNG.integers(0, 256, (6, 6, 3), dtype=np.uint8)
     out = decode_image(encode_png(img))
     assert (out == img).all()
-    # WebP stays behind the NotImplementedError plug-in boundary
-    with pytest.raises(NotImplementedError):
+    # WebP dispatches to the native decoder (r8 VP8L / r9 VP8) — a
+    # truncated container is a malformed-payload error, not a boundary
+    with pytest.raises(ValueError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
