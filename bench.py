@@ -106,7 +106,10 @@ SCOPES = {
     # prediction/mid-side decode vs closed-form ramp polynomials)
     # — one bump to 4 covering those round-9 additions; then 5 for the
     # 'avi' rows (RIFF container demux: MJPG + BI_RGB DIB frame decode
-    # with an interleaved-PCM audio leg, doc_id % 8 ∈ {2,5} subset)
+    # with an interleaved-PCM audio leg, doc_id % 8 ∈ {2,5} subset) and
+    # the 'mediameta' rows (typed MP4/MKV/MP3/Ogg container metadata
+    # without frame decode — box walk, EBML, frame-header math, page
+    # CRC — over the full corpus; header parsing is cheap)
     "multimodal_suite": 5,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental

@@ -15,6 +15,7 @@ from rta_registrations_pyspark_glue_spark.caching import register_release_hook
 from rta_registrations_pyspark_glue_spark.operators import (
     audio,
     avi,
+    mediameta,
     multimodal,
     similarity,
     video,
@@ -773,6 +774,68 @@ def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avi.decode_avi_features(avi.synthesize_avi_docs(docs))
 
 
+#: Media METADATA extraction (r9): the containers whose frame decode
+#: is out of native scope but whose metadata is what a curation pass
+#: filters on — MP4 box walk, MKV/WebM EBML walk, MP3 frame-header +
+#: Xing math, Ogg/Opus page walk with the real page CRC. One format
+#: per doc by residue; every field a closed form of doc_id.
+_MM_MEDIAMETA_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mkv'
+                WHEN 2 THEN 'mp3' ELSE 'ogg' END AS container,
+           CASE doc_id % 4
+                WHEN 0 THEN 'isom'
+                WHEN 1 THEN CASE WHEN doc_id % 8 = 1
+                                 THEN 'webm' ELSE 'matroska' END
+                WHEN 2 THEN NULL ELSE 'opus' END AS brand,
+           CAST(CASE doc_id % 4
+                WHEN 0 THEN (doc_id * 7) % 5000 + 1000
+                WHEN 1 THEN (doc_id * 11) % 9000 + 500
+                WHEN 2 THEN (10 + doc_id % 20) * 1152 * 1000 // 44100
+                ELSE (4800 + (doc_id % 100) * 480) // 48
+                END AS BIGINT) AS duration_ms,
+           CAST(CASE doc_id % 4
+                WHEN 0 THEN 320 + (doc_id % 16) * 8
+                WHEN 1 THEN 160 + (doc_id % 32) * 4
+                ELSE NULL END AS INT) AS width,
+           CAST(CASE doc_id % 4
+                WHEN 0 THEN 240 + (doc_id % 9) * 16
+                WHEN 1 THEN 120 + (doc_id % 20) * 8
+                ELSE NULL END AS INT) AS height,
+           CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'V_VP9'
+                ELSE NULL END AS video_codec,
+           CASE doc_id % 4 WHEN 0 THEN 'mp4a' WHEN 1 THEN 'A_OPUS'
+                WHEN 2 THEN 'mp3' ELSE 'opus' END AS audio_codec,
+           CAST(CASE WHEN doc_id % 4 <= 1 THEN 2 ELSE 1 END AS INT)
+               AS n_tracks,
+           CAST(CASE doc_id % 4 WHEN 2 THEN 44100 WHEN 3 THEN 48000
+                ELSE NULL END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 2
+                THEN list_extract([64, 96, 128, 192],
+                                  CAST((doc_id // 4) % 4 AS INT) + 1)
+                ELSE NULL END AS INT) AS bitrate_kbps,
+           TRUE AS parse_ok
+    FROM documents
+    """
+
+
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media-metadata extraction through the Arrow/pandas path
+    (r9): each doc gets a spec-shaped container by residue
+    (mediameta.synthesize_media_docs — minimal MP4 box tree, EBML
+    MKV/WebM, MP3 CBR frame run, CRC-carrying Ogg Opus pages), the
+    real parsers (operators/mediameta.py) walk boxes / EBML vints /
+    frame headers / pages, and every extracted field verifies against
+    the closed-form oracle — duration math (timescales, granule
+    clocks, samples-per-frame), 16.16 fixed dims, codec fourccs, and
+    the Ogg CRC all pinned per document. This is the 100 TB
+    curation-first contract: metadata never requires frame decode."""
+    docs = load_table(spark, "documents", sf_dir)
+    return mediameta.extract_media_meta_features(
+        mediameta.synthesize_media_docs(docs)
+    )
+
+
 @register(
     "multimodal_suite",
     oracle=f"""
@@ -805,6 +868,8 @@ def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'flac' AS kind, * FROM ({_MM_FLAC_ORACLE})
     UNION ALL BY NAME
     SELECT 'avi' AS kind, * FROM ({_MM_AVI_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'mediameta' AS kind, * FROM ({_MM_MEDIAMETA_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,6 +942,11 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     avr = multimodal_decode_avi(spark, sf_dir).select(
         F.lit("avi").alias("kind"), "*"
     )
+    # 'mediameta' rows (round 9): typed container metadata — MP4/MKV/
+    # MP3/Ogg parsed without frame decode, every field closed-form
+    med = multimodal_media_meta(spark, sf_dir).select(
+        F.lit("mediameta").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -892,6 +962,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lvp, allowMissingColumns=True)
         .unionByName(flc, allowMissingColumns=True)
         .unionByName(avr, allowMissingColumns=True)
+        .unionByName(med, allowMissingColumns=True)
     )
 
 
