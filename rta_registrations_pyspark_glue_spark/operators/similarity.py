@@ -1177,13 +1177,32 @@ def ivf_build(
         if train_sample_mod <= 1
         else corpus.filter(F.col(corpus_id) % train_sample_mod == 0)
     )
+    hierarchical_training = False
     if distributed_training is None and train_iters > 0 and centroids is None:
         from rta_registrations_pyspark_glue_spark.io import estimate_plan_bytes
 
         est_flops = train_iters * 2.0 * n_pivots * estimate_plan_bytes(train_src) / 5.0
         distributed_training = est_flops > _DIST_TRAIN_MIN_FLOPS
+        # past another decade of flops, even the distributed flat
+        # trainer's sample·k·d is the N² build wall (sf15→sf45
+        # measured 13.3× for 3× N) — route to the two-level N^1.5
+        # trainer; the threshold keeps every corpus with a recorded
+        # third-decade number (and every oracle corpus) on the flat
+        # path the bit-identity tests pin
+        hierarchical_training = (
+            est_flops > _HIER_TRAIN_MIN_FLOPS
+            and n_pivots > _HIER_ASSIGN_MIN_CELLS
+        )
     if centroids is not None:
         cents = centroids
+    elif train_iters > 0 and hierarchical_training:
+        cents = train_ivf_centroids_hierarchical(
+            train_src,
+            n_pivots=n_pivots,
+            iters=train_iters,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+        )
     elif train_iters > 0 and distributed_training:
         cents = train_ivf_centroids_distributed(
             train_src,
@@ -1395,6 +1414,259 @@ _HIER_SUPER_PROBE = 2
 #: twin wins on parallelism (sf15 measured 51s driver vs the same
 #: flops spread across 32 Arrow tasks).
 _DIST_TRAIN_MIN_FLOPS = 4e9
+
+#: Estimated k-means training flops past which ivf_build auto-routes
+#: to the HIERARCHICAL trainer (r9, fourth-decade finding): the flat
+#: trainer's per-iteration cost is sample·k·d, and with both sample
+#: and k ∝ N that is the build path's N² term — measured sf15→sf45
+#: train 25.4s→338.5s (13.3× for 3× N ≈ the 9× flop ratio plus
+#: overhead). Two-level training cuts it to ~sample·(√k + k/√k)·d ∝
+#: N^1.5. The threshold sits one decade above _DIST_TRAIN_MIN_FLOPS
+#: so the third-decade corpora (sf15 ≈ 3.7e10 est. flops) keep the
+#: flat distributed trainer their recorded numbers and bit-identity
+#: tests pin, while sf45 (≈ 3.3e11) crosses over.
+_HIER_TRAIN_MIN_FLOPS = 1e11
+
+
+def train_ivf_centroids_hierarchical(
+    corpus: DataFrame,
+    n_pivots: int = 8,
+    iters: int = 2,
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+    quant_scale: int = 1000,
+) -> list[tuple[int, list[float]]]:
+    """Two-level spherical k-means — the N^1.5 trainer for the regime
+    where sample AND k grow with N and the flat trainer's sample·k·d
+    per-iteration flops are the build wall (FAISS-IMI's shape, applied
+    to TRAINING rather than assignment):
+
+    1. train ``n_supers = ceil(√k)`` super-centroids with the flat
+       distributed trainer (flops sample·√k·d·iters);
+    2. assign the sample to supers ONCE (sample·√k·d), persist the
+       super id alongside the vector;
+    3. apportion the k children across supers by member count
+       (largest-remainder, every non-empty super ≥ 1, deterministic),
+       init each super's children from its lowest-id members, and run
+       Lloyd iterations where a row scores ONLY its super's children —
+       Σ_s members_s·k_s·d ≈ sample·(k/√k)·d per iteration.
+
+    NOT bit-identical to the flat trainer (different algorithm — the
+    same declared boundary as assign_cells_hierarchical): engaged only
+    past _HIER_TRAIN_MIN_FLOPS, an order of magnitude beyond any
+    oracle-checked corpus; quality is pinned by search-overlap tests
+    (tests/test_extensions.py) and the within-super Lloyd math reuses
+    the flat trainer's conventions exactly — stable cell-ascending
+    argmax tie-break, int64 quantized partial sums (associative, so
+    partition order cannot matter), one IEEE division per component
+    driver-side, empty cells dropped."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    n_supers = max(2, int(math.ceil(math.sqrt(n_pivots))))
+    sup_cents = train_ivf_centroids_distributed(
+        corpus,
+        n_pivots=n_supers,
+        iters=iters,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        quant_scale=quant_scale,
+    )
+    if not sup_cents:
+        return []
+    _, sup_m, sup_nrm = _centroid_arrays(np, sup_cents)
+
+    base = (
+        corpus.select(
+            F.col(corpus_id).alias("__id"), as_double(corpus_vec).alias("__cv")
+        )
+        .withColumn("__cn", dot("__cv", "__cv"))
+        .filter(F.col("__cn") > 0)
+    )
+    from rta_registrations_pyspark_glue_spark.io import estimate_plan_bytes
+
+    est = estimate_plan_bytes(base) / 5.0
+    base = spread_for_gemm(base, iters * 2.0 * (n_pivots / n_supers) * est)
+
+    sup_schema = StructType(
+        [
+            StructField("__id", LongType()),
+            StructField("__cv", ArrayType(DoubleType())),
+            StructField("__cn", DoubleType()),
+            StructField("__sup", LongType()),
+        ]
+    )
+
+    def tag_super(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+            sqrtn = np.sqrt(pdf["__cn"].to_numpy())
+            order = _negcos_order_gemm(np, mat, sqrtn, sup_m, sup_nrm, 1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__cv": pdf["__cv"],
+                    "__cn": pdf["__cn"],
+                    "__sup": order[:, 0].astype(np.int64),
+                }
+            )
+
+    tagged = tracked_persist(base.mapInPandas(tag_super, sup_schema))
+
+    # Overflow/exactness guard — the same bound as both flat trainers.
+    qabs = F.array_max(
+        F.transform(
+            "__cv", lambda x: F.abs(F.floor(x * F.lit(float(quant_scale)) + 0.5))
+        )
+    )
+    stats = tagged.agg(
+        F.count(F.lit(1)).alias("n"), F.max(qabs).alias("maxq")
+    ).collect()[0]
+    n_rows, max_q = int(stats["n"]), int(stats["maxq"] or 0)
+    if max_q * n_rows >= (1 << 53):
+        raise ValueError(
+            "train_ivf_centroids_hierarchical: quantized magnitudes too "
+            "large for exact int64/float64 centroid math — lower quant_scale."
+        )
+
+    counts = {
+        int(r["__sup"]): int(r["cnt"])
+        for r in tagged.groupBy("__sup").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    if not counts:
+        return []
+    total = sum(counts.values())
+    sups = sorted(counts)
+    # Largest-remainder apportionment: floor shares, every non-empty
+    # super at least 1 (capped by member count), leftovers to the
+    # largest fractional remainders (ties by super id — deterministic).
+    shares = {
+        s: min(counts[s], max(1, n_pivots * counts[s] // total)) for s in sups
+    }
+    remainders = sorted(
+        sups,
+        key=lambda s: (-(n_pivots * counts[s] % total), s),
+    )
+    i = 0
+    while sum(shares.values()) < min(n_pivots, total) and i < 4 * len(sups):
+        s = remainders[i % len(sups)]
+        if shares[s] < counts[s]:
+            shares[s] += 1
+        i += 1
+    # the ≥1 minimum can overshoot k when many supers are tiny — trim
+    # from the smallest-remainder end, never below 1
+    for s in reversed(remainders):
+        if sum(shares.values()) <= n_pivots:
+            break
+        if shares[s] > 1:
+            shares[s] -= 1
+
+    rn = F.row_number().over(
+        Window.partitionBy("__sup").orderBy(F.col("__id"))
+    )
+    share_col = F.create_map(
+        *[F.lit(x) for kv in shares.items() for x in kv]
+    )
+    init_rows = (
+        tagged.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= share_col[F.col("__sup")])
+        .select("__sup", "__id", "__cv")
+        .collect()
+    )
+    # children per super, cell-ascending (cell id = init vector id —
+    # the flat trainer's labeling convention, distinct by construction)
+    children: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in init_rows:
+        children.setdefault(int(r["__sup"]), []).append(
+            (int(r["__id"]), [float(x) for x in r["__cv"]])
+        )
+    for s in children:
+        children[s].sort()
+
+    partial_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("cnt", LongType()),
+            StructField("sums", ArrayType(LongType())),
+        ]
+    )
+
+    def make_partials(child_map):
+        arrays = {
+            s: _centroid_arrays(np, cl) for s, cl in child_map.items() if cl
+        }
+
+        def op(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sup_ids = pdf["__sup"].to_numpy()
+                mat = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+                sqrtn = np.sqrt(pdf["__cn"].to_numpy())
+                q = np.floor(mat * float(quant_scale) + 0.5).astype(np.int64)
+                rows = {"cell": [], "cnt": [], "sums": []}
+                for s in np.unique(sup_ids):
+                    if int(s) not in arrays:
+                        continue
+                    cells, cent_m, cent_nrm = arrays[int(s)]
+                    sel = np.nonzero(sup_ids == s)[0]
+                    sub = mat[sel]
+                    acc = sub @ cent_m.T
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        negcos = -(acc / np.outer(sqrtn[sel], cent_nrm))
+                    order = np.argsort(negcos, axis=1, kind="stable")
+                    win = order[:, 0]
+                    valid = ~np.isnan(negcos[np.arange(len(win)), win])
+                    if not valid.any():
+                        continue
+                    qs = q[sel]
+                    for c in np.unique(win[valid]):
+                        mask = valid & (win == c)
+                        rows["cell"].append(int(cells[c]))
+                        rows["cnt"].append(int(mask.sum()))
+                        rows["sums"].append(qs[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(rows)
+
+        return op
+
+    def reduce_cell(pdf):
+        arr = np.stack(pdf["sums"].map(np.asarray)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "cnt": [int(pdf["cnt"].sum())],
+                "sums": [arr.sum(axis=0).tolist()],
+            }
+        )
+
+    cell_to_sup = {
+        cid: s for s, cl in children.items() for cid, _ in cl
+    }
+    for _ in range(iters):
+        partials = tagged.mapInPandas(make_partials(children), partial_schema)
+        final = partials.groupBy("cell").applyInPandas(reduce_cell, partial_schema)
+        rows = final.collect()
+        new_children: dict[int, list[tuple[int, list[float]]]] = {}
+        for r in rows:
+            cid = int(r["cell"])
+            vec = [int(x) / int(r["cnt"]) for x in r["sums"]]
+            new_children.setdefault(cell_to_sup[cid], []).append((cid, vec))
+        for s in new_children:
+            new_children[s].sort()
+        children = new_children
+
+    return sorted(c for cl in children.values() for c in cl)
 
 
 def _cluster_centroids(np, centroids, n_super: int, iters: int = 4):

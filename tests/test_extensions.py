@@ -1708,3 +1708,68 @@ def test_ivf_search_gemm_probe_ranking(spark, monkeypatch):
     }
     assert gemm == flat
     caching.release_tracked()
+
+
+def test_kmeans_hierarchical_valid_and_deterministic(spark):
+    """The two-level trainer (the fourth-decade N^1.5 build path —
+    engaged past _HIER_TRAIN_MIN_FLOPS where sample·k·d flat training
+    is the measured N² wall) returns a well-formed centroid list:
+    ≤ n_pivots cells, distinct ids, right dimensionality — and is
+    fully deterministic (super training reuses the bit-pinned
+    distributed trainer; apportionment is largest-remainder with id
+    tie-breaks; within-super Lloyd uses exact int64 partial sums)."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    a = similarity.train_ivf_centroids_hierarchical(corpus, n_pivots=16, iters=2)
+    b = similarity.train_ivf_centroids_hierarchical(corpus, n_pivots=16, iters=2)
+    assert a == b, "hierarchical trainer is not deterministic"
+    assert 0 < len(a) <= 16
+    ids = [c for c, _ in a]
+    assert len(set(ids)) == len(ids) and ids == sorted(ids)
+    dim = len(a[0][1])
+    assert all(len(v) == dim for _, v in a)
+    caching.release_tracked()
+
+
+def test_kmeans_hierarchical_full_probe_search_exact(spark):
+    """Search correctness is independent of centroid QUALITY: with
+    nprobe = every cell, an index built on hierarchical centroids must
+    return exactly the brute-force top-k (same cosine fold, same
+    (cosine DESC, cid ASC) total order). Pins that the trainer's
+    output is a drop-in centroids list for ivf_build/ivf_search."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = similarity.train_ivf_centroids_hierarchical(corpus, n_pivots=12, iters=2)
+    idx = similarity.ivf_build(corpus, centroids=cents)
+    got = {
+        (r["qid"], r["cid"], r["rank"])
+        for r in similarity.ivf_search(idx, q, k=5, nprobe=len(cents)).collect()
+    }
+    want = {
+        (r["qid"], r["cid"], r["rank"])
+        for r in similarity.brute_force_topk(q, corpus, k=5).collect()
+    }
+    assert got == want
+    caching.release_tracked()
+
+
+def test_ivf_build_never_hierarchical_training_at_gate_scale(spark):
+    """The auto-dispatch requires BOTH the flop bound (1e11 — four
+    orders above any gate corpus) and n_pivots > _HIER_ASSIGN_MIN_CELLS;
+    gate corpora must keep the flat trainers their oracle mirrors and
+    bit-identity tests pin."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    flat = similarity.train_ivf_centroids(corpus, n_pivots=8, iters=2)
+    idx = similarity.ivf_build(corpus, n_pivots=8, train_iters=2)
+    assert idx.centroids == flat
+    caching.release_tracked()

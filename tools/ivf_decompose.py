@@ -27,7 +27,18 @@ from pyspark.sql import functions as F
 
 
 def main() -> None:
-    dirs = sys.argv[1:] or ["/root/repo/.scale/sf5", "/root/repo/.scale/sf15"]
+    # --search-passes N (default 1): repeat the timed search N times on
+    # the SAME built index and report each pass — §10's session-warm-up
+    # finding (first search of a session costs 3-4x steady state) means
+    # one-pass numbers conflate warm-up with scaling; pass 2+ is the
+    # steady-state number cross-decade exponents should use.
+    args = sys.argv[1:]
+    passes = 1
+    if "--search-passes" in args:
+        i = args.index("--search-passes")
+        passes = int(args[i + 1])
+        del args[i : i + 2]
+    dirs = args or ["/root/repo/.scale/sf5", "/root/repo/.scale/sf15"]
     spark = get_spark("ivf_decompose")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for sf in dirs:
@@ -47,17 +58,21 @@ def main() -> None:
         idx = similarity.ivf_build(c, centroids=cents)
         idx.assignment.write.format("noop").mode("overwrite").save()
         t2 = time.perf_counter()
-        out = similarity.ivf_search(idx, q, k=5, nprobe=nprobe)
-        out.write.format("noop").mode("overwrite").save()
-        t3 = time.perf_counter()
+        search_times = []
+        for _ in range(passes):
+            ts = time.perf_counter()
+            out = similarity.ivf_search(idx, q, k=5, nprobe=nprobe)
+            out.write.format("noop").mode("overwrite").save()
+            search_times.append(time.perf_counter() - ts)
         strategy = (
             "hierarchical"
             if k > similarity._HIER_ASSIGN_MIN_CELLS
             else ("vectorized" if k > similarity._VEC_ASSIGN_MIN_CELLS else "expression")
         )
+        searches = " ".join(f"search{i + 1}={t:.1f}s" for i, t in enumerate(search_times))
         print(
             f"{sf}: n={n} k={k} nprobe={nprobe} assign_strategy={strategy} "
-            f"train={t1 - t0:.1f}s assign={t2 - t1:.1f}s search={t3 - t2:.1f}s"
+            f"train={t1 - t0:.1f}s assign={t2 - t1:.1f}s {searches}"
         )
         caching.release_tracked()
     spark.stop()

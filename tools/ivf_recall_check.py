@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--dir", default="/root/repo/.scale/sf1")
     ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument(
+        "--trainer", choices=("flat", "hierarchical"), default="flat",
+        help="coarse-quantizer trainer: 'hierarchical' forces the "
+        "two-level N^1.5 trainer regardless of the flop dispatch, so "
+        "its recall can be compared against the flat trainer's at the "
+        "same nprobe (the §11 quality evidence)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("ivf-recall")
@@ -49,7 +56,15 @@ def main() -> None:
         (r.qid, r.cid)
         for r in similarity.brute_force_topk_fast(q, c, k=args.k).collect()
     }
-    idx = similarity.ivf_build(c, n_pivots=n_pivots, train_iters=2, train_sample_mod=4)
+    if args.trainer == "hierarchical":
+        cents = similarity.train_ivf_centroids_hierarchical(
+            c.filter(F.col("cid") % 4 == 0), n_pivots=n_pivots, iters=2
+        )
+        idx = similarity.ivf_build(c, centroids=cents)
+    else:
+        idx = similarity.ivf_build(
+            c, n_pivots=n_pivots, train_iters=2, train_sample_mod=4
+        )
     approx = {
         (r.qid, r.cid)
         for r in similarity.ivf_search(idx, q, k=args.k, nprobe=args.nprobe).collect()
@@ -63,6 +78,8 @@ def main() -> None:
                 "n_pivots": n_pivots,
                 "nprobe": args.nprobe,
                 "k": args.k,
+                "trainer": args.trainer,
+                "n_cells": len(idx.centroids),
                 "recall": round(recall, 4),
             }
         )
