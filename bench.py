@@ -109,7 +109,9 @@ SCOPES = {
     # with an interleaved-PCM audio leg, doc_id % 8 ∈ {2,5} subset) and
     # the 'mediameta' rows (typed MP4/MKV/MP3/Ogg container metadata
     # without frame decode — box walk, EBML, frame-header math, page
-    # CRC — over the full corpus; header parsing is cheap)
+    # CRC — over the full corpus; header parsing is cheap) and the
+    # 'doctext' rows (PDF classic-xref + xref-stream/ObjStm and DOCX
+    # text extraction, the hash pinning the extracted text itself)
     "multimodal_suite": 5,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental

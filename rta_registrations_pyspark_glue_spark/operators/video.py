@@ -226,9 +226,9 @@ def decode_video_features(df: DataFrame) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
-    """REAL frame sampling over decoded Y4M clips AND animated GIFs
-    (dispatched by magic; GIF frames reduce to an integer ITU-R 601
-    luma plane) — the one-to-many
+    """REAL frame sampling over decoded Y4M clips, animated GIFs, AND
+    AVI containers (dispatched by magic; GIF/AVI RGB frames reduce to
+    an integer ITU-R 601 luma plane) — the one-to-many
     mapInPandas shape with actual video frames (vs the byte-chunk
     sampler multimodal.sample_frames keeps for opaque payloads): every
     ``every_k``-th frame emits (frame_idx, Y-plane sum, Y-plane md5).
@@ -253,6 +253,24 @@ def sample_video_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
                         frames = []
                         for f in g["frames"]:
                             rgb = f["image"][:, :, :3].astype(np.int64)
+                            yp = (
+                                (299 * rgb[:, :, 0]
+                                 + 587 * rgb[:, :, 1]
+                                 + 114 * rgb[:, :, 2]) // 1000
+                            ).astype(np.uint8)
+                            frames.append((yp, None, None))
+                        clip = {"frames": frames}
+                    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        # container video (r9): MJPG/DIB frames through
+                        # the AVI demux, same integer-luma reduction
+                        from rta_registrations_pyspark_glue_spark.operators.avi import (
+                            decode_avi,
+                        )
+
+                        a = decode_avi(b)
+                        frames = []
+                        for f in a["frames"]:
+                            rgb = f.astype(np.int64)
                             yp = (
                                 (299 * rgb[:, :, 0]
                                  + 587 * rgb[:, :, 1]

@@ -15,6 +15,7 @@ from rta_registrations_pyspark_glue_spark.caching import register_release_hook
 from rta_registrations_pyspark_glue_spark.operators import (
     audio,
     avi,
+    doctext,
     mediameta,
     multimodal,
     similarity,
@@ -836,6 +837,48 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Document TEXT extraction (r9): PDF (classic xref for doc_id%4==0;
+#: xref STREAM + ObjStm for %4==1 — the PDF-1.5 parser path runs
+#: inside the gate, not just pytest) and DOCX (%4 in {2,3}); the
+#: extracted text itself is the closed form the hash pins.
+_MM_DOCTEXT_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 <= 1 THEN 'pdf' ELSE 'docx' END AS fmt,
+           CAST(CASE WHEN doc_id % 4 <= 1 THEN 1 + doc_id % 3
+                ELSE NULL END AS INT) AS n_pages,
+           CASE WHEN doc_id % 4 <= 1
+                THEN array_to_string(list_transform(
+                     range(0, 1 + doc_id % 3), p ->
+                     'Doc ' || doc_id || ' page ' || p || ' alpha '
+                     || ((doc_id * 13 + p) % 997)), chr(12))
+                ELSE array_to_string(list_transform(
+                     range(0, 1 + doc_id % 4), p ->
+                     'Doc ' || doc_id || ' para ' || p || ' beta '
+                     || ((doc_id * 17 + p) % 997)), chr(10))
+                END AS text,
+           'T' || (doc_id % 100) AS title,
+           'A' || (doc_id % 10) AS author,
+           TRUE AS parse_ok
+    FROM documents
+    """
+
+
+def multimodal_doctext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL document text extraction through the Arrow/pandas path
+    (r9): each doc gets a spec-valid PDF or DOCX
+    (doctext.synthesize_document_docs — classic-xref PDFs, PDF-1.5
+    xref-stream + ObjStm PDFs, ECMA-376 DOCX zips), the real parsers
+    (operators/doctext.py) run the full xref/object/filter/content
+    pipeline or the OOXML walk, and the EXTRACTED TEXT ITSELF is the
+    closed form the hash pins — an xref width, Flate predictor,
+    string-escape, ObjStm offset, or run-assembly bug changes the
+    text and fails every affected row."""
+    docs = load_table(spark, "documents", sf_dir)
+    return doctext.extract_document_features(
+        doctext.synthesize_document_docs(docs)
+    )
+
+
 @register(
     "multimodal_suite",
     oracle=f"""
@@ -870,6 +913,8 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'avi' AS kind, * FROM ({_MM_AVI_ORACLE})
     UNION ALL BY NAME
     SELECT 'mediameta' AS kind, * FROM ({_MM_MEDIAMETA_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'doctext' AS kind, * FROM ({_MM_DOCTEXT_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,6 +992,11 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = multimodal_media_meta(spark, sf_dir).select(
         F.lit("mediameta").alias("kind"), "*"
     )
+    # 'doctext' rows (round 9): PDF/DOCX text extraction — the hash
+    # pins the extracted text itself
+    dtx = multimodal_doctext(spark, sf_dir).select(
+        F.lit("doctext").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -963,6 +1013,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(flc, allowMissingColumns=True)
         .unionByName(avr, allowMissingColumns=True)
         .unionByName(med, allowMissingColumns=True)
+        .unionByName(dtx, allowMissingColumns=True)
     )
 
 

@@ -260,3 +260,16 @@ def test_spark_fixture_and_features(spark):
             assert r.pix_sum == 3 * 256 * sum(
                 (r.doc_id * 37 + f * 11) % 256 for f in range(2)
             )
+
+
+def test_sample_video_frames_dispatches_avi(spark):
+    from rta_registrations_pyspark_glue_spark.operators.video import (
+        sample_video_frames,
+    )
+
+    frames = [np.full((8, 8, 3), v, np.uint8) for v in (10, 20, 30)]
+    payload = encode_avi(frames, codec="DIB ")
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id bigint, content binary")
+    rows = sample_video_frames(df, every_k=2).orderBy("frame_idx").collect()
+    # frames 0 and 2 sampled; solid RGB v → luma v
+    assert [(r.frame_idx, r.y_sum) for r in rows] == [(0, 64 * 10), (2, 64 * 30)]
