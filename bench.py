@@ -111,7 +111,9 @@ SCOPES = {
     # without frame decode — box walk, EBML, frame-header math, page
     # CRC — over the full corpus; header parsing is cheap) and the
     # 'doctext' rows (PDF classic-xref + xref-stream/ObjStm and DOCX
-    # text extraction, the hash pinning the extracted text itself)
+    # text extraction, the hash pinning the extracted text itself) and
+    # the 'warc' rows (WARC->HTTP->HTML ingestion, one row per
+    # response record, transfer shape rotating by doc residue)
     "multimodal_suite": 5,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental

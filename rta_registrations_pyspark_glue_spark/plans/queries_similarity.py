@@ -20,6 +20,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     multimodal,
     similarity,
     video,
+    web,
 )
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
@@ -879,6 +880,46 @@ def multimodal_doctext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: WARC → HTTP → HTML ingestion (r9): one row per response record —
+#: the Common-Crawl-shaped input path. Every doc carries a
+#: per-record-gzipped WARC; the HTTP transfer shape rotates by
+#: doc_id % 3 (plain / chunked / gzip Content-Encoding) so all three
+#: decode paths run inside the gate; the hash pins the EXTRACTED
+#: text, title, link count, URL, and status per record.
+_MM_WARC_ORACLE = """
+    SELECT doc_id,
+           CAST(p AS INT) AS rec_idx,
+           'http://example.com/' || doc_id || '/' || p AS url,
+           CAST(200 AS INT) AS status,
+           'Page ' || doc_id || '-' || p AS title,
+           'Doc ' || doc_id || ' page ' || p || chr(10)
+               || 'Gamma ' || ((doc_id * 19 + p) % 997) || ' text body.'
+               || CASE CAST((doc_id + p) % 3 AS INT)
+                  WHEN 0 THEN ''
+                  WHEN 1 THEN chr(10) || 'link 0'
+                  ELSE chr(10) || 'link 0 link 1' END AS text,
+           CAST((doc_id + p) % 3 AS INT) AS n_links,
+           TRUE AS parse_ok
+    FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS p) pages
+    """
+
+
+def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL web-archive ingestion through the Arrow/pandas path (r9):
+    each doc gets a per-record-gzipped WARC of HTTP-captured HTML
+    pages (web.synthesize_warc_docs — transfer shape rotating plain /
+    chunked / gzip Content-Encoding by doc residue), and the full
+    stack runs per record: gzip member chaining → WARC
+    Content-Length framing → HTTP status/chunk/Content-Encoding
+    decode → html.parser text extraction (script/head subtrees
+    dropped, block-tag line breaks, entity decoding) — one output
+    row per response record, the frame-sampling one-to-many shape.
+    A framing, chunk-size, gzip, or tag-handling bug shifts the
+    extracted text and fails the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return web.extract_warc_features(web.synthesize_warc_docs(docs))
+
+
 @register(
     "multimodal_suite",
     oracle=f"""
@@ -915,6 +956,8 @@ def multimodal_doctext(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'mediameta' AS kind, * FROM ({_MM_MEDIAMETA_ORACLE})
     UNION ALL BY NAME
     SELECT 'doctext' AS kind, * FROM ({_MM_DOCTEXT_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'warc' AS kind, * FROM ({_MM_WARC_ORACLE})
     """,
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,6 +1040,11 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtx = multimodal_doctext(spark, sf_dir).select(
         F.lit("doctext").alias("kind"), "*"
     )
+    # 'warc' rows (round 9): the web-scrape ingestion stack — WARC
+    # framing, HTTP decode, HTML text — one row per response record
+    wrc = multimodal_warc(spark, sf_dir).select(
+        F.lit("warc").alias("kind"), "*"
+    )
     return (
         meta.unionByName(feats, allowMissingColumns=True)
         .unionByName(dec, allowMissingColumns=True)
@@ -1014,6 +1062,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(avr, allowMissingColumns=True)
         .unionByName(med, allowMissingColumns=True)
         .unionByName(dtx, allowMissingColumns=True)
+        .unionByName(wrc, allowMissingColumns=True)
     )
 
 
