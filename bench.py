@@ -83,6 +83,9 @@ HEADLINE = [
 #: +leakage-safe split column; round 6: pii_scrub +credit-card/intl-
 #: phone/SSN patterns). Queries not listed are scope version 1.
 SCOPES = {
+    # round 9: cleaning_suite gains the 'url' rows (URL normalization,
+    # registrable domain, md5-ranked per-domain quota — scan-side)
+    "cleaning_suite": 2,
     "exact_dedup_documents": 2,
     "packed_sequences": 2,
     "dataset_split": 2,

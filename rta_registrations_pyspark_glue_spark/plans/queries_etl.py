@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.functions.dates import date_key, date_spine, parse_multiformat_date
 from rta_registrations_pyspark_glue_spark.functions.hashing import surrogate_key
-from rta_registrations_pyspark_glue_spark.operators import cleaning, resolve
+from rta_registrations_pyspark_glue_spark.operators import cleaning, resolve, urls
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -305,6 +305,112 @@ def make_year_harden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic MESSY URL per doc: residue-driven case, default and
+#: non-default ports, utm_* params in every position, fragments,
+#: trailing slashes, www. prefixes, and both .com and .co.uk hosts —
+#: each targeting one normalize_url rewrite. Mirrored literally below.
+_RAW_URL_SQL = """
+    (CASE doc_id % 2 WHEN 0 THEN 'HTTP' ELSE 'https' END || '://'
+     || CASE WHEN doc_id % 5 = 0
+             THEN 'WWW.News.Site' || (doc_id % 7) || '.CO.UK'
+             ELSE 'Www.Site' || (doc_id % 7) || '.COM' END
+     || CASE WHEN doc_id % 3 = 0
+             THEN CASE doc_id % 2 WHEN 0 THEN ':80' ELSE ':443' END
+             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+     || '/Page/' || (doc_id % 11)
+     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+     || CASE doc_id % 4
+        WHEN 1 THEN '?utm_source=x&id=' || (doc_id % 13)
+        WHEN 2 THEN '?id=' || (doc_id % 13) || '&utm_campaign=y'
+        WHEN 3 THEN '?id=' || (doc_id % 13) ELSE '' END
+     || CASE WHEN doc_id % 6 = 5 THEN '#sec' || (doc_id % 3) ELSE '' END)
+"""
+
+
+def _raw_url_expr() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("WWW.News.Site"), (d % 7).cast("string"), F.lit(".CO.UK")),
+        ).otherwise(
+            F.concat(F.lit("Www.Site"), (d % 7).cast("string"), F.lit(".COM"))
+        ),
+        F.when(
+            d % 3 == 0,
+            F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Page/"),
+        (d % 11).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 1,
+            F.concat(F.lit("?utm_source=x&id="), (d % 13).cast("string")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("?id="), (d % 13).cast("string"), F.lit("&utm_campaign=y")
+            ),
+        )
+        .when(d % 4 == 3, F.concat(F.lit("?id="), (d % 13).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 6 == 5, F.concat(F.lit("#sec"), (d % 3).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+
+
+_URL_ORACLE = f"""
+    WITH raw AS (
+        SELECT doc_id, {_RAW_URL_SQL} AS url_raw FROM documents
+    ), norm AS (
+        SELECT doc_id, url_raw,
+               {urls.normalize_url_sql("url_raw")} AS url_norm
+        FROM raw
+    ), dom AS (
+        SELECT doc_id, url_raw, url_norm,
+               {urls.registrable_domain_sql(
+                   "regexp_extract(url_norm, '^[a-z]+://([^/:?#]*)', 1)"
+               )} AS domain
+        FROM norm
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY domain
+            ORDER BY md5(url_norm), url_norm, doc_id
+        ) AS rn FROM dom
+    )
+    SELECT doc_id, url_raw, url_norm, domain,
+           CAST(rn AS INT) AS domain_rank,
+           rn <= 3 AS kept
+    FROM ranked
+    """
+
+
+def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene + per-domain quotas, scan-side end to end (r9):
+    each doc gets a deterministic MESSY url (every residue targets one
+    rewrite — case, default ports, utm_* in every position, fragments,
+    www., trailing slashes, multi-level public suffixes), the
+    normalizer (operators/urls.py — Column expressions only, RE2∩Java
+    regex subset) canonicalizes it, the registrable domain comes from
+    the eTLD+1 rule, and the md5-ordered per-domain rank enforces the
+    cap-documents-per-domain curation quota deterministically. The
+    oracle replays all five rewrites, the suffix rule, and the rank
+    with the same patterns."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    with_urls = docs.withColumn("url_raw", _raw_url_expr()).withColumn(
+        "url_norm", urls.normalize_url(F.col("url_raw"))
+    )
+    return urls.cap_per_domain(with_urls, cap=3).select(
+        "doc_id", "url_raw", "url_norm", "domain", "domain_rank", "kept"
+    )
+
+
 @register(
     "cleaning_suite",
     oracle=f"""
@@ -313,6 +419,8 @@ def make_year_harden(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'fuel' AS kind, * FROM ({_FUEL_ORACLE})
     UNION ALL BY NAME
     SELECT 'year' AS kind, * FROM ({_YEAR_ORACLE})
+    UNION ALL BY NAME
+    SELECT 'url' AS kind, * FROM ({_URL_ORACLE})
     """,
 )
 def cleaning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,8 +438,16 @@ def cleaning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fuel = fuel_taxonomy_normalize(spark, sf_dir).select(F.lit("fuel").alias("kind"), "*")
     year = make_year_harden(spark, sf_dir).select(F.lit("year").alias("kind"), "*")
-    return office.unionByName(fuel, allowMissingColumns=True).unionByName(
-        year, allowMissingColumns=True
+    # 'url' rows (round 9, scope v2): URL normalization + registrable
+    # domain + per-domain quota rank — the web-curation cleaning ops,
+    # scan-side Column expressions only
+    url = url_domain_curation(spark, sf_dir).select(
+        F.lit("url").alias("kind"), "*"
+    )
+    return (
+        office.unionByName(fuel, allowMissingColumns=True)
+        .unionByName(year, allowMissingColumns=True)
+        .unionByName(url, allowMissingColumns=True)
     )
 
 

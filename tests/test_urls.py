@@ -1,0 +1,88 @@
+"""URL normalization + domain curation contract (operators/urls.py).
+
+Each rewrite pinned individually, the registrable-domain rule across
+suffix classes, and the per-domain quota's determinism under
+repartitioning. The DuckDB-side check is cleaning_suite's 'url' rows
+(every rewrite mirrored with the same RE2∩Java patterns)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import urls
+
+
+def _norm_one(spark, raw: str) -> str:
+    df = spark.createDataFrame([(raw,)], "u string")
+    return df.select(urls.normalize_url(F.col("u")).alias("n")).first()["n"]
+
+
+def test_normalize_rewrites(spark):
+    cases = {
+        # fragment
+        "https://a.com/p#frag": "https://a.com/p",
+        # utm mid-query keeps following params, trailing loses its sep
+        "https://a.com/p?utm_source=x&id=5": "https://a.com/p?id=5",
+        "https://a.com/p?id=5&utm_campaign=y": "https://a.com/p?id=5",
+        "https://a.com/p?utm_only=1": "https://a.com/p",
+        # scheme/authority lowercased, path+query case PRESERVED
+        "HTTPS://A.COM/PaTh?Q=Mixed": "https://a.com/PaTh?Q=Mixed",
+        # default ports stripped per scheme, others kept
+        "http://a.com:80/x": "http://a.com/x",
+        "https://a.com:443/x": "https://a.com/x",
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        "https://a.com:80/x": "https://a.com:80/x",  # not https default
+        # www. and trailing slash
+        "https://www.a.com/x/": "https://a.com/x",
+        "http://WWW.A.com/": "http://a.com",
+    }
+    for raw, want in cases.items():
+        assert _norm_one(spark, raw) == want, raw
+
+
+def test_registrable_domain_rule(spark):
+    df = spark.createDataFrame(
+        [
+            ("news.site1.co.uk", "site1.co.uk"),
+            ("a.b.site2.com.au", "site2.com.au"),
+            ("deep.sub.site3.com", "site3.com"),
+            ("site4.org", "site4.org"),
+            ("gov.uk", "gov.uk"),  # bare suffix: best-effort two labels
+        ],
+        "host string, want string",
+    )
+    out = df.select(
+        urls.registrable_domain(F.col("host")).alias("got"), "want"
+    ).collect()
+    for r in out:
+        assert r.got == r.want, r
+
+
+def test_cap_per_domain_deterministic_under_repartition(spark):
+    rows = [
+        (i, f"https://site{i % 3}.com/p/{i}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url_norm string")
+    a = {
+        (r.doc_id, r.domain_rank, r.kept)
+        for r in urls.cap_per_domain(df, cap=4).collect()
+    }
+    b = {
+        (r.doc_id, r.domain_rank, r.kept)
+        for r in urls.cap_per_domain(df.repartition(13), cap=4).collect()
+    }
+    assert a == b
+    kept = [t for t in a if t[2]]
+    assert len(kept) == 12  # 3 domains x cap 4
+
+
+def test_url_leg_is_codegen_only(spark, sf_dir):
+    """The whole url leg must stay whole-stage-codegen: no
+    BatchEvalPython / ArrowEvalPython (a Python UDF here would gate
+    the full corpus scan)."""
+    from rta_registrations_pyspark_glue_spark.plans.queries_etl import (
+        url_domain_curation,
+    )
+
+    plan = url_domain_curation(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
