@@ -131,6 +131,8 @@ def write_parquet(
     target_mb: float = TARGET_FILE_SIZE_MB,
     mode: str = "overwrite",
     dynamic_partitions: bool = False,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: int | None = None,
 ) -> None:
     """Partitioned parquet sink with single-pass adaptive file sizing
     (S3-S6).  Instead of the reference's write → S3 size probe → coalesce →
@@ -139,7 +141,18 @@ def write_parquet(
     and coalesce the final stage to the target file count — one pass,
     still ~target_mb files. At cluster scale the double write is the
     difference between 1x and 2x the job's I/O. (coalesce narrows only the
-    post-shuffle stage; upstream stages keep their parallelism.)"""
+    post-shuffle stage; upstream stages keep their parallelism.)
+
+    ``bloom_filter_cols`` (r9): write parquet BLOOM FILTERS for the
+    named columns (`parquet.bloom.filter.enabled#col` writer options —
+    standard parquet-mr metadata, readable by any engine). At 100 TB
+    this is the point-lookup complement to Z-ordering: min/max row-group
+    stats prune RANGE predicates but do nothing for selective equality
+    probes on high-cardinality keys scattered through every row group
+    (doc ids, URL hashes, join keys on the probe side of an incremental
+    anti-join); a bloom filter skips row groups the key cannot be in.
+    ``bloom_filter_ndv`` sizes them (expected distinct values per row
+    group) — parquet-mr derives the bitset size from it."""
     total_bytes = estimate_plan_bytes(df)
     n_files = target_file_count(total_bytes, target_mb) if total_bytes > 0 else 1
     # coalesce is shuffle-free and a no-op when the plan already has fewer
@@ -155,6 +168,13 @@ def write_parquet(
         # replaced; sibling partitions' files are left untouched. The
         # incremental-run primitive (jobs.py --year/--month).
         writer = writer.option("partitionOverwriteMode", "dynamic")
+    for col in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        if bloom_filter_ndv:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{col}",
+                str(bloom_filter_ndv),
+            )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
