@@ -166,6 +166,41 @@ def _dechunk(body: bytes) -> bytes:
         pos += size + 2  # trailing CRLF
 
 
+def decode_html_bytes(body: bytes, content_type: str | None = None) -> str:
+    """Charset-aware HTML byte decoding, WHATWG precedence: a BOM wins,
+    then the transport layer (Content-Type charset=), then the HTML5
+    meta prescan over the first 1024 bytes (<meta charset=...> or the
+    http-equiv form); utf-8-with-replacement is the fallback. Unknown
+    labels fall through to the next source rather than failing — a
+    curation pass decodes what it can."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return body[3:].decode("utf-8", "replace")
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return body.decode("utf-16", "replace")
+
+    def try_charset(label: str | None) -> str | None:
+        if not label:
+            return None
+        try:
+            return body.decode(label.strip().strip("\"'").lower(), "replace")
+        except (LookupError, ValueError):
+            return None
+
+    if content_type:
+        m = re.search(r"charset=([^;\s]+)", content_type, re.I)
+        if m:
+            got = try_charset(m.group(1))
+            if got is not None:
+                return got
+    head = body[:1024].decode("latin-1", "replace")
+    m = re.search(r"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_-]+)", head, re.I)
+    if m:
+        got = try_charset(m.group(1))
+        if got is not None:
+            return got
+    return body.decode("utf-8", "replace")
+
+
 # ---------------------------------------------------------------------------
 # HTML text extraction
 
@@ -370,9 +405,9 @@ def extract_warc_features(df: DataFrame) -> DataFrame:
                     for rec in recs:
                         if rec["type"] != "response":
                             continue
-                        status, _h, body = parse_http_response(rec["body"])
+                        status, h, body = parse_http_response(rec["body"])
                         got = extract_html_text(
-                            body.decode("utf-8", "replace")
+                            decode_html_bytes(body, h.get("content-type"))
                         )
                         rows.append((rec["url"], status, got))
                 except (ValueError, NotImplementedError, TypeError, OSError):

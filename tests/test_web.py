@@ -194,3 +194,28 @@ def test_spark_malformed_blob_yields_visible_failure_row(spark):
     )
     rows = web.extract_warc_features(docs).collect()
     assert len(rows) == 1 and rows[0].parse_ok is False
+
+
+def test_decode_html_bytes_whatwg_precedence():
+    from rta_registrations_pyspark_glue_spark.operators.web import (
+        decode_html_bytes,
+    )
+
+    # BOM wins over everything
+    body = "﻿<p>é</p>".encode("utf-8")
+    assert decode_html_bytes(body, "text/html; charset=latin-1") == "<p>é</p>"
+    assert decode_html_bytes("<p>é</p>".encode("utf-16")) == "<p>é</p>"
+    # transport charset beats meta
+    body = "<meta charset=utf-8><p>caf\xe9</p>".encode("latin-1")
+    assert "café" in decode_html_bytes(body, "text/html; charset=ISO-8859-1")
+    # meta prescan when the header is silent (both syntaxes)
+    body = b'<meta charset="windows-1252"><p>\x93quoted\x94</p>'
+    assert "“quoted”" in decode_html_bytes(body, "text/html")
+    body = (
+        '<meta http-equiv="Content-Type" content="text/html; charset=latin-1">'
+        "<p>caf\xe9</p>"
+    ).encode("latin-1")
+    assert "café" in decode_html_bytes(body, None)
+    # unknown label falls through to utf-8
+    body = "<meta charset=bogus-enc><p>ok</p>".encode("utf-8")
+    assert "ok" in decode_html_bytes(body, "text/html; charset=also-bogus")
