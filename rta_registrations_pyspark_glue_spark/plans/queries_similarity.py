@@ -977,7 +977,14 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     video (YUV4MPEG2, operators/video.py) decode against analytic
     sample/Y-plane sums; 'webp' rows added round 8 with the VP8L
     lossless decoder — palette-mode WebPs against the analytic
-    palette-sum formula), each through the full
+    palette-sum formula; round 9 adds 'msadpcm'/'vp8'/'flac' (native
+    MS-ADPCM, lossy-WebP keyframe, and FLAC decode), 'avi' (RIFF
+    container demux — MJPG + BI_RGB frames, interleaved PCM),
+    'mediameta' (MP4/MKV/MP3/Ogg typed metadata without frame
+    decode), 'doctext' (PDF classic + xref-stream/ObjStm and DOCX
+    text extraction — the hash pins the extracted text itself), and
+    'warc' (WARC→HTTP→HTML ingestion, one row per response
+    record)), each through the full
     Arrow/pandas mapInPandas path — union-tagged under one gate slot
     (separate slots through round 4; consolidated in round 5 to free
     oracle capacity under the 50-row cap; every row of all three still
