@@ -683,15 +683,94 @@ def extract_docx_text(content: bytes) -> dict:
     }
 
 
+def extract_epub_text(content: bytes) -> dict:
+    """bytes → {"n_pages" (spine length), "text" (chapters joined by
+    \\f in SPINE order — the reading order, not the zip order),
+    "title", "author", "producer"}: OCF container.xml → OPF rootfile →
+    manifest href resolution → spine-ordered XHTML chapters through
+    the same tag-level extractor the WARC path uses (operators/web.py
+    — script/style drops, block breaks, entities), plus Dublin-Core
+    dc:title/dc:creator from the OPF metadata."""
+    import io
+    import posixpath
+    import zipfile
+    from xml.etree import ElementTree
+
+    from rta_registrations_pyspark_glue_spark.operators.web import (
+        extract_html_text,
+    )
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not an EPUB (bad zip): {e}") from None
+    try:
+        container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
+    except (KeyError, ElementTree.ParseError) as e:
+        raise ValueError(f"not an EPUB (no OCF container): {e}") from None
+    opf_path = None
+    for el in container.iter():
+        if el.tag.rsplit("}", 1)[-1] == "rootfile":
+            opf_path = el.get("full-path")
+            break
+    if not opf_path:
+        raise ValueError("EPUB container.xml without a rootfile")
+    try:
+        opf = ElementTree.fromstring(zf.read(opf_path))
+    except (KeyError, ElementTree.ParseError) as e:
+        raise ValueError(f"EPUB OPF unreadable: {e}") from None
+    base = posixpath.dirname(opf_path)
+    manifest: dict[str, str] = {}
+    spine: list[str] = []
+    title = author = None
+    for el in opf.iter():
+        tag = el.tag.rsplit("}", 1)[-1]
+        if tag == "item" and el.get("id") and el.get("href"):
+            manifest[el.get("id")] = el.get("href")
+        elif tag == "itemref" and el.get("idref"):
+            spine.append(el.get("idref"))
+        elif tag == "title" and title is None:
+            title = el.text
+        elif tag == "creator" and author is None:
+            author = el.text
+    chapters = []
+    for idref in spine:
+        href = manifest.get(idref)
+        if href is None:
+            raise ValueError(f"EPUB spine idref {idref!r} not in manifest")
+        path = posixpath.join(base, href) if base else href
+        html = zf.read(path).decode("utf-8", "replace")
+        chapters.append(extract_html_text(html)["text"])
+    return {
+        "n_pages": len(spine),
+        "text": "\f".join(chapters),
+        "title": title,
+        "author": author,
+        "producer": None,
+    }
+
+
 def extract_document_text(content: bytes) -> dict:
-    """Magic dispatch: %PDF → PDF, PK zip → DOCX. The returned dict
-    gains a "fmt" key."""
+    """Magic dispatch: %PDF → PDF; PK zip → EPUB when an OCF
+    container (META-INF/container.xml) is present, else DOCX. The
+    returned dict gains a "fmt" key."""
     if content[:5] == b"%PDF-":
         out = extract_pdf_text(content)
         out["fmt"] = "pdf"
     elif content[:2] == b"PK":
-        out = extract_docx_text(content)
-        out["fmt"] = "docx"
+        import io
+        import zipfile
+
+        try:
+            names = set(zipfile.ZipFile(io.BytesIO(content)).namelist())
+        except zipfile.BadZipFile as e:
+            raise ValueError(f"not a document zip: {e}") from None
+        if "META-INF/container.xml" in names:
+            out = extract_epub_text(content)
+            out["fmt"] = "epub"
+        else:
+            out = extract_docx_text(content)
+            out["fmt"] = "docx"
     else:
         raise ValueError("unrecognized document container")
     return out
@@ -923,6 +1002,58 @@ def encode_minimal_docx(
     return out.getvalue()
 
 
+def encode_minimal_epub(
+    chapters: list[str], *, title: str | None = None,
+    author: str | None = None,
+) -> bytes:
+    """OCF/OPF-shaped minimal EPUB: mimetype (stored uncompressed
+    first, per spec), META-INF/container.xml, an OPF with Dublin-Core
+    metadata + manifest + spine, one XHTML chapter per entry."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    container = (
+        '<?xml version="1.0"?>'
+        '<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    items = "".join(
+        f'<item id="c{i}" href="chap{i}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    refs = "".join(f'<itemref idref="c{i}"/>' for i in range(len(chapters)))
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="id">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        '<dc:identifier id="id">urn:uuid:0</dc:identifier>'
+        + (f"<dc:title>{escape(title)}</dc:title>" if title else "")
+        + (f"<dc:creator>{escape(author)}</dc:creator>" if author else "")
+        + f"</metadata><manifest>{items}</manifest>"
+        + f"<spine>{refs}</spine></package>"
+    )
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"), "application/epub+zip",
+            zipfile.ZIP_STORED,
+        )
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        for i, ch in enumerate(chapters):
+            zf.writestr(
+                f"OEBPS/chap{i}.xhtml",
+                '<?xml version="1.0" encoding="utf-8"?>'
+                '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+                f"<title>c{i}</title></head><body><p>{escape(ch)}</p>"
+                "</body></html>",
+            )
+    return out.getvalue()
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 
@@ -935,8 +1066,9 @@ DOCTEXT_SCHEMA = (
 def synthesize_document_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, content): doc_id % 4 → 0 classic-xref PDF, 1 PDF with
     an xref STREAM + ObjStm-packed objects (the PDF-1.5 parser path),
-    2-3 DOCX — text/pages closed-form in doc_id (see the 'doctext'
-    oracle in plans/queries_text.py)."""
+    2 DOCX, 3 EPUB (spine-ordered XHTML chapters) — text/pages
+    closed-form in doc_id (the 'doctext' oracle in
+    plans/queries_similarity.py mirrors each residue)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -959,7 +1091,7 @@ def synthesize_document_docs(docs: DataFrame) -> DataFrame:
                             objstm=(r == 1),
                         )
                     )
-                else:
+                elif r == 2:
                     n_paras = 1 + d % 4
                     paras = [
                         f"Doc {d} para {p} beta {(d * 17 + p) % 997}"
@@ -968,6 +1100,17 @@ def synthesize_document_docs(docs: DataFrame) -> DataFrame:
                     payloads.append(
                         encode_minimal_docx(
                             paras, title=f"T{d % 100}", author=f"A{d % 10}"
+                        )
+                    )
+                else:
+                    n_chaps = 1 + d % 2
+                    chaps = [
+                        f"Doc {d} chap {p} delta {(d * 23 + p) % 997}"
+                        for p in range(n_chaps)
+                    ]
+                    payloads.append(
+                        encode_minimal_epub(
+                            chaps, title=f"T{d % 100}", author=f"A{d % 10}"
                         )
                     )
             yield pd.DataFrame(

@@ -844,18 +844,25 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: extracted text itself is the closed form the hash pins.
 _MM_DOCTEXT_ORACLE = """
     SELECT doc_id,
-           CASE WHEN doc_id % 4 <= 1 THEN 'pdf' ELSE 'docx' END AS fmt,
+           CASE WHEN doc_id % 4 <= 1 THEN 'pdf'
+                WHEN doc_id % 4 = 2 THEN 'docx' ELSE 'epub' END AS fmt,
            CAST(CASE WHEN doc_id % 4 <= 1 THEN 1 + doc_id % 3
+                WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
                 ELSE NULL END AS INT) AS n_pages,
            CASE WHEN doc_id % 4 <= 1
                 THEN array_to_string(list_transform(
                      range(0, 1 + doc_id % 3), p ->
                      'Doc ' || doc_id || ' page ' || p || ' alpha '
                      || ((doc_id * 13 + p) % 997)), chr(12))
-                ELSE array_to_string(list_transform(
+                WHEN doc_id % 4 = 2
+                THEN array_to_string(list_transform(
                      range(0, 1 + doc_id % 4), p ->
                      'Doc ' || doc_id || ' para ' || p || ' beta '
                      || ((doc_id * 17 + p) % 997)), chr(10))
+                ELSE array_to_string(list_transform(
+                     range(0, 1 + doc_id % 2), p ->
+                     'Doc ' || doc_id || ' chap ' || p || ' delta '
+                     || ((doc_id * 23 + p) % 997)), chr(12))
                 END AS text,
            'T' || (doc_id % 100) AS title,
            'A' || (doc_id % 10) AS author,

@@ -197,7 +197,7 @@ def test_gate_fixture_text_matches_analytic_formula():
                 title=f"T{d % 100}", author=f"A{d % 10}",
                 xref_stream=(r == 1), objstm=(r == 1),
             )
-        else:
+        elif r == 2:
             n_paras = 1 + d % 4
             expect = "\n".join(
                 f"Doc {d} para {p} beta {(d * 17 + p) % 997}"
@@ -207,6 +207,19 @@ def test_gate_fixture_text_matches_analytic_formula():
                 [
                     f"Doc {d} para {p} beta {(d * 17 + p) % 997}"
                     for p in range(n_paras)
+                ],
+                title=f"T{d % 100}", author=f"A{d % 10}",
+            )
+        else:
+            n_chaps = 1 + d % 2
+            expect = "\f".join(
+                f"Doc {d} chap {p} delta {(d * 23 + p) % 997}"
+                for p in range(n_chaps)
+            )
+            payload = dt.encode_minimal_epub(
+                [
+                    f"Doc {d} chap {p} delta {(d * 23 + p) % 997}"
+                    for p in range(n_chaps)
                 ],
                 title=f"T{d % 100}", author=f"A{d % 10}",
             )
@@ -225,8 +238,73 @@ def test_spark_fixture_and_features(spark):
     assert len(rows) == 8
     for r in rows:
         assert r.parse_ok
-        expected = ("pdf", "pdf", "docx", "docx")[r.doc_id % 4]
+        expected = ("pdf", "pdf", "docx", "epub")[r.doc_id % 4]
         assert r.fmt == expected
         if expected == "pdf":
             assert r.n_pages == 1 + r.doc_id % 3
+        elif expected == "epub":
+            assert r.n_pages == 1 + r.doc_id % 2
         assert r.title == f"T{r.doc_id % 100}"
+
+
+# ---------------------------------------------------------------------------
+# EPUB
+
+
+def test_epub_roundtrip_spine_order_and_metadata():
+    b = dt.encode_minimal_epub(
+        ["Chapter one", "Chapter two"], title="Book", author="BA"
+    )
+    m = dt.extract_document_text(b)
+    assert m["fmt"] == "epub" and m["n_pages"] == 2
+    assert m["text"] == "Chapter one\fChapter two"
+    assert (m["title"], m["author"]) == ("Book", "BA")
+
+
+def test_epub_spine_order_overrides_zip_order():
+    """Chapters must come out in SPINE order even when the OPF spine
+    reverses the manifest/zip order — reading order is the contract."""
+    import io
+    import zipfile
+
+    b = dt.encode_minimal_epub(["First", "Second"])
+    src = zipfile.ZipFile(io.BytesIO(b))
+    opf = src.read("OEBPS/content.opf").replace(
+        b'<itemref idref="c0"/><itemref idref="c1"/>',
+        b'<itemref idref="c1"/><itemref idref="c0"/>',
+    )
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for item in src.infolist():
+            zf.writestr(
+                item.filename,
+                opf if item.filename == "OEBPS/content.opf"
+                else src.read(item.filename),
+            )
+    m = dt.extract_epub_text(out.getvalue())
+    assert m["text"] == "Second\fFirst"
+
+
+def test_epub_malformed_envelope():
+    import io
+    import zipfile
+
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        zf.writestr("META-INF/container.xml", "<broken")
+    with pytest.raises(ValueError):
+        dt.extract_epub_text(out.getvalue())
+    # spine referencing a missing manifest id
+    b = dt.encode_minimal_epub(["x"])
+    src = zipfile.ZipFile(io.BytesIO(b))
+    opf = src.read("OEBPS/content.opf").replace(b'idref="c0"', b'idref="zz"')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for item in src.infolist():
+            zf.writestr(
+                item.filename,
+                opf if item.filename == "OEBPS/content.opf"
+                else src.read(item.filename),
+            )
+    with pytest.raises(ValueError, match="manifest"):
+        dt.extract_epub_text(out.getvalue())
