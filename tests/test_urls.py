@@ -86,3 +86,20 @@ def test_url_leg_is_codegen_only(spark, sf_dir):
 
     plan = url_domain_curation(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_cap_per_domain_single_exchange(spark, sf_dir):
+    """The quota leg costs exactly ONE shuffle (the window's hash
+    exchange on the domain) — a second Exchange would mean the rank
+    re-partitions what the synthesis already colocated."""
+    from rta_registrations_pyspark_glue_spark.plans.queries_etl import (
+        url_domain_curation,
+    )
+
+    plan = (
+        url_domain_curation(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

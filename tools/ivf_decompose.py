@@ -38,6 +38,13 @@ def main() -> None:
         i = args.index("--search-passes")
         passes = int(args[i + 1])
         del args[i : i + 2]
+    # --trainer hierarchical: time the two-level N^1.5 trainer instead
+    # of the flat distributed one (the §11 A/B: sf45 544.1s -> 19.4s)
+    trainer = "flat"
+    if "--trainer" in args:
+        i = args.index("--trainer")
+        trainer = args[i + 1]
+        del args[i : i + 2]
     dirs = args or ["/root/repo/.scale/sf5", "/root/repo/.scale/sf15"]
     spark = get_spark("ivf_decompose")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -51,9 +58,12 @@ def main() -> None:
         k = similarity.derive_n_pivots(n)
         nprobe = similarity.derive_nprobe(k)
         t0 = time.perf_counter()
-        cents = similarity.train_ivf_centroids_distributed(
-            c.filter(F.col("cid") % 4 == 0), n_pivots=k
+        train_fn = (
+            similarity.train_ivf_centroids_hierarchical
+            if trainer == "hierarchical"
+            else similarity.train_ivf_centroids_distributed
         )
+        cents = train_fn(c.filter(F.col("cid") % 4 == 0), n_pivots=k)
         t1 = time.perf_counter()
         idx = similarity.ivf_build(c, centroids=cents)
         idx.assignment.write.format("noop").mode("overwrite").save()
