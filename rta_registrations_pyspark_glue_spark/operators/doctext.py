@@ -796,6 +796,13 @@ def encode_minimal_pdf(
     additionally packs the Catalog/Pages/Page/Info dicts into a
     /Type/ObjStm object stream (referenced type-2 from the xref
     stream). Text is ASCII-escaped into literal strings."""
+    if objstm and not xref_stream:
+        # classic tables have no type-2 (in-ObjStm) entry kind — the
+        # combination is unrepresentable, not merely unimplemented
+        raise ValueError(
+            "encode_minimal_pdf: objstm=True requires xref_stream=True "
+            "(classic xref tables cannot reference in-ObjStm objects)"
+        )
     objects: dict[int, bytes] = {}
 
     def esc(s: str) -> bytes:

@@ -1428,6 +1428,58 @@ _DIST_TRAIN_MIN_FLOPS = 4e9
 _HIER_TRAIN_MIN_FLOPS = 1e11
 
 
+def _apportion_shares(counts: dict[int, int], n_pivots: int) -> dict[int, int]:
+    """Largest-remainder apportionment of ``n_pivots`` child-centroid
+    shares across supers with member counts ``counts``: floor shares,
+    every non-empty super at least 1 (capped by member count),
+    leftovers to the largest fractional remainders (ties by super id —
+    deterministic). Returns exactly min(n_pivots, total) shares unless
+    the ≥1 minimum forces more (len(counts) > n_pivots, where the
+    result is one per super)."""
+    total = sum(counts.values())
+    sups = sorted(counts)
+    shares = {
+        s: min(counts[s], max(1, n_pivots * counts[s] // total)) for s in sups
+    }
+    remainders = sorted(
+        sups,
+        key=lambda s: (-(n_pivots * counts[s] % total), s),
+    )
+    target = min(n_pivots, total)
+    # Fill: each full cycle over the supers adds at least one unit while
+    # sum < target (sum(counts) = total >= target guarantees headroom),
+    # so the cap can never bind before the target is met.
+    i = 0
+    while sum(shares.values()) < target and i < 2 * len(sups) * max(1, target):
+        s = remainders[i % len(sups)]
+        if shares[s] < counts[s]:
+            shares[s] += 1
+        i += 1
+    # Trim: the >=1 minimum can overshoot n_pivots when many tiny supers
+    # each get the floor-of-1 — sweep from the smallest-remainder end,
+    # never below 1, REPEATING until the total fits (one pass removes at
+    # most one unit per super, not enough when the overshoot exceeds the
+    # number of supers with share > 1).
+    while sum(shares.values()) > n_pivots:
+        trimmed = False
+        for s in reversed(remainders):
+            if sum(shares.values()) <= n_pivots:
+                break
+            if shares[s] > 1:
+                shares[s] -= 1
+                trimmed = True
+        if not trimmed:
+            break  # every share is 1: len(sups) > n_pivots, nothing to trim
+    final = sum(shares.values())
+    expect = target if len(sups) <= n_pivots else len(sups)
+    if final != expect:
+        raise AssertionError(
+            f"apportionment returned {final} shares, expected {expect} "
+            f"(n_pivots={n_pivots}, supers={len(sups)}, total={total})"
+        )
+    return shares
+
+
 def train_ivf_centroids_hierarchical(
     corpus: DataFrame,
     n_pivots: int = 8,
@@ -1546,31 +1598,7 @@ def train_ivf_centroids_hierarchical(
     }
     if not counts:
         return []
-    total = sum(counts.values())
-    sups = sorted(counts)
-    # Largest-remainder apportionment: floor shares, every non-empty
-    # super at least 1 (capped by member count), leftovers to the
-    # largest fractional remainders (ties by super id — deterministic).
-    shares = {
-        s: min(counts[s], max(1, n_pivots * counts[s] // total)) for s in sups
-    }
-    remainders = sorted(
-        sups,
-        key=lambda s: (-(n_pivots * counts[s] % total), s),
-    )
-    i = 0
-    while sum(shares.values()) < min(n_pivots, total) and i < 4 * len(sups):
-        s = remainders[i % len(sups)]
-        if shares[s] < counts[s]:
-            shares[s] += 1
-        i += 1
-    # the ≥1 minimum can overshoot k when many supers are tiny — trim
-    # from the smallest-remainder end, never below 1
-    for s in reversed(remainders):
-        if sum(shares.values()) <= n_pivots:
-            break
-        if shares[s] > 1:
-            shares[s] -= 1
+    shares = _apportion_shares(counts, n_pivots)
 
     rn = F.row_number().over(
         Window.partitionBy("__sup").orderBy(F.col("__id"))

@@ -33,14 +33,17 @@ SECOND_LEVEL_SUFFIX_RE = r"(\.|^)(co|com|org|gov|ac|net)\.(uk|au|jp|br|in|nz)$"
 def normalize_url(col: Column) -> Column:
     """Canonical URL form, five deterministic rewrites in fixed order:
     1. drop the fragment;
-    2. drop utm_* query parameters (mid-query with their trailing '&',
-       trailing with their leading separator);
+    2. drop utm_* query parameters — anchored to a '?'/'&' boundary so
+       path segments and values that merely CONTAIN "utm_" survive; a
+       RUN of adjacent utm params is consumed in one match (global
+       replacement never rescans replaced text, so ``?utm_a&utm_b&id``
+       needs the ``(&utm_...)*`` extension, not a second pass);
     3. lowercase the scheme://authority prefix (path/query keep case);
     4. drop default ports (:80 for http, :443 for https);
     5. drop a 'www.' host prefix and any trailing slash."""
     u = F.regexp_replace(col, "#.*$", "")
-    u = F.regexp_replace(u, "utm_[^&#]*&", "")
-    u = F.regexp_replace(u, "[?&]utm_[^&#]*$", "")
+    u = F.regexp_replace(u, "([?&])utm_[^&#]*(&utm_[^&#]*)*&", "$1")
+    u = F.regexp_replace(u, "[?&]utm_[^&#]*(&utm_[^&#]*)*$", "")
     auth = F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     u = F.concat(F.lower(auth), F.substring(u, F.length(auth) + 1, 1_000_000))
     u = F.regexp_replace(u, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
@@ -67,11 +70,15 @@ NORMALIZE_URL_SQL_STEPS = """
 def normalize_url_sql(raw_expr: str) -> str:
     """The DuckDB mirror of normalize_url over ``raw_expr`` — the same
     five rewrites with the same RE2∩Java patterns (replacement group
-    syntax is per-engine: \\1 here, $1 in Spark)."""
+    syntax is per-engine: \\1 here, $1 in Spark; the utm steps pass
+    DuckDB's 'g' option because Spark's regexp_replace is global while
+    DuckDB's defaults to first-match-only)."""
     u2 = (
         "regexp_replace(regexp_replace(regexp_replace("
         + raw_expr
-        + ", '#.*$', ''), 'utm_[^&#]*&', ''), '[?&]utm_[^&#]*$', '')"
+        + ", '#.*$', '', 'g'),"
+        " '([?&])utm_[^&#]*(&utm_[^&#]*)*&', '\\1', 'g'),"
+        " '[?&]utm_[^&#]*(&utm_[^&#]*)*$', '', 'g')"
     )
     return NORMALIZE_URL_SQL_STEPS.format(u2=u2)
 

@@ -33,6 +33,7 @@ record, the frame-sampling shape), memory bounded by the batch.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
 import re
 import zlib
@@ -284,11 +285,14 @@ def encode_warc(
     gzip member when ``gzip_records``."""
 
     def record(rtype: str, url: str | None, body: bytes, ctype: str) -> bytes:
+        # stable digest, not hash(): PYTHONHASHSEED salts str hashes per
+        # process, and fixture bytes must be identical across executors
+        rid = hashlib.md5(f"{rtype}|{url}".encode()).hexdigest()[:12]
         head = [
             "WARC/1.0",
             f"WARC-Type: {rtype}",
             "WARC-Date: 2024-01-01T00:00:00Z",
-            f"WARC-Record-ID: <urn:uuid:{abs(hash((rtype, url))) % 10**12}>",
+            f"WARC-Record-ID: <urn:uuid:{rid}>",
             f"Content-Type: {ctype}",
             f"Content-Length: {len(body)}",
         ]

@@ -320,9 +320,9 @@ _RAW_URL_SQL = """
      || '/Page/' || (doc_id % 11)
      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
      || CASE doc_id % 4
-        WHEN 1 THEN '?utm_source=x&id=' || (doc_id % 13)
+        WHEN 1 THEN '?utm_source=x&utm_medium=m&id=' || (doc_id % 13)
         WHEN 2 THEN '?id=' || (doc_id % 13) || '&utm_campaign=y'
-        WHEN 3 THEN '?id=' || (doc_id % 13) ELSE '' END
+        WHEN 3 THEN '?id=' || (doc_id % 13) || '&xutm_k=1' ELSE '' END
      || CASE WHEN doc_id % 6 = 5 THEN '#sec' || (doc_id % 3) ELSE '' END)
 """
 
@@ -349,7 +349,9 @@ def _raw_url_expr() -> "F.Column":
         F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(
             d % 4 == 1,
-            F.concat(F.lit("?utm_source=x&id="), (d % 13).cast("string")),
+            F.concat(
+                F.lit("?utm_source=x&utm_medium=m&id="), (d % 13).cast("string")
+            ),
         )
         .when(
             d % 4 == 2,
@@ -357,7 +359,10 @@ def _raw_url_expr() -> "F.Column":
                 F.lit("?id="), (d % 13).cast("string"), F.lit("&utm_campaign=y")
             ),
         )
-        .when(d % 4 == 3, F.concat(F.lit("?id="), (d % 13).cast("string")))
+        .when(
+            d % 4 == 3,
+            F.concat(F.lit("?id="), (d % 13).cast("string"), F.lit("&xutm_k=1")),
+        )
         .otherwise(F.lit("")),
         F.when(
             d % 6 == 5, F.concat(F.lit("#sec"), (d % 3).cast("string"))

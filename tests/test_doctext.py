@@ -308,3 +308,13 @@ def test_epub_malformed_envelope():
             )
     with pytest.raises(ValueError, match="manifest"):
         dt.extract_epub_text(out.getvalue())
+
+
+def test_encode_minimal_pdf_objstm_requires_xref_stream():
+    """ADVICE r9: objstm without xref_stream used to KeyError deep in
+    the classic-table writer; the combination is unrepresentable
+    (classic tables have no type-2 entries) and must fail loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="objstm.*xref_stream"):
+        dt.encode_minimal_pdf(["page"], objstm=True, xref_stream=False)

@@ -1773,3 +1773,36 @@ def test_ivf_build_never_hierarchical_training_at_gate_scale(spark):
     idx = similarity.ivf_build(corpus, n_pivots=8, train_iters=2)
     assert idx.centroids == flat
     caching.release_tracked()
+
+
+def test_apportion_shares_overshoot_and_exactness():
+    """ADVICE r9: the ≥1 minimum with many tiny supers overshoots
+    n_pivots by more than the number of supers with share > 1 — the
+    single-pass trim returned > n_pivots. The trim must repeat until
+    exactly min(n_pivots, total) (or one-per-super when supers >
+    n_pivots), never below 1, capped by member count."""
+    ap = similarity._apportion_shares
+
+    # 20 singleton supers + 1 big: initial = 20×1 + big-floor; the
+    # old single pass could only remove from the ONE share > 1
+    counts = {i: 1 for i in range(20)}
+    counts[99] = 1000
+    got = ap(counts, n_pivots=24)
+    assert sum(got.values()) == 24
+    assert all(1 <= got[s] <= counts[s] for s in counts)
+
+    # more supers than pivots: one each (cannot trim below 1)
+    got = ap({i: 5 for i in range(30)}, n_pivots=8)
+    assert sum(got.values()) == 30 and set(got.values()) == {1}
+
+    # tiny corpus: total < n_pivots caps at total
+    got = ap({0: 2, 1: 3}, n_pivots=64)
+    assert got == {0: 2, 1: 3}
+
+    # determinism + exact fill across a remainder-tie sweep
+    for k in (2, 7, 16, 63, 64, 65):
+        counts = {i: (i * 37) % 11 + 1 for i in range(40)}
+        a, b = ap(counts, k), ap(counts, k)
+        assert a == b
+        assert sum(a.values()) == (min(k, sum(counts.values())) if len(counts) <= k else len(counts))
+        assert all(1 <= a[s] <= counts[s] for s in counts)

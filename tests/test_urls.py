@@ -25,6 +25,17 @@ def test_normalize_rewrites(spark):
         "https://a.com/p?utm_source=x&id=5": "https://a.com/p?id=5",
         "https://a.com/p?id=5&utm_campaign=y": "https://a.com/p?id=5",
         "https://a.com/p?utm_only=1": "https://a.com/p",
+        # runs of ADJACENT utm params go in one match (global replace
+        # never rescans replaced text)
+        "https://a.com/p?utm_a=1&utm_b=2&id=3": "https://a.com/p?id=3",
+        "https://a.com/p?id=3&utm_a=1&utm_b=2": "https://a.com/p?id=3",
+        "https://a.com/p?utm_a=1&utm_b=2&utm_c=3": "https://a.com/p",
+        "https://a.com/p?utm_a&x&utm_b&utm_c&y": "https://a.com/p?x&y",
+        # anchored to ?/& — "utm_" inside a VALUE or a PATH segment
+        # must survive (the round-9 mid-query pattern mangled both)
+        "https://a.com/p?a=butm_x=1&b=2": "https://a.com/p?a=butm_x=1&b=2",
+        "https://a.com/x/utm_a&b/y": "https://a.com/x/utm_a&b/y",
+        "https://a.com/p?xutm_k=1&id=2": "https://a.com/p?xutm_k=1&id=2",
         # scheme/authority lowercased, path+query case PRESERVED
         "HTTPS://A.COM/PaTh?Q=Mixed": "https://a.com/PaTh?Q=Mixed",
         # default ports stripped per scheme, others kept

@@ -219,3 +219,15 @@ def test_decode_html_bytes_whatwg_precedence():
     # unknown label falls through to utf-8
     body = "<meta charset=bogus-enc><p>ok</p>".encode("utf-8")
     assert "ok" in decode_html_bytes(body, "text/html; charset=also-bogus")
+
+
+def test_encode_warc_bytes_are_process_stable():
+    """ADVICE r9: record IDs came from salted hash() — fixture bytes
+    differed across processes/executors. Now an md5 digest: the bytes
+    must embed the stable derivation, not interpreter state."""
+    import hashlib
+
+    raw = web.encode_warc([("http://a.com/x", "<p>hi</p>")], gzip_records=False)
+    rid = hashlib.md5(b"response|http://a.com/x").hexdigest()[:12]
+    assert f"WARC-Record-ID: <urn:uuid:{rid}>".encode() in raw
+    assert raw == web.encode_warc([("http://a.com/x", "<p>hi</p>")], gzip_records=False)
