@@ -73,6 +73,11 @@ HEADLINE = [
     # history + batch-only probe (closes VERDICT r8 #5); measured so
     # the O(|batch|)+probe cost claim has a number behind it
     "incremental_substring_dedup",
+    # round 10: the end-to-end Lee-et-al. curation composite (dup-filter
+    # → LSH clustering over survivors → priority survivors →
+    # cluster-keyed split as ONE dataflow) — the r9 flagship was the
+    # only scale-relevant operator without a bench point (VERDICT r9 #1)
+    "corpus_curation_pipeline",
 ]
 
 #: Per-query SCOPE VERSION, emitted in the bench JSON ("scopes") so
@@ -163,6 +168,10 @@ SCALING_SUBSET = [
     # round 9: incremental variant — index build dominates at bench
     # shape (history ~= corpus); the batch probe itself is O(|batch|)
     "incremental_substring_dedup",
+    # round 10: the curation composite — its stages' individual
+    # exponents are all <=0.67, so the composite should land <=0.7;
+    # above that, the two inter-stage semi-joins are the suspects
+    "corpus_curation_pipeline",
 ]
 
 #: name -> why it is not in the scaling pass. These are DESIGNED
@@ -215,6 +224,11 @@ def main() -> None:
         # pass 2 then measures a cold-cache steady state like pass 1.
         caching.release_tracked()
     total = round(sum(times.values()), 3)
+    # Per-leg decomposition of the multimodal union (VERDICT r9 #2):
+    # one warm pass per kind — the legs just ran twice inside the
+    # best-of-two suite passes, so these are steady-state numbers that
+    # localize a codec regression the aggregate suite time hides.
+    mm_legs = measure_multimodal_legs(spark, sf_dir)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -226,6 +240,7 @@ def main() -> None:
         "queries": times,
         "scopes": {n: SCOPES.get(n, 1) for n in HEADLINE},
         "cold_start_sec": cold_start,
+        "multimodal_legs": mm_legs,
         "sf": sf,
         # Contention self-identification (VERDICT r7 #3: the driver's
         # official r7 run was inflated ~1.3x by a loaded host and
@@ -234,7 +249,7 @@ def main() -> None:
         # the per-query times with suspicion.
         "loadavg": [load_start, round(os.getloadavg()[0], 2)],
     }
-    scaling = measure_scaling(spark, qs, times)
+    scaling = measure_scaling(spark, qs, times, mm_legs)
     spark.stop()
     emit(out, scaling)
 
@@ -267,13 +282,36 @@ def emit(out: dict, scaling, sink=print, sidecar: str | None = None) -> None:
         "queries",
         "scopes",
         "cold_start_sec",
+        "multimodal_legs",
         "sf",
         "loadavg",
     }
     sink(json.dumps({k: v for k, v in out.items() if k in allowed}))
 
 
-def measure_scaling(spark, qs, base_times: dict[str, float]):
+def measure_multimodal_legs(spark, sf_dir: str) -> dict[str, float]:
+    """One warm noop-sink pass per multimodal_suite leg (the map in
+    plans/queries_similarity.MULTIMODAL_LEGS is the suite's own union
+    order, so coverage can't drift from the suite). Each leg is a
+    separate mapInPandas DataFrame before the union — timing them
+    individually costs one extra pass and decomposes the suite's
+    aggregate time per codec/ingest kind."""
+    from rta_registrations_pyspark_glue_spark.plans.queries_similarity import (
+        MULTIMODAL_LEGS,
+    )
+
+    legs: dict[str, float] = {}
+    for kind, builder in MULTIMODAL_LEGS.items():
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        legs[kind] = round(time.perf_counter() - t0, 3)
+    caching.release_tracked()
+    return legs
+
+
+def measure_scaling(
+    spark, qs, base_times: dict[str, float], mm_legs_base: dict[str, float] | None = None
+):
     """One live pass of SCALING_SUBSET at the 10x replica directory
     (built by tools/make_scaled_data.py; skipped cleanly when absent or
     when SPARK_GRAFT_SKIP_SCALING is set). Exponent = log(t_big/t_base)
@@ -322,10 +360,28 @@ def measure_scaling(spark, qs, base_times: dict[str, float]):
         }
         for name, t_big in t_bigs.items()
     }
+    # Per-leg decomposition of multimodal_suite's exponent (VERDICT r9
+    # #2: the aggregate 0.846 couldn't be attributed to a leg): one
+    # warm pass per kind at the big dir against the base-leg times.
+    mm_rows = None
+    if mm_legs_base:
+        mm_big = measure_multimodal_legs(spark, scale_dir)
+        mm_rows = {
+            kind: {
+                "t_base": mm_legs_base[kind],
+                "t_big": t_big,
+                "exponent": round(
+                    math.log(t_big / mm_legs_base[kind]) / math.log(10), 3
+                ),
+            }
+            for kind, t_big in mm_big.items()
+            if mm_legs_base.get(kind)
+        }
     return {
         "scale_factor_ratio": 10,
         "big_dir": scale_dir,
         "queries": rows,
+        "multimodal_legs": mm_rows,
         "excluded": SCALING_EXCLUDED,
     }
 

@@ -997,87 +997,47 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle capacity under the 50-row cap; every row of all three still
     hash-verifies, pinning the binary→Arrow→pandas round trip and the
     decoder byte-for-byte)."""
-    meta = multimodal_meta(spark, sf_dir).select(F.lit("meta").alias("kind"), "*")
-    feats = multimodal_features(spark, sf_dir).select(
-        F.lit("features").alias("kind"), "*"
-    )
-    dec = multimodal_decode(spark, sf_dir).select(F.lit("decode").alias("kind"), "*")
-    jpg = multimodal_decode_jpeg(spark, sf_dir).select(
-        F.lit("jpeg").alias("kind"), "*"
-    )
-    png = multimodal_decode_png(spark, sf_dir).select(
-        F.lit("png").alias("kind"), "*"
-    )
-    gif = multimodal_decode_gif(spark, sf_dir).select(
-        F.lit("gif").alias("kind"), "*"
-    )
-    tif = multimodal_decode_tiff(spark, sf_dir).select(
-        F.lit("tiff").alias("kind"), "*"
-    )
-    wav = multimodal_decode_wav(spark, sf_dir).select(
-        F.lit("wav").alias("kind"), "*"
-    )
-    y4m = multimodal_decode_y4m(spark, sf_dir).select(
-        F.lit("y4m").alias("kind"), "*"
-    )
-    wbp = multimodal_decode_webp(spark, sf_dir).select(
-        F.lit("webp").alias("kind"), "*"
-    )
-    adp = multimodal_decode_adpcm(spark, sf_dir).select(
-        F.lit("adpcm").alias("kind"), "*"
-    )
-    msa = multimodal_decode_msadpcm(spark, sf_dir).select(
-        F.lit("msadpcm").alias("kind"), "*"
-    )
-    # 'vp8' rows (round 9): LOSSY WebP decode against the closed-form
+    out = None
+    for kind, leg in MULTIMODAL_LEGS.items():
+        tagged = leg(spark, sf_dir).select(F.lit(kind).alias("kind"), "*")
+        out = tagged if out is None else out.unionByName(
+            tagged, allowMissingColumns=True
+        )
+    return out
+
+
+#: kind -> leg builder, in union order — the single source of truth for
+#: multimodal_suite's composition AND for per-leg bench timing (VERDICT
+#: r9 #2: the 14+-kind union had one aggregate time, so nobody could say
+#: which leg drove the suite's 0.846 scaling exponent or whether one
+#: codec regressed; bench.py times each leg separately from this map).
+MULTIMODAL_LEGS = {
+    "meta": multimodal_meta,
+    "features": multimodal_features,
+    "decode": multimodal_decode,
+    "jpeg": multimodal_decode_jpeg,
+    "png": multimodal_decode_png,
+    "gif": multimodal_decode_gif,
+    "tiff": multimodal_decode_tiff,
+    "wav": multimodal_decode_wav,
+    "y4m": multimodal_decode_y4m,
+    "webp": multimodal_decode_webp,
+    "adpcm": multimodal_decode_adpcm,
+    "msadpcm": multimodal_decode_msadpcm,
+    # 'vp8' (r9): LOSSY WebP decode against the closed-form
     # token-injection oracle — the full keyframe pipeline per doc
-    lvp = multimodal_decode_vp8(spark, sf_dir).select(
-        F.lit("vp8").alias("kind"), "*"
-    )
-    # 'flac' rows (round 9): lossless FLAC decode against closed-form
-    # ramp polynomials — rice/fixed-prediction/mid-side per doc
-    flc = multimodal_decode_flac(spark, sf_dir).select(
-        F.lit("flac").alias("kind"), "*"
-    )
-    # 'avi' rows (round 9): container video — RIFF demux, MJPG + DIB
-    # frame decode, interleaved-PCM routing against closed-form sums
-    avr = multimodal_decode_avi(spark, sf_dir).select(
-        F.lit("avi").alias("kind"), "*"
-    )
-    # 'mediameta' rows (round 9): typed container metadata — MP4/MKV/
-    # MP3/Ogg parsed without frame decode, every field closed-form
-    med = multimodal_media_meta(spark, sf_dir).select(
-        F.lit("mediameta").alias("kind"), "*"
-    )
-    # 'doctext' rows (round 9): PDF/DOCX text extraction — the hash
-    # pins the extracted text itself
-    dtx = multimodal_doctext(spark, sf_dir).select(
-        F.lit("doctext").alias("kind"), "*"
-    )
-    # 'warc' rows (round 9): the web-scrape ingestion stack — WARC
-    # framing, HTTP decode, HTML text — one row per response record
-    wrc = multimodal_warc(spark, sf_dir).select(
-        F.lit("warc").alias("kind"), "*"
-    )
-    return (
-        meta.unionByName(feats, allowMissingColumns=True)
-        .unionByName(dec, allowMissingColumns=True)
-        .unionByName(jpg, allowMissingColumns=True)
-        .unionByName(png, allowMissingColumns=True)
-        .unionByName(gif, allowMissingColumns=True)
-        .unionByName(tif, allowMissingColumns=True)
-        .unionByName(wav, allowMissingColumns=True)
-        .unionByName(y4m, allowMissingColumns=True)
-        .unionByName(wbp, allowMissingColumns=True)
-        .unionByName(adp, allowMissingColumns=True)
-        .unionByName(msa, allowMissingColumns=True)
-        .unionByName(lvp, allowMissingColumns=True)
-        .unionByName(flc, allowMissingColumns=True)
-        .unionByName(avr, allowMissingColumns=True)
-        .unionByName(med, allowMissingColumns=True)
-        .unionByName(dtx, allowMissingColumns=True)
-        .unionByName(wrc, allowMissingColumns=True)
-    )
+    "vp8": multimodal_decode_vp8,
+    # 'flac' (r9): lossless FLAC decode against closed-form ramps
+    "flac": multimodal_decode_flac,
+    # 'avi' (r9): RIFF demux — MJPG + DIB frames, interleaved PCM
+    "avi": multimodal_decode_avi,
+    # 'mediameta' (r9): typed MP4/MKV/MP3/Ogg metadata, no frame decode
+    "mediameta": multimodal_media_meta,
+    # 'doctext' (r9): PDF/DOCX extraction — hash pins the text itself
+    "doctext": multimodal_doctext,
+    # 'warc' (r9): WARC→HTTP→HTML, one row per response record
+    "warc": multimodal_warc,
+}
 
 
 def _ivf_pairs_prefix(threshold: float = 0.35, multi_probe: int = 2) -> str:

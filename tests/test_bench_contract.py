@@ -24,6 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 
+def _fake_legs():
+    from rta_registrations_pyspark_glue_spark.plans.queries_similarity import (
+        MULTIMODAL_LEGS,
+    )
+
+    return {kind: 0.123 for kind in MULTIMODAL_LEGS}
+
+
 def _fake_out():
     times = {name: 1.234 for name in bench.HEADLINE}
     return {
@@ -33,6 +41,7 @@ def _fake_out():
         "queries": times,
         "scopes": {n: bench.SCOPES.get(n, 1) for n in bench.HEADLINE},
         "cold_start_sec": 9.9,
+        "multimodal_legs": _fake_legs(),
         "sf": 0.1,
         "loadavg": [0.5, 1.0],
     }
@@ -59,9 +68,11 @@ def test_headline_is_last_line_and_parseable(tmp_path):
     assert last["metric"] == "headline_queries_total"
     assert set(last) == {
         "metric", "value", "unit", "queries", "scopes", "cold_start_sec",
-        "sf", "loadavg",
+        "multimodal_legs", "sf", "loadavg",
     }
     assert "scaling" not in last
+    # the per-leg map must cover the suite's union exactly
+    assert set(last["multimodal_legs"]) == set(_fake_legs())
 
 
 def test_scaling_line_is_prefixed_and_valid_json(tmp_path):
