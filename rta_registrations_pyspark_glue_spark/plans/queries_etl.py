@@ -313,6 +313,10 @@ _RAW_URL_SQL = """
     (CASE doc_id % 2 WHEN 0 THEN 'HTTP' ELSE 'https' END || '://'
      || CASE WHEN doc_id % 5 = 0
              THEN 'WWW.News.Site' || (doc_id % 7) || '.CO.UK'
+             WHEN doc_id % 5 = 1
+             THEN 'Shop' || (doc_id % 7) || '.CO.KR'
+             WHEN doc_id % 5 = 2
+             THEN 'Press' || (doc_id % 7) || '.GOV.CK'
              ELSE 'Www.Site' || (doc_id % 7) || '.COM' END
      || CASE WHEN doc_id % 3 = 0
              THEN CASE doc_id % 2 WHEN 0 THEN ':80' ELSE ':443' END
@@ -335,7 +339,16 @@ def _raw_url_expr() -> "F.Column":
         F.when(
             d % 5 == 0,
             F.concat(F.lit("WWW.News.Site"), (d % 7).cast("string"), F.lit(".CO.UK")),
-        ).otherwise(
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("Shop"), (d % 7).cast("string"), F.lit(".CO.KR")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("Press"), (d % 7).cast("string"), F.lit(".GOV.CK")),
+        )
+        .otherwise(
             F.concat(F.lit("Www.Site"), (d % 7).cast("string"), F.lit(".COM"))
         ),
         F.when(

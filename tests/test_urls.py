@@ -51,22 +51,67 @@ def test_normalize_rewrites(spark):
         assert _norm_one(spark, raw) == want, raw
 
 
+_DOMAIN_CASES = [
+    ("news.site1.co.uk", "site1.co.uk"),
+    ("a.b.site2.com.au", "site2.com.au"),
+    ("deep.sub.site3.com", "site3.com"),
+    ("site4.org", "site4.org"),
+    ("gov.uk", "gov.uk"),  # bare suffix: best-effort two labels
+    # r10 PSL cases — the r9 6-suffix regex got all of these wrong
+    ("news.shop.co.kr", "shop.co.kr"),
+    ("x.y.site5.com.cn", "site5.com.cn"),
+    ("portal.gob.mx", "portal.gob.mx"),
+    # 3-label exact rule: vic.edu.au registers at the FOURTH label
+    ("myschool.vic.edu.au", "myschool.vic.edu.au"),
+    ("deep.sub.myschool.vic.edu.au", "myschool.vic.edu.au"),
+    # wildcard *.ck: any <label>.ck is itself a suffix
+    ("a.gov.ck", "a.gov.ck"),
+    ("x.a.gov.ck", "a.gov.ck"),
+    ("gov.ck", "gov.ck"),  # bare wildcard suffix
+    # exception !www.ck beats the wildcard
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+]
+
+
 def test_registrable_domain_rule(spark):
-    df = spark.createDataFrame(
-        [
-            ("news.site1.co.uk", "site1.co.uk"),
-            ("a.b.site2.com.au", "site2.com.au"),
-            ("deep.sub.site3.com", "site3.com"),
-            ("site4.org", "site4.org"),
-            ("gov.uk", "gov.uk"),  # bare suffix: best-effort two labels
-        ],
-        "host string, want string",
-    )
+    df = spark.createDataFrame(_DOMAIN_CASES, "host string, want string")
     out = df.select(
         urls.registrable_domain(F.col("host")).alias("got"), "want"
     ).collect()
     for r in out:
         assert r.got == r.want, r
+
+
+def test_registrable_domain_sql_mirror():
+    """The DuckDB mirror must agree with Spark on every rule shape —
+    both sides are generated from the same load_psl() parse, and this
+    pins that the generated SQL actually implements the same CASE."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql = urls.registrable_domain_sql("host")
+    for host, want in _DOMAIN_CASES:
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS host)", [host]
+        ).fetchone()[0]
+        assert got == want, (host, got, want)
+
+
+def test_registrable_domain_regex_fallback(spark):
+    """A missing PSL data file degrades to the r9 built-in regex subset
+    (documented fallback), never breaks."""
+    assert urls.load_psl("/nonexistent/psl.dat") is None
+    got = (
+        spark.createDataFrame([("news.site1.co.uk",)], "host string")
+        .select(
+            urls.registrable_domain(
+                F.col("host"), psl_path="/nonexistent/psl.dat"
+            ).alias("got")
+        )
+        .first()["got"]
+    )
+    assert got == "site1.co.uk"
 
 
 def test_cap_per_domain_deterministic_under_repartition(spark):
