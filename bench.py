@@ -121,8 +121,11 @@ SCOPES = {
     # 'doctext' rows (PDF classic-xref + xref-stream/ObjStm and DOCX
     # text extraction, the hash pinning the extracted text itself) and
     # the 'warc' rows (WARC->HTTP->HTML ingestion, one row per
-    # response record, transfer shape rotating by doc residue)
-    "multimodal_suite": 5,
+    # response record, transfer shape rotating by doc residue);
+    # round 10: bump to 6 for the 'mp4' rows (ISO-BMFF sample
+    # extraction — stsc/stsz/stco table walk, Motion-JPEG + raw-RGB
+    # routing, sowt/twos PCM, doc_id % 8 ∈ {1,6} subset)
+    "multimodal_suite": 6,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental
     # substring dedup, oracle-consolidated under the 50-query cap)

@@ -17,6 +17,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     avi,
     doctext,
     mediameta,
+    mp4,
     multimodal,
     similarity,
     video,
@@ -759,6 +760,56 @@ _MM_AVI_ORACLE = """
     """
 
 
+#: MP4/ISO-BMFF sample extraction (r10): the dominant container gets
+#: the AVI-demux treatment — stsd/stsc/stsz/stco table walk addressing
+#: real payloads in mdat, routed to owned decoders ('jpeg' Motion-JPEG
+#: for even doc_id — solid frames, DC-only exact; 'raw ' packed RGB for
+#: odd — per-pixel formula), each with a mono 16-bit PCM track written
+#: 'sowt' (LE, even) or 'twos' (BE, odd) so both byte orders ride the
+#: gate. Same closed forms as the AVI leg by design: a failure here but
+#: not there is a CONTAINER bug, not a decoder bug. Subset doc_id % 8 ∈
+#: {1, 6} (one odd, one even residue — quarter-corpus budget, residues
+#: disjoint from the AVI leg's {2, 5} so no doc pays for two demuxes).
+_MM_MP4_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(2 AS INT) AS n_frames,
+           CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'raw ' END AS codec,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 3 * 256 * (((doc_id * 37) % 256)
+                                + ((doc_id * 37 + 11) % 256))
+                ELSE list_sum(list_transform(range(0, 1536), i ->
+                     (doc_id * 7 + (i // 768) * 11
+                      + ((i % 768) // 3) * 3 + (i % 3)) % 256))
+                END AS BIGINT) AS pix_sum,
+           CAST(64 AS BIGINT) AS n_audio,
+           CAST(list_sum(list_transform(range(0, 64), s ->
+                ((doc_id * 3 + s) % 256 - 128) * 4)) AS BIGINT) AS audio_sum,
+           TRUE AS decode_ok
+    FROM documents WHERE doc_id % 8 = 1 OR doc_id % 8 = 6
+    """
+
+
+def multimodal_demux_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF sample extraction through the Arrow/pandas path
+    (r10): each doc gets a two-track moov-at-end MP4 with genuine
+    sample tables (mp4.synthesize_mp4_docs — Motion-JPEG for even ids,
+    packed-RGB 'raw ' for odd, interleaved two-chunk layout so the
+    stsc run walk is exercised), the table walker (operators/mp4.py)
+    reconstructs every sample's (offset, size) from stsc×stco×stsz,
+    routes video payloads through the JPEG decoder (Annex-K injection)
+    or the raw-RGB reshape and PCM through both byte orders, and the
+    pixel/audio sums verify against the closed-form oracle — an
+    addressing, chunk-run, endianness, or routing bug shifts every
+    row. Compressed codecs stay a NotImplementedError track boundary
+    (pinned in tests/test_mp4.py)."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 8 == 1) | (F.col("doc_id") % 8 == 6)
+    )
+    return mp4.demux_mp4_features(mp4.synthesize_mp4_docs(docs))
+
+
 def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL AVI container demux through the Arrow/pandas path (r9):
     each doc gets a two-stream interleaved AVI (avi.synthesize_avi_docs
@@ -960,6 +1011,8 @@ def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'avi' AS kind, * FROM ({_MM_AVI_ORACLE})
     UNION ALL BY NAME
+    SELECT 'mp4' AS kind, * FROM ({_MM_MP4_ORACLE})
+    UNION ALL BY NAME
     SELECT 'mediameta' AS kind, * FROM ({_MM_MEDIAMETA_ORACLE})
     UNION ALL BY NAME
     SELECT 'doctext' AS kind, * FROM ({_MM_DOCTEXT_ORACLE})
@@ -1031,6 +1084,9 @@ MULTIMODAL_LEGS = {
     "flac": multimodal_decode_flac,
     # 'avi' (r9): RIFF demux — MJPG + DIB frames, interleaved PCM
     "avi": multimodal_decode_avi,
+    # 'mp4' (r10): ISO-BMFF sample extraction — stsc/stsz/stco walk,
+    # Motion-JPEG + raw-RGB routing, sowt/twos PCM
+    "mp4": multimodal_demux_mp4,
     # 'mediameta' (r9): typed MP4/MKV/MP3/Ogg metadata, no frame decode
     "mediameta": multimodal_media_meta,
     # 'doctext' (r9): PDF/DOCX extraction — hash pins the text itself

@@ -1,0 +1,148 @@
+"""MP4 (ISO-BMFF) sample-extraction contract (operators/mp4.py).
+
+The stbl addressing walk pinned piece by piece — stsc run flattening,
+co64, per-sample vs uniform stsz, both PCM byte orders, Motion-JPEG
+routing — plus the NotImplementedError track boundary and the
+malformed-input envelope. The DuckDB-side check is multimodal_suite's
+'mp4' rows (closed-form pixel/audio sums per doc)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import mp4
+
+
+def _rgb_frames(d: int, n: int = 2, size: int = 16) -> list[np.ndarray]:
+    p = np.arange(size * size, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    return [
+        ((d * 7 + f * 11 + p * 3 + c) % 256).astype(np.uint8).reshape(size, size, 3)
+        for f in range(n)
+    ]
+
+
+def _aud(d: int, n: int = 64) -> np.ndarray:
+    s = np.arange(n, dtype=np.int64)
+    return (((d * 3 + s) % 256 - 128) * 4).astype(np.int16)
+
+
+def test_raw_roundtrip_exact_both_endiannesses():
+    for codec, d in (("sowt", 3), ("twos", 9)):
+        frames, aud = _rgb_frames(d), _aud(d)
+        clip = mp4.demux_mp4(
+            mp4.encode_mp4_av(frames, codec="raw ", audio=aud, audio_codec=codec)
+        )
+        assert clip["video_codec"] == "raw " and clip["audio_codec"] == codec
+        assert (clip["width"], clip["height"]) == (16, 16)
+        for got, want in zip(clip["frames"], frames):
+            assert np.array_equal(got, want)
+        assert np.array_equal(clip["audio"][:, 0], aud)
+
+
+def test_jpeg_solid_frames_dc_exact():
+    d = 8
+    frames = [np.full((16, 16), (d * 37 + f * 11) % 256, np.uint8) for f in range(2)]
+    clip = mp4.demux_mp4(mp4.encode_mp4_av(frames, codec="jpeg", audio=_aud(d)))
+    want = 3 * 256 * sum((d * 37 + f * 11) % 256 for f in range(2))
+    got = sum(int(f.astype(np.int64).sum()) for f in clip["frames"])
+    assert got == want
+
+
+def test_co64_offsets():
+    frames = _rgb_frames(5)
+    a = mp4.demux_mp4(mp4.encode_mp4_av(frames, codec="raw ", audio=_aud(5)))
+    b = mp4.demux_mp4(
+        mp4.encode_mp4_av(frames, codec="raw ", audio=_aud(5), use_co64=True)
+    )
+    for fa, fb in zip(a["frames"], b["frames"]):
+        assert np.array_equal(fa, fb)
+    assert np.array_equal(a["audio"], b["audio"])
+
+
+def test_stsc_multi_run_walk():
+    """Five frames → chunk 1 holds frame 0, chunk 2 holds 1-4: the
+    layout walk must follow the run boundary, not assume one sample
+    per chunk (the addressing bug class stsc exists to create)."""
+    frames = _rgb_frames(11, n=5)
+    clip = mp4.demux_mp4(mp4.encode_mp4_av(frames, codec="raw "))
+    assert len(clip["frames"]) == 5
+    for got, want in zip(clip["frames"], frames):
+        assert np.array_equal(got, want)
+
+
+def test_sample_layout_flattening_unit():
+    # 3 chunks at offsets 100/200/300; runs: chunk1→2 samples,
+    # chunks2+→1 sample; 4 samples of sizes 10,20,30,40
+    layout = mp4._sample_layout(
+        [(1, 2, 1), (2, 1, 1)], [100, 200, 300], 4, 0, [10, 20, 30, 40]
+    )
+    assert layout == [(100, 10), (110, 20), (200, 30), (300, 40)]
+    # uniform sizes
+    layout = mp4._sample_layout([(1, 2, 1)], [50], 2, 8, None)
+    assert layout == [(50, 8), (58, 8)]
+    # under-addressed: stsc/stco cover fewer samples than stsz claims
+    with pytest.raises(ValueError):
+        mp4._sample_layout([(1, 1, 1)], [100], 5, 8, None)
+
+
+def test_compressed_codec_boundaries():
+    frames = _rgb_frames(2)
+    buf = mp4.encode_mp4_av(frames, codec="raw ", audio=_aud(2))
+    # swap the stsd fourccs: the track boundary must name the codec
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mp4.demux_mp4(buf.replace(b"raw ", b"avc1"))
+    with pytest.raises(NotImplementedError, match="mp4a"):
+        mp4.demux_mp4(buf.replace(b"sowt", b"mp4a"))
+
+
+def test_malformed_envelope():
+    frames = _rgb_frames(6)
+    buf = mp4.encode_mp4_av(frames, codec="raw ", audio=_aud(6))
+    with pytest.raises(ValueError):
+        mp4.demux_mp4(b"\x00\x00\x00\x08free")  # no ftyp
+    with pytest.raises((ValueError, struct.error)):
+        mp4.demux_mp4(buf[: len(buf) // 2])  # truncated moov
+    # a chunk offset past EOF must fail loudly, not wrap or return junk
+    bad = bytearray(buf)
+    pos = bad.rfind(b"stco")
+    struct.pack_into(">I", bad, pos + 12, len(buf) + 1000)
+    with pytest.raises(ValueError):
+        mp4.demux_mp4(bytes(bad))
+
+
+def test_mediameta_reads_demux_fixtures():
+    """The header-only parser (operators/mediameta.py) and the payload
+    walker must agree on the same bytes — one fixture, two surfaces."""
+    from rta_registrations_pyspark_glue_spark.operators import mediameta
+
+    buf = mp4.encode_mp4_av(_rgb_frames(3), codec="raw ", audio=_aud(3))
+    meta = mediameta.extract_media_meta(buf)
+    assert meta["container"] == "mp4"
+    assert meta["video_codec"] == "raw " and meta["audio_codec"] == "sowt"
+    assert (meta["width"], meta["height"]) == (16, 16)
+    assert meta["n_tracks"] == 2
+
+
+def test_spark_leg_matches_local(spark, sf_dir):
+    """The Arrow path end-to-end: synthesize → demux over Spark equals
+    the same loop run locally."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 8 == 1)
+        .limit(6)
+    )
+    rows = mp4.demux_mp4_features(mp4.synthesize_mp4_docs(docs)).collect()
+    assert rows and all(r["decode_ok"] for r in rows)
+    for r in rows:
+        d = r["doc_id"]
+        want_aud = int(_aud(d).astype(np.int64).sum())
+        assert r["audio_sum"] == want_aud and r["n_audio"] == 64
+        want_pix = sum(int(f.astype(np.int64).sum()) for f in _rgb_frames(d))
+        assert r["pix_sum"] == want_pix and r["codec"] == "raw "
