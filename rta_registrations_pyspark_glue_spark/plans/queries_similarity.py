@@ -17,6 +17,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     avi,
     doctext,
     mediameta,
+    mp3,
     mp4,
     multimodal,
     similarity,
@@ -791,6 +792,57 @@ _MM_MP4_ORACLE = """
     """
 
 
+#: MP3 frame-level decode (r10): sync walk + ID3v2 skip + CRC-16 +
+#: COMPLETE side-info unpacking (both granule layouts, mono 17-byte and
+#: stereo 32-byte blocks) + bit reservoir + exact silent-granule PCM.
+#: The oracle recomputes the per-granule global_gain/scalefac_compress
+#: SUMS from their closed forms — a one-bit misparse in the 59-bit
+#: granule layout shifts every later field and fails the hash. Huffman
+#: decode of non-empty granules is the documented plug-in boundary
+#: (tools/mpg123_ref.py is the skip-marked differential harness).
+#: Subset doc_id % 8 ∈ {3, 4}: one odd (stereo) and one even (mono)
+#: residue, disjoint from the avi {2,5} and mp4 {1,6} subsets.
+_MM_MP3_ORACLE = """
+    SELECT doc_id,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INT) AS sample_rate,
+           CAST((2 + doc_id % 3) * 1152 AS BIGINT) AS n_samples,
+           CAST(0 AS BIGINT) AS pcm_sum,
+           CAST(list_sum(list_transform(
+                range(0, (2 + doc_id % 3) * 2 * (1 + doc_id % 2)), j ->
+                (doc_id * 13 + 7 * (j // (2 * (1 + doc_id % 2)))
+                 + 3 * ((j // (1 + doc_id % 2)) % 2)
+                 + (j % (1 + doc_id % 2))) % 256)) AS BIGINT) AS gg_sum,
+           CAST(list_sum(list_transform(
+                range(0, (2 + doc_id % 3) * 2 * (1 + doc_id % 2)), j ->
+                (doc_id * 5 + (j // (2 * (1 + doc_id % 2)))
+                 + ((j // (1 + doc_id % 2)) % 2)
+                 + (j % (1 + doc_id % 2))) % 16)) AS BIGINT) AS sfc_sum,
+           TRUE AS decode_ok
+    FROM documents WHERE doc_id % 8 = 3 OR doc_id % 8 = 4
+    """
+
+
+def multimodal_decode_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame-level decode through the Arrow/pandas path (r10):
+    each doc gets a silent MPEG-1 Layer III CBR stream
+    (mp3.synthesize_mp3_docs — frame count, channel mode, bitrate/
+    sample-rate pair, CRC protection, and ID3v2 prefix all rotating by
+    doc residue, per-granule side-info fields on closed forms), the
+    frame walker (operators/mp3.py) runs sync → ID3 skip → CRC-16
+    verify → full side-info unpack (window-switching alternates per
+    granule, so BOTH layouts ride every doc) → reservoir → exact
+    silent-granule PCM, and the emitted field sums verify against the
+    oracle's arithmetic. Huffman decode of non-empty granules raises
+    at the documented boundary (pinned in tests/test_mp3.py)."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 8 == 3) | (F.col("doc_id") % 8 == 4)
+    )
+    return mp3.decode_mp3_features(mp3.synthesize_mp3_docs(docs))
+
+
 def multimodal_demux_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ISO-BMFF sample extraction through the Arrow/pandas path
     (r10): each doc gets a two-track moov-at-end MP4 with genuine
@@ -1013,6 +1065,8 @@ def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'mp4' AS kind, * FROM ({_MM_MP4_ORACLE})
     UNION ALL BY NAME
+    SELECT 'mp3' AS kind, * FROM ({_MM_MP3_ORACLE})
+    UNION ALL BY NAME
     SELECT 'mediameta' AS kind, * FROM ({_MM_MEDIAMETA_ORACLE})
     UNION ALL BY NAME
     SELECT 'doctext' AS kind, * FROM ({_MM_DOCTEXT_ORACLE})
@@ -1087,6 +1141,9 @@ MULTIMODAL_LEGS = {
     # 'mp4' (r10): ISO-BMFF sample extraction — stsc/stsz/stco walk,
     # Motion-JPEG + raw-RGB routing, sowt/twos PCM
     "mp4": multimodal_demux_mp4,
+    # 'mp3' (r10): frame-level decode — CRC-16, full side-info unpack,
+    # reservoir, exact silent-granule PCM
+    "mp3": multimodal_decode_mp3,
     # 'mediameta' (r9): typed MP4/MKV/MP3/Ogg metadata, no frame decode
     "mediameta": multimodal_media_meta,
     # 'doctext' (r9): PDF/DOCX extraction — hash pins the text itself
