@@ -294,7 +294,10 @@ def _apply_filters(data: bytes, filters, parms) -> bytes:
     for f, p in zip(filters, parms):
         name = str(f)
         if name == "FlateDecode":
-            data = zlib.decompress(data)
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"PDF: bad Flate stream: {e}") from None
         elif name == "LZWDecode":
             from rta_registrations_pyspark_glue_spark.operators.tiff import (
                 tiff_lzw_decode,
@@ -496,6 +499,8 @@ class _Pdf:
             if depth > 64:
                 raise ValueError("PDF: page tree too deep")
             node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                raise ValueError("PDF: page-tree node is not a dict")
             t = str(node.get("Type", ""))
             if t == "Page":
                 out.append(node)
@@ -623,6 +628,24 @@ def extract_pdf_text(content: bytes) -> dict:
 # DOCX
 
 
+def _zip_read(zf, name: str) -> bytes:
+    """zipfile member read with the corruption envelope converted: a
+    mutated local header / central directory surfaces EOFError, OSError
+    ("invalid data stream"), RuntimeError (a flipped encryption flag),
+    zlib.error, or BadZipFile from deep inside zipfile — all ValueError
+    here (fuzz-found, round 10). A MISSING member still raises KeyError
+    so callers can distinguish "not this format" from "corrupt"."""
+    import zipfile
+    import zlib as _zlib
+
+    try:
+        return zf.read(name)
+    except KeyError:
+        raise
+    except (EOFError, OSError, RuntimeError, _zlib.error, zipfile.BadZipFile) as e:
+        raise ValueError(f"corrupt zip member {name!r}: {e}") from None
+
+
 def extract_docx_text(content: bytes) -> dict:
     """bytes → {"n_pages" (None — DOCX has no fixed pagination),
     "text", "title", "author", "producer"}: w:t runs in document
@@ -637,7 +660,7 @@ def extract_docx_text(content: bytes) -> dict:
     except zipfile.BadZipFile as e:
         raise ValueError(f"not a DOCX (bad zip): {e}") from None
     try:
-        doc = zf.read("word/document.xml")
+        doc = _zip_read(zf, "word/document.xml")
     except KeyError:
         raise ValueError("not a DOCX (no word/document.xml)") from None
     try:
@@ -665,7 +688,7 @@ def extract_docx_text(content: bytes) -> dict:
 
     title = author = None
     try:
-        core = ElementTree.fromstring(zf.read("docProps/core.xml"))
+        core = ElementTree.fromstring(_zip_read(zf, "docProps/core.xml"))
         for el in core.iter():
             tag = el.tag.rsplit("}", 1)[-1]
             if tag == "title":
@@ -705,7 +728,7 @@ def extract_epub_text(content: bytes) -> dict:
     except zipfile.BadZipFile as e:
         raise ValueError(f"not an EPUB (bad zip): {e}") from None
     try:
-        container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
+        container = ElementTree.fromstring(_zip_read(zf, "META-INF/container.xml"))
     except (KeyError, ElementTree.ParseError) as e:
         raise ValueError(f"not an EPUB (no OCF container): {e}") from None
     opf_path = None
@@ -716,7 +739,7 @@ def extract_epub_text(content: bytes) -> dict:
     if not opf_path:
         raise ValueError("EPUB container.xml without a rootfile")
     try:
-        opf = ElementTree.fromstring(zf.read(opf_path))
+        opf = ElementTree.fromstring(_zip_read(zf, opf_path))
     except (KeyError, ElementTree.ParseError) as e:
         raise ValueError(f"EPUB OPF unreadable: {e}") from None
     base = posixpath.dirname(opf_path)
@@ -739,7 +762,7 @@ def extract_epub_text(content: bytes) -> dict:
         if href is None:
             raise ValueError(f"EPUB spine idref {idref!r} not in manifest")
         path = posixpath.join(base, href) if base else href
-        html = zf.read(path).decode("utf-8", "replace")
+        html = _zip_read(zf, path).decode("utf-8", "replace")
         chapters.append(extract_html_text(html)["text"])
     return {
         "n_pages": len(spine),

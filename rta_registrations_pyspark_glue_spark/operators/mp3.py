@@ -188,7 +188,16 @@ def parse_mp3_frames(content: bytes) -> list[dict]:
     """Sync walk: ID3v2 skip, then consecutive MPEG-1 Layer III frames
     (header + optional CRC + side info + main data). Each entry carries
     the parsed header, the VERIFIED side info, and the frame's
-    main-data bytes for reservoir assembly."""
+    main-data bytes for reservoir assembly. Declared failure envelope:
+    Mp3Error (a ValueError) / NotImplementedError — truncated
+    fixed-width reads are converted at this boundary."""
+    try:
+        return _parse_mp3_frames_inner(content)
+    except struct.error as e:
+        raise Mp3Error(f"truncated MP3 structure: {e}") from None
+
+
+def _parse_mp3_frames_inner(content: bytes) -> list[dict]:
     buf = content
     pos = 0
     if buf[:3] == b"ID3":

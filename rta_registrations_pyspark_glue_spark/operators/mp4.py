@@ -173,7 +173,17 @@ def demux_mp4(content: bytes) -> dict:
     frames), 'raw ' depth-24 → packed top-down RGB, 'sowt'/'twos' →
     LE/BE int16 PCM. Returns {width, height, video_codec, frames
     [HxWx3 uint8], audio (n, ch) int16 | None, audio_codec, n_samples}.
-    Compressed codecs raise NotImplementedError at the track boundary."""
+    Compressed codecs raise NotImplementedError at the track boundary.
+    The declared failure envelope is ValueError / NotImplementedError —
+    truncated fixed-width fields (struct.error) are converted at this
+    boundary so callers never see the internals' exception types."""
+    try:
+        return _demux_mp4_inner(content)
+    except struct.error as e:
+        raise ValueError(f"truncated MP4 structure: {e}") from None
+
+
+def _demux_mp4_inner(content: bytes) -> dict:
     buf = content
     tracks: list[dict] = []
     track: dict = {}

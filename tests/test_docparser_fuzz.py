@@ -1,0 +1,171 @@
+"""Adversarial-input fuzzing for the document/web/container parsers
+(VERDICT r9 #7): at corpus scale these face far more hostile bytes
+than the image codecs — PDF tokenizer recursion, WARC framing lies,
+chunked-TE edge cases, zip bombs-in-miniature. Property: random
+mutations and truncations of VALID fixtures must either still parse
+(corrupted-but-parseable is acceptable) or raise the DECLARED envelope
+(ValueError / NotImplementedError) — never hang, recurse unboundedly,
+or escape with IndexError/KeyError/struct.error/zlib.error/
+UnicodeDecodeError from the internals, and never return garbage of the
+wrong shape silently."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rta_registrations_pyspark_glue_spark.operators import doctext, mp3, mp4, web
+
+_ENVELOPE = (ValueError, NotImplementedError)
+
+
+def _mutate(data: bytes, seed: int, n_flips: int, truncate: bool) -> bytes:
+    rng = np.random.default_rng(seed)
+    buf = bytearray(data)
+    if truncate and len(buf) > 8:
+        buf = buf[: rng.integers(4, len(buf))]
+    for _ in range(n_flips):
+        if not buf:
+            break
+        buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
+    return bytes(buf)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 12),
+    truncate=st.booleans(),
+    xref_stream=st.booleans(),
+    objstm=st.booleans(),
+    filt=st.sampled_from(["FlateDecode", "none", "LZWDecode", "ASCIIHexDecode"]),
+)
+def test_pdf_corruption_envelope(seed, n_flips, truncate, xref_stream, objstm, filt):
+    pdf = doctext.encode_minimal_pdf(
+        ["Alpha beta", "Gamma delta epsilon"],
+        title="T", author="A",
+        xref_stream=xref_stream or objstm,  # objstm requires xref_stream
+        objstm=objstm, content_filter=filt,
+    )
+    data = _mutate(pdf, seed, n_flips, truncate)
+    try:
+        out = doctext.extract_pdf_text(data)
+        assert isinstance(out, dict) and isinstance(out.get("text"), str)
+    except _ENVELOPE:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 10),
+    truncate=st.booleans(),
+)
+def test_docx_corruption_envelope(seed, n_flips, truncate):
+    docx = doctext.encode_minimal_docx(
+        ["Paragraph one", "Paragraph two"], title="T", author="A"
+    )
+    data = _mutate(docx, seed, n_flips, truncate)
+    try:
+        out = doctext.extract_docx_text(data)
+        assert isinstance(out, dict) and isinstance(out.get("text"), str)
+    except _ENVELOPE:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 10),
+    truncate=st.booleans(),
+)
+def test_epub_corruption_envelope(seed, n_flips, truncate):
+    epub = doctext.encode_minimal_epub(
+        ["First chapter text", "Second chapter text"], title="T"
+    )
+    data = _mutate(epub, seed, n_flips, truncate)
+    try:
+        out = doctext.extract_epub_text(data)
+        assert isinstance(out, dict) and isinstance(out.get("text"), str)
+    except _ENVELOPE:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 12),
+    truncate=st.booleans(),
+    gzip_records=st.booleans(),
+    chunked=st.booleans(),
+    content_gzip=st.booleans(),
+)
+def test_warc_corruption_envelope(
+    seed, n_flips, truncate, gzip_records, chunked, content_gzip
+):
+    warc = web.encode_warc(
+        [
+            ("http://a.com/1", "<html><title>t</title><p>body one</p></html>"),
+            ("http://a.com/2", "<p>body two</p>"),
+        ],
+        gzip_records=gzip_records, chunked=chunked, content_gzip=content_gzip,
+    )
+    data = _mutate(warc, seed, n_flips, truncate)
+    try:
+        records = web.parse_warc(data)
+        assert isinstance(records, list)
+        for rec in records:
+            if rec.get("http_raw"):
+                try:
+                    web.parse_http_response(rec["http_raw"])
+                except _ENVELOPE:
+                    pass
+    except _ENVELOPE:
+        pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(text=st.text(max_size=400))
+def test_html_text_total_on_arbitrary_input(text):
+    """extract_html_text is TOTAL on str: html.parser never raises on
+    malformed markup, and the feature dict always has its shape."""
+    out = web.extract_html_text(text)
+    assert isinstance(out, dict)
+    assert isinstance(out.get("text"), str)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 10),
+    truncate=st.booleans(),
+)
+def test_mp4_corruption_envelope(seed, n_flips, truncate):
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    aud = rng.integers(-1000, 1000, 32).astype(np.int16)
+    buf = mp4.encode_mp4_av(frames, codec="raw ", audio=aud)
+    data = _mutate(buf, seed, n_flips, truncate)
+    try:
+        clip = mp4.demux_mp4(data)
+        assert isinstance(clip, dict)
+    except _ENVELOPE:
+        pass  # struct.error is converted to ValueError at the boundary
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 10),
+    truncate=st.booleans(),
+)
+def test_mp3_corruption_envelope(seed, n_flips, truncate):
+    buf = mp3.encode_mp3_silent(3, channels=2, protected=True, id3_pad=16)
+    data = _mutate(buf, seed, n_flips, truncate)
+    try:
+        clip = mp3.decode_mp3(data)
+        assert clip["pcm"].shape[0] == 1152 * clip["n_frames"]
+    except _ENVELOPE:
+        pass
