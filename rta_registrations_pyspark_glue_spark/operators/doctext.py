@@ -238,12 +238,16 @@ def _png_predictor(data: bytes, colors: int, columns: int) -> bytes:
     (Up); implement the full per-row tag dispatch (same five filters
     png.py owns, restated for byte-tuples of width ``colors``)."""
     row_len = colors * columns
+    if row_len <= 0:
+        raise ValueError("PDF: non-positive predictor row width")
     out = bytearray()
     prev = bytearray(row_len)
     pos = 0
     while pos < len(data):
         tag = data[pos]
         row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        if len(row) < row_len:
+            raise ValueError("PDF: truncated predictor row")
         pos += 1 + row_len
         if tag == 0:
             pass
@@ -363,7 +367,9 @@ class _Pdf:
             nxt = trailer.get("Prev")
             if nxt is None:
                 break
-            pos = int(nxt)
+            if not isinstance(nxt, int) or nxt < 0:
+                raise ValueError("PDF: /Prev is not a file offset")
+            pos = nxt
 
     def _load_xref_table(self, lex: _Lexer) -> dict:
         lex.expect_keyword(b"xref")
@@ -381,6 +387,13 @@ class _Pdf:
             first, count = int(m.group(1)), int(m.group(2))
             lex.pos += m.end()
             lex._skip_ws()
+            # a corrupt count must not drive a multi-billion-entry loop
+            # (fuzz-found hang): entries are exactly 20 bytes, so the
+            # buffer bounds the legal count
+            if lex.pos + 20 * count > len(lex.buf):
+                raise ValueError(
+                    f"PDF: xref subsection claims {count} entries past EOF"
+                )
             for i in range(count):
                 entry = lex.buf[lex.pos : lex.pos + 20]
                 off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
@@ -392,11 +405,28 @@ class _Pdf:
         num, d, data = self._parse_stream_obj_at(pos)
         if str(d.get("Type")) != "XRef":
             raise ValueError("PDF: startxref does not point at an XRef")
-        w = [int(x) for x in d["W"]]
-        size = int(d["Size"])
-        index = d.get("Index", [0, size])
-        index = [int(x) for x in index]
+        w_obj, size_obj = d.get("W"), d.get("Size")
+        if not isinstance(w_obj, list) or not isinstance(size_obj, int):
+            raise ValueError("PDF: XRef stream without /W list and /Size int")
+        try:
+            w = [int(x) for x in w_obj]
+            size = int(size_obj)
+            index = [int(x) for x in d.get("Index", [0, size])]
+        except (TypeError, ValueError):
+            raise ValueError("PDF: non-numeric XRef /W or /Index") from None
+        if len(index) % 2 or any(x < 0 for x in w) or len(w) < 3:
+            raise ValueError("PDF: malformed XRef /W or /Index")
         rw = sum(w)
+        if rw <= 0:
+            raise ValueError("PDF: zero-width XRef rows")
+        # corrupt /Index counts must not drive a loop past the decoded
+        # stream (fuzz-found hang class, same as the classic-table one)
+        total = sum(index[s + 1] for s in range(0, len(index), 2))
+        if total < 0 or total * rw > len(data):
+            raise ValueError(
+                f"PDF: XRef /Index claims {total} rows, stream has "
+                f"{len(data) // rw}"
+            )
         p = 0
         for s in range(0, len(index), 2):
             first, count = index[s], index[s + 1]
@@ -433,7 +463,14 @@ class _Pdf:
                 lex.pos += 2
             elif self.buf[lex.pos : lex.pos + 1] == b"\n":
                 lex.pos += 1
-            length = int(self.resolve(val["Length"]))
+            length_obj = self.resolve(val.get("Length"))
+            if not isinstance(length_obj, (int, float)) or isinstance(
+                length_obj, bool
+            ):
+                raise ValueError("PDF: stream without a numeric /Length")
+            length = int(length_obj)
+            if length < 0 or lex.pos + length > len(self.buf):
+                raise ValueError("PDF: stream /Length out of range")
             raw = self.buf[lex.pos : lex.pos + length]
             val = ("stream", val, raw)
         return num, val
@@ -455,7 +492,13 @@ class _Pdf:
             _n, val = self._parse_obj_at(self.offsets[num])
         elif num in self.in_objstm:
             stm_num, idx = self.in_objstm[num]
+            if stm_num not in self.offsets:
+                raise ValueError(f"PDF: ObjStm {stm_num} has no offset")
             objs = self._load_objstm(stm_num)
+            if idx >= len(objs):
+                raise ValueError(
+                    f"PDF: object {num} indexes past its ObjStm ({idx})"
+                )
             val = objs[idx]
         else:
             val = None
@@ -468,13 +511,20 @@ class _Pdf:
         _n, d, data = self._parse_stream_obj_at(self.offsets[stm_num])
         if str(d.get("Type")) != "ObjStm":
             raise ValueError("PDF: compressed object not in an ObjStm")
-        n = int(self.resolve(d["N"]))
-        first = int(self.resolve(d["First"]))
+        n_obj = self.resolve(d.get("N"))
+        first_obj = self.resolve(d.get("First"))
+        if not isinstance(n_obj, int) or not isinstance(first_obj, int):
+            raise ValueError("PDF: ObjStm without integer /N and /First")
+        n, first = n_obj, first_obj
+        if n < 0 or n > 1 << 20:
+            raise ValueError(f"PDF: implausible ObjStm /N {n}")
         head = _Lexer(data, 0)
         pairs = [(head.next_token(), head.next_token()) for _ in range(n)]
         objs = []
         for _onum, off in pairs:
-            objs.append(_Lexer(data, first + int(off)).next_token())
+            if not isinstance(off, int) or first + off > len(data):
+                raise ValueError("PDF: ObjStm offset out of range")
+            objs.append(_Lexer(data, first + off).next_token())
         self._objstm_cache[stm_num] = objs
         return objs
 
@@ -530,7 +580,9 @@ class _Pdf:
         return _content_text(b"\n".join(blobs))
 
     def info(self) -> dict:
-        info = self.resolve(self.trailer.get("Info")) or {}
+        info = self.resolve(self.trailer.get("Info"))
+        if not isinstance(info, dict):  # corrupt /Info ref: no metadata
+            info = {}
         out = {}
         for k in ("Title", "Author", "Producer"):
             v = self.resolve(info.get(k))
@@ -762,7 +814,12 @@ def extract_epub_text(content: bytes) -> dict:
         if href is None:
             raise ValueError(f"EPUB spine idref {idref!r} not in manifest")
         path = posixpath.join(base, href) if base else href
-        html = _zip_read(zf, path).decode("utf-8", "replace")
+        try:
+            html = _zip_read(zf, path).decode("utf-8", "replace")
+        except KeyError:
+            raise ValueError(
+                f"EPUB spine chapter {path!r} missing from the archive"
+            ) from None
         chapters.append(extract_html_text(html)["text"])
     return {
         "n_pages": len(spine),

@@ -306,9 +306,12 @@ def make_year_harden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Deterministic MESSY URL per doc: residue-driven case, default and
-#: non-default ports, utm_* params in every position, fragments,
-#: trailing slashes, www. prefixes, and both .com and .co.uk hosts —
-#: each targeting one normalize_url rewrite. Mirrored literally below.
+#: non-default ports, utm_* params in every position (incl. an
+#: ADJACENT multi-utm run and a non-utm "xutm_" param that anchored
+#: stripping must keep — ADVICE r9), fragments, trailing slashes, www.
+#: prefixes, and .com / .co.uk / .co.kr / *.ck-wildcard hosts spanning
+#: the PSL rule shapes — each targeting one normalize_url rewrite or
+#: one registrable_domain rule. Mirrored literally below.
 _RAW_URL_SQL = """
     (CASE doc_id % 2 WHEN 0 THEN 'HTTP' ELSE 'https' END || '://'
      || CASE WHEN doc_id % 5 = 0

@@ -169,3 +169,30 @@ def test_mp3_corruption_envelope(seed, n_flips, truncate):
         assert clip["pcm"].shape[0] == 1152 * clip["n_frames"]
     except _ENVELOPE:
         pass
+
+
+def test_pdf_xref_count_bombs_rejected_fast():
+    """Fuzz-found hang class (r10): a corrupt xref subsection count
+    (classic) or /Index row count (stream) must be rejected against
+    the bytes actually present, not drive a multi-billion-entry loop."""
+    import time
+
+    pdf = bytearray(doctext.encode_minimal_pdf(["Alpha"]))
+    # blow up the classic subsection header "0 N" at the xref table
+    pos = pdf.rfind(b"xref")
+    end = pdf.index(b"\n", pos)
+    line_end = pdf.index(b"\n", end + 1)
+    bomb = pdf[: end + 1] + b"0 4294967295\n" + pdf[line_end + 1 :]
+    t0 = time.time()
+    try:
+        doctext.extract_pdf_text(bytes(bomb))
+    except (ValueError, NotImplementedError):
+        pass
+    assert time.time() - t0 < 2.0, "xref count bomb was not rejected fast"
+
+    # predictor row truncation must be a clean ValueError, not IndexError
+    try:
+        doctext._png_predictor(b"\x02\x01\x02", colors=1, columns=8)
+        raise AssertionError("truncated predictor row accepted")
+    except ValueError:
+        pass
