@@ -289,12 +289,16 @@ def _parse_mp3(buf: bytes) -> dict:
     if first is None:
         raise ValueError("no MP3 frame sync")
     # Xing/Info VBR header: inside the first frame, after the side info
+    # (and after the 2-byte CRC when protection_bit = 0 — r10 fix: the
+    # offset was CRC-blind, so a protected VBR file missed its Xing)
     side = (
         (17 if first["mono"] else 32)
         if first["version"] == 3
         else (9 if first["mono"] else 17)
     )
-    xing_off = pos + 4 + side
+    (h0,) = struct.unpack_from(">I", buf, pos)
+    crc_len = 0 if (h0 >> 16) & 1 else 2
+    xing_off = pos + 4 + crc_len + side
     n_frames = None
     vbr = False
     if buf[xing_off : xing_off + 4] in (b"Xing", b"Info"):

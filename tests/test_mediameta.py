@@ -262,3 +262,19 @@ def test_spark_fixture_and_features(spark):
             assert r.bitrate_kbps in (64, 96, 128, 192)
         if expected in ("mp4", "mkv"):
             assert r.width is not None and r.n_tracks == 2
+
+
+def test_mp3_xing_offset_honors_crc_bytes():
+    """r10 fix: with protection_bit = 0 the Xing header sits AFTER the
+    2-byte frame CRC; the CRC-blind offset missed it entirely."""
+    from rta_registrations_pyspark_glue_spark.operators import mp3 as mp3mod
+
+    frames = mp3mod.encode_mp3_silent(5, protected=True)  # mono, 128k/44100
+    first_len = 144 * 128000 // 44100
+    frame0 = bytearray(frames[:first_len])
+    xing_off = 4 + 2 + 17  # header + CRC + mono side info
+    frame0[xing_off : xing_off + 4] = b"Xing"
+    frame0[xing_off + 4 : xing_off + 8] = struct.pack(">I", 1)
+    frame0[xing_off + 8 : xing_off + 12] = struct.pack(">I", 777)
+    m = mm.extract_media_meta(bytes(frame0) + frames[first_len:])
+    assert m["duration_ms"] == 777 * 1152 * 1000 // 44100

@@ -45,13 +45,24 @@ def main() -> None:
         i = args.index("--trainer")
         trainer = args[i + 1]
         del args[i : i + 2]
+    # --query-mod M (default 10): take every M-th vector as a query.
+    # The full-pass protocol (M=10, Q = N/10) is what §9/§11 report;
+    # M=100 keeps the SAME protocol across two dirs in one session at
+    # a tenth of the candidate volume — the affordable way to take a
+    # fifth-decade point (candidate volume Q·nprobe·cell still scales
+    # N^1.5 with Q ∝ N, only the constant shrinks 10×).
+    query_mod = 10
+    if "--query-mod" in args:
+        i = args.index("--query-mod")
+        query_mod = int(args[i + 1])
+        del args[i : i + 2]
     dirs = args or ["/root/repo/.scale/sf5", "/root/repo/.scale/sf15"]
     spark = get_spark("ivf_decompose")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for sf in dirs:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-        q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        q = emb.filter(F.col("vec_id") % query_mod == 0).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
         n = c.count()
@@ -81,7 +92,8 @@ def main() -> None:
         )
         searches = " ".join(f"search{i + 1}={t:.1f}s" for i, t in enumerate(search_times))
         print(
-            f"{sf}: n={n} k={k} nprobe={nprobe} assign_strategy={strategy} "
+            f"{sf}: n={n} k={k} nprobe={nprobe} query_mod={query_mod} "
+            f"assign_strategy={strategy} "
             f"train={t1 - t0:.1f}s assign={t2 - t1:.1f}s {searches}"
         )
         caching.release_tracked()
