@@ -124,9 +124,11 @@ SCOPES = {
     # response record, transfer shape rotating by doc residue);
     # round 10: bump to 6 for the 'mp4' rows (ISO-BMFF sample
     # extraction — stsc/stsz/stco table walk, Motion-JPEG + raw-RGB
-    # routing, sowt/twos PCM, doc_id % 8 ∈ {1,6} subset) and the 'mp3'
+    # routing, sowt/twos PCM, doc_id % 8 ∈ {1,6} subset), the 'mp3'
     # rows (frame-level decode: CRC-16, complete side-info unpack,
-    # reservoir, exact silent-granule PCM, doc_id % 8 ∈ {3,4})
+    # reservoir, exact silent-granule PCM, doc_id % 8 ∈ {3,4}), and
+    # the 'mkv' rows (EBML Cluster/SimpleBlock walk with all four
+    # lacing schemes, MJPEG/raw-RGB/PCM routing, doc_id % 8 ∈ {0,7})
     "multimodal_suite": 6,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental

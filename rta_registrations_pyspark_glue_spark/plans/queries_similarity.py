@@ -17,6 +17,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     avi,
     doctext,
     mediameta,
+    mkv,
     mp3,
     mp4,
     multimodal,
@@ -792,6 +793,52 @@ _MM_MP4_ORACLE = """
     """
 
 
+#: Matroska sample extraction (r10): the third container gets the same
+#: treatment — EBML Cluster/SimpleBlock walk with ALL FOUR lacing
+#: schemes decoded in-gate (fixed on even docs; Xiph 255-run on
+#: doc%4==1, EBML signed-delta on doc%4==3), V_MJPEG/V_UNCOMPRESSED
+#: video and A_PCM both byte orders routed to owned decoders. Same
+#: closed forms as the AVI/MP4 legs on the remaining residues {0, 7}.
+_MM_MKV_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(2 AS INT) AS n_frames,
+           CASE WHEN doc_id % 2 = 0 THEN 'V_MJPEG'
+                ELSE 'V_UNCOMPRESSED' END AS codec,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 3 * 256 * (((doc_id * 37) % 256)
+                                + ((doc_id * 37 + 11) % 256))
+                ELSE list_sum(list_transform(range(0, 1536), i ->
+                     (doc_id * 7 + (i // 768) * 11
+                      + ((i % 768) // 3) * 3 + (i % 3)) % 256))
+                END AS BIGINT) AS pix_sum,
+           CAST(64 AS BIGINT) AS n_audio,
+           CAST(list_sum(list_transform(range(0, 64), s ->
+                ((doc_id * 3 + s) % 256 - 128) * 4)) AS BIGINT) AS audio_sum,
+           TRUE AS decode_ok
+    FROM documents WHERE doc_id % 8 = 0 OR doc_id % 8 = 7
+    """
+
+
+def multimodal_demux_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Matroska sample extraction through the Arrow/pandas path
+    (r10): each doc gets a two-cluster MKV (mkv.synthesize_mkv_docs —
+    V_MJPEG solid frames + fixed-laced LE PCM for even ids,
+    V_UNCOMPRESSED per-pixel RGB + Xiph- or EBML-laced BE PCM for
+    odd), the EBML walker (operators/mkv.py) parses Tracks → Cluster →
+    SimpleBlock incl. all four lacing schemes, routes video through
+    the JPEG decoder (Annex-K injection) or the raw-RGB reshape and
+    PCM through both byte orders, and the sums verify against the
+    closed-form oracle shared with the AVI/MP4 legs — a track-number,
+    lacing-size, or byte-order bug shifts every row. Compressed codecs
+    raise at the track boundary (pinned in tests/test_mkv.py)."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 8 == 0) | (F.col("doc_id") % 8 == 7)
+    )
+    return mkv.demux_mkv_features(mkv.synthesize_mkv_docs(docs))
+
+
 #: MP3 frame-level decode (r10): sync walk + ID3v2 skip + CRC-16 +
 #: COMPLETE side-info unpacking (both granule layouts, mono 17-byte and
 #: stereo 32-byte blocks) + bit reservoir + exact silent-granule PCM.
@@ -1067,6 +1114,8 @@ def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'mp3' AS kind, * FROM ({_MM_MP3_ORACLE})
     UNION ALL BY NAME
+    SELECT 'mkv' AS kind, * FROM ({_MM_MKV_ORACLE})
+    UNION ALL BY NAME
     SELECT 'mediameta' AS kind, * FROM ({_MM_MEDIAMETA_ORACLE})
     UNION ALL BY NAME
     SELECT 'doctext' AS kind, * FROM ({_MM_DOCTEXT_ORACLE})
@@ -1144,6 +1193,9 @@ MULTIMODAL_LEGS = {
     # 'mp3' (r10): frame-level decode — CRC-16, full side-info unpack,
     # reservoir, exact silent-granule PCM
     "mp3": multimodal_decode_mp3,
+    # 'mkv' (r10): EBML Cluster/SimpleBlock walk, all four lacing
+    # schemes, MJPEG + uncompressed-RGB + PCM routing
+    "mkv": multimodal_demux_mkv,
     # 'mediameta' (r9): typed MP4/MKV/MP3/Ogg metadata, no frame decode
     "mediameta": multimodal_media_meta,
     # 'doctext' (r9): PDF/DOCX extraction — hash pins the text itself

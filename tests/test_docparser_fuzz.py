@@ -196,3 +196,27 @@ def test_pdf_xref_count_bombs_rejected_fast():
         raise AssertionError("truncated predictor row accepted")
     except ValueError:
         pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 10),
+    truncate=st.booleans(),
+    lacing=st.sampled_from(["none", "fixed", "xiph", "ebml"]),
+)
+def test_mkv_corruption_envelope(seed, n_flips, truncate, lacing):
+    from rta_registrations_pyspark_glue_spark.operators import mkv
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(2)]
+    aud = rng.integers(-1000, 1000, 32).astype(np.int16)
+    buf = mkv.encode_mkv_av(
+        frames, codec="V_UNCOMPRESSED", audio=aud, audio_lacing=lacing
+    )
+    data = _mutate(buf, seed, n_flips, truncate)
+    try:
+        clip = mkv.demux_mkv(data)
+        assert isinstance(clip, dict)
+    except _ENVELOPE:
+        pass

@@ -1,0 +1,133 @@
+"""Matroska sample-extraction contract (operators/mkv.py).
+
+Block parsing pinned lacing scheme by lacing scheme (none / Xiph /
+fixed / EBML signed-delta), both routed video codecs, both PCM byte
+orders, the compressed-codec track boundary, and the malformed-input
+envelope. The DuckDB-side check is multimodal_suite's 'mkv' rows
+(closed forms shared with the AVI/MP4 legs on disjoint residues)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import mkv
+
+
+def _rgb_frames(d: int, n: int = 2, size: int = 16) -> list[np.ndarray]:
+    p = np.arange(size * size, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    return [
+        ((d * 7 + f * 11 + p * 3 + c) % 256).astype(np.uint8).reshape(size, size, 3)
+        for f in range(n)
+    ]
+
+
+def _aud(d: int, n: int = 64) -> np.ndarray:
+    s = np.arange(n, dtype=np.int64)
+    return (((d * 3 + s) % 256 - 128) * 4).astype(np.int16)
+
+
+@pytest.mark.parametrize("lacing", ["none", "fixed", "xiph", "ebml"])
+@pytest.mark.parametrize("acodec", ["A_PCM/INT/LIT", "A_PCM/INT/BIG"])
+def test_uncompressed_roundtrip_all_lacings(lacing, acodec):
+    frames, aud = _rgb_frames(9), _aud(9)
+    clip = mkv.demux_mkv(
+        mkv.encode_mkv_av(
+            frames, codec="V_UNCOMPRESSED", audio=aud,
+            audio_codec=acodec, audio_lacing=lacing,
+        )
+    )
+    for got, want in zip(clip["frames"], frames):
+        assert np.array_equal(got, want)
+    assert clip["audio_codec"] == acodec
+    assert np.array_equal(clip["audio"][:, 0], aud), lacing
+
+
+def test_mjpeg_solid_frames_dc_exact():
+    d = 6
+    frames = [np.full((16, 16), (d * 37 + f * 11) % 256, np.uint8) for f in range(2)]
+    clip = mkv.demux_mkv(
+        mkv.encode_mkv_av(frames, codec="V_MJPEG", audio=_aud(d))
+    )
+    want = 3 * 256 * sum((d * 37 + f * 11) % 256 for f in range(2))
+    assert sum(int(f.astype(np.int64).sum()) for f in clip["frames"]) == want
+
+
+def test_block_lacing_unit_vectors():
+    """parse_block against hand-built bodies: the vint/size math for
+    each scheme, not just roundtrips through our own encoder."""
+    # no lacing: track 1, ts 5, one 3-byte frame
+    body = bytes([0x81]) + (5).to_bytes(2, "big") + bytes([0x80]) + b"abc"
+    assert mkv.parse_block(body, 0, len(body)) == (1, 5, [b"abc"])
+    # Xiph: 3 frames of 2, 300, 4 bytes (300 = 255 + 45 run)
+    fr = [b"ab", b"x" * 300, b"defg"]
+    body = (
+        bytes([0x82]) + (0).to_bytes(2, "big") + bytes([0x80 | 0x02, 2])
+        + bytes([2, 255, 45]) + b"".join(fr)
+    )
+    assert mkv.parse_block(body, 0, len(body)) == (2, 0, fr)
+    # fixed: 4 equal frames
+    fr = [b"abcd", b"efgh", b"ijkl", b"mnop"]
+    body = bytes([0x81, 0, 0, 0x80 | 0x04, 3]) + b"".join(fr)
+    assert mkv.parse_block(body, 0, len(body)) == (1, 0, fr)
+    # EBML: sizes 500, 300 (delta -200), remainder
+    fr = [b"a" * 500, b"b" * 300, b"c" * 7]
+    first = (500 | 0x4000).to_bytes(2, "big")   # 2-byte uvint
+    delta = ((-200 + 0x1FFF) | 0x4000).to_bytes(2, "big")  # 2-byte svint
+    body = bytes([0x81, 0, 0, 0x80 | 0x06, 2]) + first + delta + b"".join(fr)
+    assert mkv.parse_block(body, 0, len(body)) == (1, 0, fr)
+
+
+def test_compressed_codec_boundaries():
+    frames = _rgb_frames(3)
+    buf = mkv.encode_mkv_av(frames, codec="V_UNCOMPRESSED", audio=_aud(3))
+    pad = b"V_VP9" + b"\x00" * (len(b"V_UNCOMPRESSED") - 5)
+    with pytest.raises(NotImplementedError, match="V_VP9"):
+        mkv.demux_mkv(buf.replace(b"V_UNCOMPRESSED", pad))
+    pad = b"A_OPUS" + b"\x00" * (len(b"A_PCM/INT/LIT") - 6)
+    with pytest.raises(NotImplementedError, match="A_OPUS"):
+        mkv.demux_mkv(buf.replace(b"A_PCM/INT/LIT", pad))
+
+
+def test_malformed_envelope():
+    frames = _rgb_frames(5)
+    buf = mkv.encode_mkv_av(frames, codec="V_UNCOMPRESSED", audio=_aud(5))
+    with pytest.raises(ValueError):
+        mkv.demux_mkv(b"\x1a\x45")  # truncated EBML header
+    with pytest.raises(ValueError):
+        mkv.demux_mkv(buf[: len(buf) // 2])
+    # wrong-size uncompressed frame must fail loudly
+    bad = buf.replace(b"\xb0" + bytes([0x80 | 1, 16]), b"\xb0" + bytes([0x80 | 1, 15]), 1)
+    with pytest.raises((ValueError, NotImplementedError)):
+        mkv.demux_mkv(bad)
+
+
+def test_mediameta_reads_demux_fixtures():
+    from rta_registrations_pyspark_glue_spark.operators import mediameta
+
+    buf = mkv.encode_mkv_av(_rgb_frames(4), codec="V_UNCOMPRESSED", audio=_aud(4))
+    meta = mediameta.extract_media_meta(buf)
+    assert meta["container"] == "mkv" and meta["n_tracks"] == 2
+    assert meta["video_codec"] == "V_UNCOMPRESSED"
+    assert (meta["width"], meta["height"]) == (16, 16)
+
+
+def test_spark_leg_matches_local(spark, sf_dir):
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 8 == 7)
+        .limit(6)
+    )
+    rows = mkv.demux_mkv_features(mkv.synthesize_mkv_docs(docs)).collect()
+    assert rows and all(r["decode_ok"] for r in rows)
+    for r in rows:
+        d = r["doc_id"]
+        assert r["audio_sum"] == int(_aud(d).astype(np.int64).sum())
+        assert r["pix_sum"] == sum(
+            int(f.astype(np.int64).sum()) for f in _rgb_frames(d)
+        )
+        assert r["codec"] == "V_UNCOMPRESSED" and r["n_audio"] == 64
