@@ -46,6 +46,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """bytes → (samples, sample_rate).
@@ -657,7 +659,7 @@ def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def synthesize_flac_docs(docs: DataFrame, n: int = 96) -> DataFrame:
@@ -696,7 +698,14 @@ def synthesize_flac_docs(docs: DataFrame, n: int = 96) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
+
+
+#: fixture-encode memos (worker-process-level): ≤4096 tiny WAVs per
+#: (base, samples_per_block) — deterministic bytes, so sharing across
+#: partitions/passes is safe and keeps the bench leg measuring DECODE
+_IMA_FIXTURE_CACHE: dict[tuple[int, int], bytes] = {}
+_MS_FIXTURE_CACHE: dict[tuple[int, int], bytes] = {}
 
 
 def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
@@ -710,24 +719,28 @@ def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     state machine is pinned by the hand-vector pytest."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[int, bytes] = {}
+        # module-level memo, not per-partition: the 4096 bases spread
+        # across partitions made a local cache always miss, so the leg's
+        # bench time measured the fixture ENCODER (7-pair greedy search)
+        # instead of the decode operator (r10 per-leg decomposition)
+        cache = _IMA_FIXTURE_CACHE
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 29) % 4096
-                if base not in cache:
+                if (base, n) not in cache:
                     c = (base - 2048) * 13
                     sig = np.full(n, c, dtype=np.int32)
-                    cache[base] = encode_ima_adpcm_wav(
+                    cache[base, n] = encode_ima_adpcm_wav(
                         sig, 8000, samples_per_block=n
                     )
-                payloads.append(cache[base])
+                payloads.append(cache[base, n])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def synthesize_msadpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
@@ -742,24 +755,24 @@ def synthesize_msadpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     machine is pinned by the hand-computed pytest vector."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[int, bytes] = {}
+        cache = _MS_FIXTURE_CACHE  # module-level: see synthesize_adpcm_docs
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 31) % 4096
-                if base not in cache:
+                if (base, n) not in cache:
                     c = (base - 2048) * 11
                     sig = np.full(n, c, dtype=np.int32)
-                    cache[base] = encode_ms_adpcm_wav(
+                    cache[base, n] = encode_ms_adpcm_wav(
                         sig, 8000, samples_per_block=n
                     )
-                payloads.append(cache[base])
+                payloads.append(cache[base, n])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:

@@ -38,6 +38,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
 # ---------------------------------------------------------------------------
 # T.81 Annex K "typical" Huffman tables, as a ready-to-splice DHT
 # segment (4 tables: DC/AC luminance as class:id 0:0/1:0, DC/AC
@@ -569,7 +571,7 @@ def synthesize_avi_docs(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def decode_avi_features(df: DataFrame) -> DataFrame:

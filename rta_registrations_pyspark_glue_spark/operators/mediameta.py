@@ -43,6 +43,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
 # ---------------------------------------------------------------------------
 # MP4 / ISO-BMFF
 
@@ -714,7 +716,7 @@ def synthesize_media_docs(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def extract_media_meta_features(df: DataFrame) -> DataFrame:

@@ -37,6 +37,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
 from rta_registrations_pyspark_glue_spark.operators.avi import _ensure_dht, _to_rgb
 from rta_registrations_pyspark_glue_spark.operators.jpeg import (
     decode_jpeg,
@@ -519,7 +521,7 @@ def synthesize_mkv_docs(
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def demux_mkv_features(df: DataFrame) -> DataFrame:

@@ -52,6 +52,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
 from rta_registrations_pyspark_glue_spark.operators.mediameta import _mp3_frame
 
 
@@ -453,7 +455,7 @@ def synthesize_mp3_docs(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def decode_mp3_features(df: DataFrame) -> DataFrame:

@@ -31,6 +31,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
 from pyspark.sql import functions as F
 
 BINARY_DOC_SCHEMA = "doc_id bigint, content binary, media_type string, n_chars bigint"
@@ -299,7 +301,7 @@ def synthesize_ppm_docs(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def synthesize_jpeg_docs(docs: DataFrame, size: int = 16) -> DataFrame:
@@ -336,7 +338,7 @@ def synthesize_jpeg_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def synthesize_gif_docs(docs: DataFrame, size: int = 16) -> DataFrame:
@@ -367,7 +369,7 @@ def synthesize_gif_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def synthesize_tiff_docs(docs: DataFrame, size: int = 16) -> DataFrame:
@@ -397,7 +399,7 @@ def synthesize_tiff_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def synthesize_webp_docs(docs: DataFrame, size: int = 16) -> DataFrame:
@@ -435,7 +437,7 @@ def synthesize_webp_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def synthesize_vp8_docs(docs: DataFrame) -> DataFrame:
@@ -466,7 +468,7 @@ def synthesize_vp8_docs(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def synthesize_png_docs(docs: DataFrame, size: int = 16) -> DataFrame:
@@ -500,7 +502,7 @@ def synthesize_png_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
 
-    return docs.select("doc_id").mapInPandas(op, "doc_id bigint, content binary")
+    return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
 def decode_image_features(df: DataFrame) -> DataFrame:

@@ -1,0 +1,47 @@
+"""Parallelism guard for Python-heavy mapInPandas stages.
+
+The multimodal/codec legs do their real work (encode/decode, pure
+Python/numpy) inside Arrow-batched ``mapInPandas`` — whose parallelism
+is exactly the input's partition count. A small parquet corpus arrives
+as ONE scan split (`spark.sql.files.maxPartitionBytes` ≫ file size), so
+without a guard every leg runs serial on one core of 32: the r10
+per-leg bench decomposition measured the adpcm leg at 4.2s wall for
+~4s of single-threaded Python — a 32× parallelism loss that plan-shape
+reviews missed because the plan LOOKS fine (one narrow mapInPandas).
+
+``spread_ids`` repartitions an under-partitioned id/binary frame up to
+``max(8, defaultParallelism // 4)`` before the Python stage. The
+shuffle payload is whatever the frame carries (for the synthesize
+legs: one bigint per row — trivially cheap against seconds of Python).
+At 100 TB the input is already wide, ``cur >= target`` holds, and this
+is a no-op — the guard exists for the small-corpus/one-file case, the
+same asymmetry ``similarity.spread_for_gemm`` handles for BLAS work.
+
+Why not the full defaultParallelism: legs run CONCURRENTLY inside the
+multimodal union (Spark schedules the independent union branches of
+one job together), so per-leg width multiplies across ~21 siblings.
+Measured on the sf0.1 corpus (32 cores): width 32 → isolated adpcm leg
+5.2s→1.1s but the union 10.6s→15.7s (672 tasks + 21 shuffle barriers);
+width 8 → isolated legs within noise of width 32 (fixed per-partition
+Arrow/worker cost dominates past ~8×) AND the union drops to 7.7s —
+better than no spread at all. ``// 4`` keeps the same headroom ratio
+on larger clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_ids(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` up to max(8, defaultParallelism // 4) when
+    the scan gave fewer partitions; never coalesces an already-wide
+    frame (the 100 TB case arrives wide and this is a no-op)."""
+    sc = df.sparkSession.sparkContext
+    target = max(8, sc.defaultParallelism // 4)
+    if sc.defaultParallelism <= 1:
+        return df
+    cur = df.rdd.getNumPartitions()
+    if cur >= target:
+        return df
+    return df.repartition(target)
