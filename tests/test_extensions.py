@@ -1839,3 +1839,18 @@ def test_bruteforce_fast_job_count_pinned(spark, sf_dir):
         f"brute_force_topk_fast ran {after - before} jobs (pinned: 3 — "
         "query collect + two AQE jobs for the ranked noop write)"
     )
+
+
+def test_spread_ids_contract(spark):
+    """spread_ids (r10): a 1-partition id frame spreads to
+    max(8, parallelism//4) before Python-heavy mapInPandas; an
+    already-wide frame passes through untouched (the 100 TB case)."""
+    from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
+    par = spark.sparkContext.defaultParallelism
+    target = max(8, par // 4)
+    narrow = spark.range(1000).coalesce(1)
+    assert spread_ids(narrow).rdd.getNumPartitions() == min(target, max(target, 1))
+    wide = spark.range(1000).repartition(target + 5)
+    out = spread_ids(wide)
+    assert out is wide  # no-op, not even a new plan node
