@@ -52,7 +52,7 @@ from rta_registrations_pyspark_glue_spark.operators.mediameta import (
 )
 
 _VIDEO_ROUTED = {"V_MJPEG", "V_UNCOMPRESSED"}
-_AUDIO_ROUTED = {"A_PCM/INT/LIT", "A_PCM/INT/BIG"}
+_AUDIO_ROUTED = {"A_PCM/INT/LIT", "A_PCM/INT/BIG", "A_MPEG/L3"}
 
 
 # ---------------------------------------------------------------------------
@@ -260,9 +260,27 @@ def _demux_mkv_inner(buf: bytes) -> dict:
         out["audio_codec"] = codec
         if codec not in _AUDIO_ROUTED:
             raise NotImplementedError(
-                f"MKV audio codec {codec!r}: A_PCM/INT/LIT|BIG route "
-                "natively; compressed audio is the plug-in boundary"
+                f"MKV audio codec {codec!r}: A_PCM/INT/LIT|BIG and "
+                "A_MPEG/L3 route natively; other compressed audio is the "
+                "plug-in boundary"
             )
+        if codec == "A_MPEG/L3":
+            # MP3-in-Matroska: block frames are whole MPEG frames —
+            # reassemble and hand to the frame decoder (operators/mp3.py)
+            from rta_registrations_pyspark_glue_spark.operators.mp3 import (
+                decode_mp3,
+            )
+
+            es = b"".join(
+                payload
+                for tn, frames in blocks
+                if tn == soun["number"]
+                for payload in frames
+            )
+            clip = decode_mp3(es)
+            out["audio"] = clip["pcm"]
+            out["n_samples"] = int(clip["pcm"].shape[0])
+            return out
         ch = soun.get("channels", 1) or 1
         bits = soun.get("bits", 16)
         if bits != 16:
@@ -388,7 +406,25 @@ def encode_mkv_av(
     )
     tracks_body = vtrack
     a_blocks: list[bytes] = []
-    if audio is not None:
+    if audio is not None and audio_codec == "A_MPEG/L3":
+        # MP3-in-Matroska fixture: ``audio`` is the raw elementary
+        # stream; two unlaced blocks (the decoder reassembles them)
+        es = bytes(audio)
+        tracks_body += _ebml_el(
+            0xAE,
+            _ebml_el(0xD7, b"\x02") + _ebml_el(0x83, b"\x02")
+            + _ebml_el(0x86, audio_codec.encode())
+            + _ebml_el(
+                0xE1,
+                _ebml_el(0xB5, struct.pack(">f", float(audio_rate)))
+                + _ebml_el(0x9F, _ebml_uint_body(1)),
+            ),
+        )
+        a_blocks = [
+            _simple_block(2, 0, [es[: len(es) // 2]], "none"),
+            _simple_block(2, 0, [es[len(es) // 2 :]], "none"),
+        ]
+    elif audio is not None:
         a = np.asarray(audio, np.int16)
         if a.ndim == 1:
             a = a[:, None]

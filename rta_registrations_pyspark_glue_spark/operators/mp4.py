@@ -59,7 +59,7 @@ _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 #: codecs this demux can ROUTE (everything else is the documented
 #: NotImplementedError boundary)
 _VIDEO_ROUTED = {"jpeg", "raw "}
-_AUDIO_ROUTED = {"sowt", "twos"}
+_AUDIO_ROUTED = {"sowt", "twos", ".mp3"}
 
 
 # ---------------------------------------------------------------------------
@@ -265,9 +265,31 @@ def _demux_mp4_inner(content: bytes) -> dict:
         out["audio_codec"] = codec
         if codec not in _AUDIO_ROUTED:
             raise NotImplementedError(
-                f"MP4 audio codec {codec!r}: 'sowt'/'twos' PCM route "
-                "natively; compressed audio is the plug-in boundary"
+                f"MP4 audio codec {codec!r}: 'sowt'/'twos' PCM and '.mp3' "
+                "route natively; other compressed audio is the plug-in "
+                "boundary"
             )
+        if codec == ".mp3":
+            # MP3-in-MP4 ('.mp3' sample entry): samples are whole MPEG
+            # frames — reassemble the elementary stream and hand it to
+            # the frame decoder (operators/mp3.py: silent granules are
+            # exact; Huffman granules raise at ITS documented boundary)
+            from rta_registrations_pyspark_glue_spark.operators.mp3 import (
+                decode_mp3,
+            )
+
+            layout = _sample_layout(
+                soun.get("stsc", []), soun.get("chunks", []),
+                soun.get("n_samples", 0), soun.get("uniform", 0),
+                soun.get("sizes"),
+            )
+            for off, sz in layout:
+                if off + sz > len(buf):
+                    raise ValueError("audio sample beyond EOF")
+            clip = decode_mp3(b"".join(buf[o : o + s] for o, s in layout))
+            out["audio"] = clip["pcm"]
+            out["n_samples"] = int(clip["pcm"].shape[0])
+            return out
         ch, bits, _rate = _stsd_audio_fmt(buf, soun["stsd"]["entry_off"])
         if bits != 16 or ch < 1:
             raise NotImplementedError(f"PCM {bits}-bit x{ch}: 16-bit only")
@@ -339,7 +361,14 @@ def encode_mp4_av(
     else:
         raise ValueError(f"fixture codec {codec!r}")
 
-    if audio is not None:
+    if audio_codec == ".mp3" and audio is not None:
+        # MP3-in-MP4 fixture: ``audio`` is the raw elementary stream
+        # (bytes); each half is one sample so the layout walk still runs
+        es = bytes(audio)
+        ch, n_pcm = 1, 2
+        a_chunks = [es[: len(es) // 2], es[len(es) // 2 :]]
+        mp3_sizes = [len(c) for c in a_chunks]
+    elif audio is not None:
         a = np.asarray(audio, np.int16)
         if a.ndim == 1:
             a = a[:, None]
@@ -351,8 +380,9 @@ def encode_mp4_av(
             pcm[: (n_pcm // 2) * 2 * ch],
             pcm[(n_pcm // 2) * 2 * ch :],
         ]
+        mp3_sizes = None
     else:
-        ch, n_pcm, a_chunks = 0, 0, []
+        ch, n_pcm, a_chunks, mp3_sizes = 0, 0, [], None
 
     # mdat layout: [v0][a0][v1..][a1] — offsets are absolute, so lay
     # out the file as ftyp + mdat + moov (moov-at-end, the capture
@@ -465,13 +495,21 @@ def encode_mp4_av(
             + b"\x00" * 8 + struct.pack(">HH", ch, 16) + b"\x00" * 4
             + struct.pack(">I", audio_rate << 16)
         )
-        half = n_pcm // 2
-        a_stsc = [(1, half, 1), (2, n_pcm - half, 1)]
-        traks += trak(
-            b"soun", audio_codec, 2, stsd_entry=a_entry,
-            stts=[(n_pcm, 1)], stsc=a_stsc, uniform=2 * ch, sizes=None,
-            n_samples=n_pcm, offsets=offs["a"], tdur=n_pcm,
-        )
+        if mp3_sizes is not None:
+            a_stsc = [(1, 1, 1), (2, 1, 1)]
+            traks += trak(
+                b"soun", audio_codec, 2, stsd_entry=a_entry,
+                stts=[(2, 1)], stsc=a_stsc, uniform=0, sizes=mp3_sizes,
+                n_samples=2, offsets=offs["a"], tdur=2,
+            )
+        else:
+            half = n_pcm // 2
+            a_stsc = [(1, half, 1), (2, n_pcm - half, 1)]
+            traks += trak(
+                b"soun", audio_codec, 2, stsd_entry=a_entry,
+                stts=[(n_pcm, 1)], stsc=a_stsc, uniform=2 * ch, sizes=None,
+                n_samples=n_pcm, offsets=offs["a"], tdur=n_pcm,
+            )
 
     mvhd = _box(
         b"mvhd",

@@ -131,3 +131,20 @@ def test_spark_leg_matches_local(spark, sf_dir):
             int(f.astype(np.int64).sum()) for f in _rgb_frames(d)
         )
         assert r["codec"] == "V_UNCOMPRESSED" and r["n_audio"] == 64
+
+
+def test_mp3_track_routes_to_frame_decoder():
+    """A_MPEG/L3 block frames reassemble the elementary stream and ride
+    operators/mp3.py — the same cross-container contract as MP4's
+    '.mp3' entries."""
+    from rta_registrations_pyspark_glue_spark.operators import mp3 as mp3mod
+
+    es = mp3mod.encode_mp3_silent(2, channels=1)
+    clip = mkv.demux_mkv(
+        mkv.encode_mkv_av(
+            _rgb_frames(4), codec="V_UNCOMPRESSED",
+            audio=es, audio_codec="A_MPEG/L3",
+        )
+    )
+    assert clip["audio_codec"] == "A_MPEG/L3" and clip["n_samples"] == 2 * 1152
+    assert int(np.abs(clip["audio"]).sum()) == 0

@@ -146,3 +146,27 @@ def test_spark_leg_matches_local(spark, sf_dir):
         assert r["audio_sum"] == want_aud and r["n_audio"] == 64
         want_pix = sum(int(f.astype(np.int64).sum()) for f in _rgb_frames(d))
         assert r["pix_sum"] == want_pix and r["codec"] == "raw "
+
+
+def test_mp3_track_routes_to_frame_decoder():
+    """'.mp3' sample entries reassemble the elementary stream and ride
+    operators/mp3.py: silent streams decode exactly; a Huffman-coded
+    granule surfaces THAT module's documented boundary through the
+    container, never garbage."""
+    from rta_registrations_pyspark_glue_spark.operators import mp3 as mp3mod
+
+    es = mp3mod.encode_mp3_silent(3, channels=2, protected=True)
+    frames = _rgb_frames(4)
+    clip = mp4.demux_mp4(
+        mp4.encode_mp4_av(frames, codec="raw ", audio=es, audio_codec=".mp3")
+    )
+    assert clip["audio_codec"] == ".mp3" and clip["n_samples"] == 3 * 1152
+    assert int(np.abs(clip["audio"]).sum()) == 0
+    hot = bytearray(mp3mod.encode_mp3_silent(1))
+    hot[4 + 2] |= 0x0F  # non-zero part2_3_length
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        mp4.demux_mp4(
+            mp4.encode_mp4_av(
+                frames, codec="raw ", audio=bytes(hot), audio_codec=".mp3"
+            )
+        )
