@@ -227,7 +227,11 @@ def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
 
 
 def _decode_ima_adpcm(
-    data: bytes, channels: int, block_align: int, samples_per_block: int
+    data: bytes,
+    channels: int,
+    block_align: int,
+    samples_per_block: int,
+    lockstep: bool | None = None,
 ) -> np.ndarray:
     """IMA-WAV block layout: per block, a 4-byte header per channel
     (int16 predictor — emitted verbatim as the block's first sample —
@@ -239,6 +243,18 @@ def _decode_ima_adpcm(
     partitions, not SIMD."""
     if block_align < 4 * channels:
         raise ValueError("IMA ADPCM block_align smaller than its headers")
+    # many-full-block payloads take the lock-step numpy path (bit-
+    # identical, pinned by tests; ~n_blocks× less Python dispatch) —
+    # the scalar loop remains the reference and the partial-tail path
+    full = len(data) % block_align == 0
+    if lockstep is None:
+        lockstep = full and len(data) >= 8 * block_align
+    if lockstep:
+        if not full:
+            raise ValueError("lock-step decode requires whole blocks")
+        return _decode_ima_adpcm_blocks(
+            data, channels, block_align, samples_per_block
+        )
     out: list[list[int]] = [[] for _ in range(channels)]
     for b0 in range(0, len(data), block_align):
         block = data[b0 : b0 + block_align]
@@ -294,7 +310,10 @@ def _ms_step(s1: int, s2: int, idelta: int, c1: int, c2: int, nibble: int):
     pred = ((s1 * c1 + s2 * c2) >> 8) + signed * idelta
     pred = max(-32768, min(32767, pred))
     idelta = (_MS_ADPCM_ADAPT[nibble] * idelta) >> 8
-    return pred, max(16, idelta)
+    # cap: idelta has no spec ceiling and grows ×3/step on crafted
+    # streams — both the scalar and lock-step paths clamp to int32
+    # range so they stay bit-identical (real signals never get near it)
+    return pred, min(max(16, idelta), (1 << 31) - 1)
 
 
 def _decode_ms_adpcm(
@@ -303,6 +322,7 @@ def _decode_ms_adpcm(
     block_align: int,
     samples_per_block: int,
     coefs: list[tuple[int, int]],
+    lockstep: bool | None = None,
 ) -> np.ndarray:
     """MS-ADPCM block layout: per block, channel-interleaved header
     fields — uint8 coefficient-pair index per channel, int16 initial
@@ -314,6 +334,15 @@ def _decode_ms_adpcm(
     decoder: parallelism comes from Arrow partitions."""
     if block_align < 7 * channels:
         raise ValueError("MS ADPCM block_align smaller than its headers")
+    full = len(data) % block_align == 0
+    if lockstep is None:
+        lockstep = full and len(data) >= 8 * block_align
+    if lockstep:
+        if not full:
+            raise ValueError("lock-step decode requires whole blocks")
+        return _decode_ms_adpcm_blocks(
+            data, channels, block_align, samples_per_block, coefs
+        )
     out: list[list[int]] = [[] for _ in range(channels)]
     for b0 in range(0, len(data), block_align):
         block = data[b0 : b0 + block_align]
@@ -358,6 +387,144 @@ def _decode_ms_adpcm(
             del out[c][want:]
     n = min(len(chn) for chn in out)
     return np.stack([np.array(chn[:n], dtype=np.int32) for chn in out], axis=1)
+
+
+#: numpy views of the IMA tables for the lock-step decoder
+_IMA_STEPS_NP = None
+_IMA_ADJ_NP = None
+
+
+def _ima_tables_np():
+    global _IMA_STEPS_NP, _IMA_ADJ_NP
+    if _IMA_STEPS_NP is None:
+        _IMA_STEPS_NP = np.asarray(_IMA_STEPS, dtype=np.int64)
+        _IMA_ADJ_NP = np.asarray(_IMA_INDEX_ADJUST, dtype=np.int64)
+    return _IMA_STEPS_NP, _IMA_ADJ_NP
+
+
+def _decode_ima_adpcm_blocks(
+    data: bytes, channels: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """Lock-step numpy decode of the FULL blocks in ``data`` — the
+    per-sample state machine is inherently sequential, but every BLOCK
+    (and channel) is independent by design, so all of them advance
+    together: one table-lookup/arithmetic pass per nibble position over
+    an (n_blocks, channels) state array instead of a Python loop over
+    every nibble. Bit-identical to _decode_ima_adpcm by construction
+    (same shift-add difference form, same clamps, same trim — pinned by
+    tests), ~n_blocks× less Python dispatch: the 100 TB shape is many
+    2041-sample blocks per file, exactly where the scalar loop was the
+    bottleneck. Returns (n_blocks·samples_per_block, channels) int32."""
+    ch = channels
+    nb = len(data) // block_align
+    arr = np.frombuffer(data[: nb * block_align], np.uint8).reshape(
+        nb, block_align
+    )
+    hdr = arr[:, : 4 * ch].reshape(nb, ch, 4).astype(np.int64)
+    preds = hdr[:, :, 0] | (hdr[:, :, 1] << 8)
+    preds = np.where(preds >= 1 << 15, preds - (1 << 16), preds)
+    idxs = hdr[:, :, 2]
+    if (idxs > 88).any():
+        raise ValueError(
+            f"IMA ADPCM step index {int(idxs.max())} out of range"
+        )
+    body = arr[:, 4 * ch :]
+    ngroups = body.shape[1] // (4 * ch)
+    # the scalar loop consumes groups only while emitted < spb
+    gneed = (
+        min(ngroups, (samples_per_block - 1 + 7) // 8)
+        if samples_per_block > 1
+        else 0
+    )
+    grp = body[:, : gneed * 4 * ch].reshape(nb, gneed, ch, 4)
+    nibs = np.empty((nb, gneed, ch, 4, 2), np.int64)
+    nibs[..., 0] = grp & 0x0F
+    nibs[..., 1] = grp >> 4
+    # (nb, ch, steps): per channel, groups in order, low nibble first
+    nibs = nibs.transpose(0, 2, 1, 3, 4).reshape(nb, ch, gneed * 8)
+    steps_tab, adj_tab = _ima_tables_np()
+    n_steps = nibs.shape[2]
+    out = np.empty((nb, ch, 1 + n_steps), np.int64)
+    out[:, :, 0] = preds
+    for t in range(n_steps):
+        n = nibs[:, :, t]
+        step = steps_tab[idxs]
+        diff = (
+            (step >> 3)
+            + (n & 1) * (step >> 2)
+            + ((n >> 1) & 1) * (step >> 1)
+            + ((n >> 2) & 1) * step
+        )
+        preds = np.where((n & 8) != 0, preds - diff, preds + diff)
+        np.clip(preds, -32768, 32767, out=preds)
+        idxs = np.clip(idxs + adj_tab[n & 7], 0, 88)
+        out[:, :, t + 1] = preds
+    want = min(samples_per_block, 1 + n_steps)
+    return (
+        out[:, :, :want].transpose(0, 2, 1).reshape(-1, ch).astype(np.int32)
+    )
+
+
+def _decode_ms_adpcm_blocks(
+    data: bytes,
+    channels: int,
+    block_align: int,
+    samples_per_block: int,
+    coefs: list[tuple[int, int]],
+) -> np.ndarray:
+    """Lock-step numpy decode of FULL MS-ADPCM blocks — the blockwise
+    twin of _decode_ima_adpcm_blocks (same rationale, same bit-identity
+    contract against _decode_ms_adpcm, pinned by tests). idelta grows
+    multiplicatively (×768/256 per step) with no spec cap; both paths
+    clamp it to int32 range so the vector int64 math can never silently
+    wrap where the scalar bigint would keep growing (reachable only by
+    crafted streams — real encoders keep idelta near signal scale)."""
+    ch = channels
+    nb = len(data) // block_align
+    arr = np.frombuffer(data[: nb * block_align], np.uint8).reshape(
+        nb, block_align
+    )
+    pidx = arr[:, :ch].astype(np.int64)
+    if (pidx >= len(coefs)).any():
+        raise ValueError(
+            f"MS ADPCM predictor index {int(pidx.max())} out of range"
+        )
+
+    def i16(col0: int) -> np.ndarray:
+        raw = arr[:, col0 : col0 + 2 * ch].reshape(nb, ch, 2).astype(np.int64)
+        v = raw[:, :, 0] | (raw[:, :, 1] << 8)
+        return np.where(v >= 1 << 15, v - (1 << 16), v)
+
+    ideltas = np.maximum(16, i16(ch))
+    s1s = i16(3 * ch)
+    s2s = i16(5 * ch)
+    coef_arr = np.asarray(coefs, dtype=np.int64)
+    c1 = coef_arr[pidx, 0]
+    c2 = coef_arr[pidx, 1]
+    adapt_tab = np.asarray(_MS_ADPCM_ADAPT, dtype=np.int64)
+
+    body = arr[:, 7 * ch :]
+    nibs = np.empty((nb, body.shape[1], 2), np.int64)
+    nibs[:, :, 0] = body >> 4  # HIGH nibble first
+    nibs[:, :, 1] = body & 0x0F
+    nibs = nibs.reshape(nb, -1)
+    n_steps = nibs.shape[1] // ch
+    out = np.empty((nb, ch, 2 + n_steps), np.int64)
+    out[:, :, 0] = s2s  # older seed first
+    out[:, :, 1] = s1s
+    for t in range(n_steps):
+        n = nibs[:, t * ch : (t + 1) * ch]
+        signed = np.where(n >= 8, n - 16, n)
+        pred = ((s1s * c1 + s2s * c2) >> 8) + signed * ideltas
+        np.clip(pred, -32768, 32767, out=pred)
+        ideltas = np.maximum(16, (adapt_tab[n] * ideltas) >> 8)
+        np.minimum(ideltas, (1 << 31) - 1, out=ideltas)
+        s2s, s1s = s1s, pred
+        out[:, :, t + 2] = pred
+    want = min(samples_per_block, 2 + n_steps)
+    return (
+        out[:, :, :want].transpose(0, 2, 1).reshape(-1, ch).astype(np.int32)
+    )
 
 
 def encode_ms_adpcm_wav(

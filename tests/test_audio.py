@@ -24,6 +24,8 @@ from rta_registrations_pyspark_glue_spark.operators.audio import (
     _alaw_expand,
     _mulaw_expand,
     decode_wav,
+    encode_ima_adpcm_wav,
+    encode_ms_adpcm_wav,
     encode_wav,
     resample_linear,
 )
@@ -424,3 +426,68 @@ def test_ms_adpcm_padded_fmt_with_cbsize_zero_falls_back():
     riff += b"data" + struct.pack("<I", len(block)) + block
     frames, _ = audio.decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
     assert list(frames[:, 0]) == [100, 200, 396, 396]  # derived spb=4
+
+
+def _wav_parts(buf: bytes):
+    import struct
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if tag == b"fmt ":
+            fmt = buf[pos + 8 : pos + 8 + size]
+        elif tag == b"data":
+            data = buf[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    import struct as _s
+
+    _, ch, _, _, ba, _ = _s.unpack_from("<HHIIHH", fmt, 0)
+    return data, ch, ba
+
+
+def test_adpcm_lockstep_bit_identity():
+    """The r10 lock-step (block-parallel numpy) decoders must be
+    BIT-IDENTICAL to the scalar reference state machines across random
+    signals, channel counts, and block sizes — same shift-add/two-tap
+    arithmetic, same clamps, same per-block trim."""
+    rng = np.random.default_rng(11)
+    for ch in (1, 2):
+        for spb, nblocks in ((64, 12), (505, 9), (2041, 8)):
+            n = spb * nblocks
+            sig = rng.integers(-25000, 25000, (n, ch)).astype(np.int32)
+            if ch == 1:
+                sig = sig[:, 0]
+            for enc, dec in (
+                (encode_ima_adpcm_wav, audio._decode_ima_adpcm),
+                (
+                    encode_ms_adpcm_wav,
+                    lambda d, c, ba, spb_, lockstep: audio._decode_ms_adpcm(
+                        d, c, ba, spb_, audio._MS_ADPCM_COEFS, lockstep=lockstep
+                    ),
+                ),
+            ):
+                data, chn, ba = _wav_parts(enc(sig, 8000, samples_per_block=spb))
+                fast = dec(data, chn, ba, spb, lockstep=True)
+                slow = dec(data, chn, ba, spb, lockstep=False)
+                assert fast.dtype == slow.dtype == np.int32
+                assert fast.shape == slow.shape
+                assert (fast == slow).all()
+
+
+def test_adpcm_lockstep_rejects_bad_indices():
+    """The vector path must keep the scalar's validation: an
+    out-of-range step/predictor index raises, never indexes junk."""
+    sig = np.zeros(64 * 10, np.int32)
+    data, ch, ba = _wav_parts(encode_ima_adpcm_wav(sig, 8000, samples_per_block=64))
+    bad = bytearray(data)
+    bad[2] = 99  # step index > 88 in block 0's header
+    with pytest.raises(ValueError, match="step index"):
+        audio._decode_ima_adpcm(bytes(bad), ch, ba, 64, lockstep=True)
+    data, ch, ba = _wav_parts(encode_ms_adpcm_wav(sig, 8000, samples_per_block=64))
+    bad = bytearray(data)
+    bad[0] = 9  # predictor index >= 7
+    with pytest.raises(ValueError, match="predictor index"):
+        audio._decode_ms_adpcm(
+            bytes(bad), ch, ba, 64, audio._MS_ADPCM_COEFS, lockstep=True
+        )
