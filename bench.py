@@ -78,6 +78,10 @@ HEADLINE = [
     # cluster-keyed split as ONE dataflow) — the r9 flagship was the
     # only scale-relevant operator without a bench point (VERDICT r9 #1)
     "corpus_curation_pipeline",
+    # round 10: IVFPQ(R) — the compressed ANN path (16-byte codes, ADC
+    # scoring, exact re-rank); same probes as cosine_topk_ivf, so the
+    # delta between the two IS the compression win/cost at this scale
+    "cosine_topk_ivfpq",
 ]
 
 #: Per-query SCOPE VERSION, emitted in the bench JSON ("scopes") so
@@ -179,6 +183,11 @@ SCALING_SUBSET = [
     # exponents are all <=0.67, so the composite should land <=0.7;
     # above that, the two inter-stage semi-joins are the suspects
     "corpus_curation_pipeline",
+    # round 10: IVFPQ — candidate volume matches cosine_topk_ivf's
+    # (identical probe sets); the ADC scan is the cheaper-per-candidate
+    # leg, the refine join is O(Q.k.refine_factor) — expected to track
+    # cosine_topk_ivf's exponent with a smaller constant per candidate
+    "cosine_topk_ivfpq",
 ]
 
 #: name -> why it is not in the scaling pass. These are DESIGNED

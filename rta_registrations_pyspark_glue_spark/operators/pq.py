@@ -1,0 +1,581 @@
+"""Product quantization (PQ) for the embedding column — compressed
+vector search in the FAISS IVFPQ shape, expressed Spark-first.
+
+Why this exists at 100 TB: the exact search paths (`brute_force_topk`,
+`ivf_search`) stream every candidate VECTOR — 8·d bytes/row as float64
+(512 B at d=64, 24 KB at d=3072) — so in-cell scan cost is dominated by
+memory traffic long before flops. PQ stores each vector as ``m`` byte
+codes (8-16 B/row): the candidate scan reads 32-64x fewer bytes, and
+ADC scoring replaces the d-multiply dot product with m table lookups
+per candidate (a d/m flop cut on top of the bandwidth cut). That is the
+standard production trade (Jegou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011; FAISS `IndexIVFPQ(R)`), and
+the recall it costs is bought back where it matters by exact
+re-ranking of a small refined candidate set (`refine_factor`) — the
+IVFPQR shape.
+
+Everything is deterministic by construction (no RNG anywhere):
+
+- training collects a bounded sample SORTED BY ID, initializes each
+  subspace codebook from the first ``n_codes`` distinct subvectors in
+  id order, and runs Lloyd with first-min argmin tie-breaks; empty
+  clusters keep their previous centroid;
+- encoding is per-row (partition-layout independent);
+- ADC scores accumulate lookup tables in fixed subspace order, so a
+  row's score is identical whatever Arrow batch it lands in, and the
+  final (score DESC, id ASC) window is a total order.
+
+Two train/encode runs are therefore bit-equal, and the refined search
+is bit-equal to the exact search whenever the ADC candidate set covers
+the true top-k (pinned on the gate corpora in tests/test_pq.py).
+
+Reference scope note: the reference repo (single-node Glue ETL,
+`rta_registration_etl.py`) has no vector search at all — this module is
+part of the training-data-pipeline extension surface, sized for the
+corpus scales SCALING.md §12 measures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rta_registrations_pyspark_glue_spark.operators.similarity import (
+    _GEMM_QUERY_CHUNK,
+    _HIER_ASSIGN_MIN_CELLS,
+    _negcos_order,
+    _negcos_order_gemm,
+    _py_dot,
+    IvfIndex,
+    as_double,
+    dot,
+    estimated_rows,
+    spread_for_gemm,
+)
+
+
+@dataclass(frozen=True)
+class PqCodebooks:
+    """Trained PQ codebooks: ``m`` subspaces of ``dsub`` dims, each with
+    up to ``n_codes`` centroids (fewer when the training sample has
+    fewer distinct subvectors). ``codebooks[s][j]`` is centroid ``j`` of
+    subspace ``s`` — plain nested tuples so the object is picklable for
+    broadcast and trivially serializable for a durable index. Centroids
+    quantize L2-NORMALIZED vectors (cosine-IP PQ): the approximate
+    inner product of two unit vectors IS the approximate cosine."""
+
+    m: int
+    dsub: int
+    n_codes: int
+    codebooks: tuple[tuple[tuple[float, ...], ...], ...]
+
+    def as_numpy(self):
+        """List of m (n_codes_s, dsub) float64 arrays (ragged across s
+        when a subspace trained fewer than n_codes centroids)."""
+        import numpy as np
+
+        return [np.array(cb, dtype=np.float64) for cb in self.codebooks]
+
+    @property
+    def code_bytes(self) -> int:
+        return self.m
+
+
+def _validate_pq_shape(dim: int, m: int, n_codes: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"PQ subspace count m={m} must divide the embedding dim {dim}"
+        )
+    if not 1 <= n_codes <= 256:
+        raise ValueError(
+            f"n_codes={n_codes} must be in [1, 256] — codes are single bytes"
+        )
+    return dim // m
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 8,
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+    sample_mod: int = 1,
+    max_train_rows: int = 200_000,
+) -> PqCodebooks:
+    """Train per-subspace codebooks driver-side on a bounded sample —
+    the FAISS shape (PQ training is always on an in-RAM sample; the
+    codebooks are m·n_codes·dsub floats, trivially driver-sized).
+
+    ``sample_mod=S`` trains on the deterministic ``id % S == 0`` slice;
+    ``max_train_rows`` raises instead of OOMing the driver (the same
+    guard as train_ivf_centroids). Vectors are L2-normalized before
+    quantization, so codebooks model the unit sphere and ADC inner
+    products approximate cosine directly. Zero-norm vectors are
+    excluded (consistent with every other similarity operator).
+
+    Determinism: the sample is sorted by id; each subspace initializes
+    from the first ``n_codes`` DISTINCT subvectors in that order
+    (duplicates would pin dead centroids); Lloyd assignment breaks
+    distance ties to the lowest code; an emptied cluster keeps its
+    previous centroid. Two runs are bit-equal (test-pinned)."""
+    import numpy as np
+
+    src = (
+        corpus
+        if sample_mod <= 1
+        else corpus.filter(F.col(corpus_id) % sample_mod == 0)
+    )
+    n = src.count()
+    if n > max_train_rows:
+        raise ValueError(
+            f"train_pq_codebooks collects the training sample to the driver: "
+            f"{n} rows exceeds max_train_rows={max_train_rows}. Raise "
+            f"sample_mod (or the bound)."
+        )
+    rows = (
+        src.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv"))
+        .withColumn("__cn", dot("__cv", "__cv"))
+        .filter(F.col("__cn") > 0)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq_codebooks: empty training sample")
+    sample = sorted((r[0], r["__cv"], r["__cn"]) for r in rows)
+    mat = np.array([cv for _, cv, _ in sample], dtype=np.float64)
+    mat /= np.sqrt(np.array([cn for _, _, cn in sample]))[:, None]
+    dsub = _validate_pq_shape(mat.shape[1], m, n_codes)
+
+    books: list[tuple[tuple[float, ...], ...]] = []
+    for s in range(m):
+        sub = np.ascontiguousarray(mat[:, s * dsub : (s + 1) * dsub])
+        # init: first n_codes distinct subvectors in id order
+        cents: list[np.ndarray] = []
+        seen: set[bytes] = set()
+        for row in sub:
+            key = row.tobytes()
+            if key not in seen:
+                seen.add(key)
+                cents.append(row.copy())
+                if len(cents) == n_codes:
+                    break
+        cent = np.stack(cents)
+        for _ in range(iters):
+            # argmin_j ||x - c_j||^2 == argmin_j (||c_j||^2 - 2 x.c_j);
+            # np.argmin is first-min, so ties take the lowest code.
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = np.argmin(d2, axis=1)
+            new = cent.copy()  # empty clusters keep their centroid
+            for j in range(len(cent)):
+                members = sub[assign == j]
+                if len(members):
+                    new[j] = members.mean(axis=0)
+            cent = new
+        books.append(tuple(tuple(float(x) for x in c) for c in cent))
+    return PqCodebooks(m=m, dsub=dsub, n_codes=n_codes, codebooks=tuple(books))
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: PqCodebooks,
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode every vector as ``m`` byte codes packed into one BINARY
+    column ``__code`` — the compressed index payload (m bytes/row vs
+    8·d for the raw float64 vector: 64x at d=64/m=8). Zero-norm rows
+    are dropped. ``keep`` passes extra columns through untouched (the
+    IVF cell id, for an IVFPQ index).
+
+    One Arrow-batched mapInPandas over the corpus — per batch each
+    subspace runs one (rows x n_codes) GEMM and a first-min argmin, so
+    encoding is embarrassingly parallel and scan-shaped. At 100 TB this
+    is the one full-width pass; everything downstream reads codes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    dim = cb.m * cb.dsub
+    books = cb.as_numpy()
+    out_schema = StructType(
+        [StructField(corpus_id, df.schema[corpus_id].dataType)]
+        + [StructField(c, df.schema[c].dataType) for c in keep]
+        + [StructField("__code", BinaryType())]
+    )
+
+    def op(batches):
+        for pdf in batches:
+            v = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+            nrm = np.sqrt((v * v).sum(axis=1))
+            ok = nrm > 0
+            pdf, v, nrm = pdf[ok], v[ok], nrm[ok]
+            if not len(pdf):
+                continue
+            v = v / nrm[:, None]
+            codes = np.empty((len(v), cb.m), dtype=np.uint8)
+            for s in range(cb.m):
+                sub = v[:, s * cb.dsub : (s + 1) * cb.dsub]
+                cent = books[s]
+                d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+            out = {corpus_id: pdf[corpus_id].to_numpy()}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            out["__code"] = [r.tobytes() for r in codes]
+            yield pd.DataFrame(out)
+
+    src = df.select(
+        F.col(corpus_id), *[F.col(c) for c in keep],
+        as_double(corpus_vec).alias("__cv"),
+    )
+    # encode flops ~ N * n_codes * d per vector-pass — spread an
+    # under-partitioned corpus exactly as the exact-search GEMMs do
+    src = spread_for_gemm(src, 2.0 * cb.n_codes * estimated_rows(src, dim) * dim)
+    return src.mapInPandas(op, out_schema)
+
+
+def _adc_luts(np, q_mat, books, m, dsub):
+    """(Q, m, n_codes_s) lookup tables, ragged over s: LUT[q, s, j] =
+    q_s . C[s, j], so a candidate's approximate IP with query q is
+    sum_s LUT[q, s, code_s] — m gathers + adds instead of d multiplies."""
+    return [
+        q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)
+    ]
+
+
+def _adc_scores(np, luts, codes, qsel):
+    """(len(qsel), rows) approximate-IP matrix for the query subset
+    ``qsel`` against uint8 ``codes`` (rows, m). Accumulation runs in
+    fixed subspace order, so every element is batch-layout invariant."""
+    acc = luts[0][qsel][:, codes[:, 0]].copy()
+    for s in range(1, codes.shape[1]):
+        acc += luts[s][qsel][:, codes[:, s]]
+    return acc
+
+
+def _collect_queries(queries: DataFrame, query_id: str, query_vec: str,
+                     max_queries: int):
+    import numpy as np
+
+    q_rows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"PQ search broadcasts the query set to the driver: more than "
+            f"max_queries={max_queries} rows. Swap sides or raise the bound."
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    if len(q_rows) == 0:
+        q_mat = q_mat.reshape(0, 1)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    keep = q_norm > 0
+    return q_ids[keep], q_mat[keep], q_norm[keep]
+
+
+def _emit_local_topk(np, pd, scores, q_ids, qsel, c_ids, query_id,
+                     corpus_id, k):
+    """Local-prune helper shared by the ADC paths: keep every score >=
+    the k-th best non-self per query (boundary ties all survive to the
+    final window, same discipline as the exact paths)."""
+    self_mask = q_ids[qsel][:, None] == c_ids[None, :]
+    masked = np.where(self_mask, -np.inf, scores)
+    local_k = min(k, masked.shape[1])
+    kth = np.partition(masked, -local_k, axis=1)[:, -local_k]
+    keep_m = (masked >= kth[:, None]) & ~self_mask
+    qi, ci = np.nonzero(keep_m)
+    return pd.DataFrame(
+        {
+            query_id: q_ids[qsel][qi],
+            corpus_id: c_ids[ci],
+            "adc_ip": scores[qi, ci],
+        }
+    )
+
+
+def _refine_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    queries: DataFrame,
+) -> DataFrame:
+    """Exact re-rank of an ADC candidate set: join candidate ids back to
+    their raw vectors and score with the SAME fold-cosine expression the
+    exact paths (and the DuckDB oracles) use — so whenever the candidate
+    set covers the true top-k, the refined result is bit-identical to
+    brute_force_topk. The join touches only |candidates| vectors: at
+    100 TB the full-width float column is read once at encode time and
+    here only for ~k.refine_factor rows per query."""
+    q = queries.select(
+        F.col(query_id), as_double(query_vec).alias("__qv")
+    ).withColumn("__qn", dot("__qv", "__qv"))
+    c = corpus.select(
+        F.col(corpus_id), as_double(corpus_vec).alias("__cv")
+    ).withColumn("__cn", dot("__cv", "__cv"))
+    pairs = (
+        candidates.select(query_id, corpus_id)
+        .join(c, corpus_id, "inner")
+        .join(F.broadcast(q), query_id, "inner")
+        .filter((F.col("__qn") > 0) & (F.col("__cn") > 0))
+        .withColumn(
+            "cosine", dot("__qv", "__cv") / (F.sqrt("__qn") * F.sqrt("__cn"))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", "cosine")
+    )
+
+
+def pq_topk_adc(
+    codes: DataFrame,
+    cb: PqCodebooks,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    corpus_id: str = "cid",
+    refine_with: DataFrame | None = None,
+    corpus_vec: str = "cv",
+    refine_factor: int = 8,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Compressed brute-force top-k: stream the CODES table (m bytes per
+    row), score every row against every query by ADC lookup, merge local
+    top-k with the usual window. Output (qid, cid, rank, adc_ip) —
+    approximate by construction (quantization error), self-matches
+    excluded, zero-norm queries dropped.
+
+    With ``refine_with`` (the raw corpus), the ADC pass instead keeps
+    top ``k*refine_factor`` candidates per query and re-ranks them
+    exactly (see _refine_exact) — output (qid, cid, rank, cosine), equal
+    to the exact search whenever the candidate set covers it. ADC is
+    O(Q.N.m) lookups over an N.m-byte scan vs the exact path's O(Q.N.d)
+    multiplies over an 8.N.d-byte scan — the memory-traffic cut is the
+    point at 100 TB."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_ids, q_mat, q_norm = _collect_queries(queries, query_id, query_vec,
+                                            max_queries)
+    qn_mat = q_mat / q_norm[:, None] if len(q_ids) else q_mat
+    books = cb.as_numpy()
+    sc = codes.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qn_mat))
+    cand_k = k * refine_factor if refine_with is not None else k
+
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(corpus_id, codes.schema[corpus_id].dataType),
+            StructField("adc_ip", DoubleType()),
+        ]
+    )
+
+    m, dsub = cb.m, cb.dsub
+
+    def op(batches):
+        ids, qmat = bq.value
+        if not len(ids):
+            return
+        luts = _adc_luts(np, qmat, books, m, dsub)
+        allq = np.arange(len(ids))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[corpus_id].to_numpy()
+            code_m = np.frombuffer(
+                b"".join(pdf["__code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            for start in range(0, len(ids), _GEMM_QUERY_CHUNK):
+                qc = allq[start : start + _GEMM_QUERY_CHUNK]
+                scores = _adc_scores(np, luts, code_m, qc)
+                yield _emit_local_topk(
+                    np, pd, scores, ids, qc, c_ids, query_id, corpus_id,
+                    cand_k,
+                )
+
+    partials = codes.mapInPandas(op, out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_ip").desc(), F.col(corpus_id)
+    )
+    ranked = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cand_k)
+    )
+    if refine_with is None:
+        return ranked.select(query_id, corpus_id, "rank", "adc_ip")
+    return _refine_exact(
+        ranked, refine_with, k, query_id, query_vec, corpus_id, corpus_vec,
+        queries,
+    )
+
+
+def ivfpq_encode(index: IvfIndex, cb: PqCodebooks) -> DataFrame:
+    """The IVFPQ index payload: the IVF assignment's (id, cell) pairs
+    with each vector replaced by its m-byte code. A durable variant
+    writes this partitioned by __cell (ivf_write_index's layout) so
+    probed-cell pruning happens at the file-listing level over a table
+    32-64x smaller than the raw-vector index."""
+    return pq_encode(
+        index.assignment.select(index.corpus_id, "__cell", "__cv"),
+        cb,
+        corpus_id=index.corpus_id,
+        corpus_vec="__cv",
+        keep=("__cell",),
+    )
+
+
+def ivfpq_search(
+    index: IvfIndex,
+    cb: PqCodebooks,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    refine_factor: int = 8,
+    codes: DataFrame | None = None,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """IVFPQ(R) search: coarse-probe ``nprobe`` cells per query exactly
+    as ivf_search does (same driver-side centroid ranking, bit-identical
+    probe sets), ADC-score only the probed cells' CODES, keep top
+    k*refine_factor per query, then re-rank those exactly against the
+    raw vectors. Output (qid, cid, rank, cosine).
+
+    Cost shape vs ivf_search at the same nprobe: the in-cell scan reads
+    m bytes/candidate instead of 8d and does m lookups instead of d
+    multiplies; the exact work that remains is k*refine_factor
+    vector fetches per query (an id equi-join). Recall is bounded by
+    the SAME cell-probing term as exact IVF plus the ADC ordering error
+    inside the probed cells, which refine_factor buys back —
+    tools/pq_recall_check.py measures both terms separately.
+
+    Pass ``codes`` (from ivfpq_encode, persisted) to search many times
+    without re-encoding — the build-once/search-many discipline of
+    _IVF_MEMO applied to the compressed payload."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    corpus_id = index.corpus_id
+    q_ids, q_mat, _ = _collect_queries(queries, query_id, query_vec,
+                                       max_queries)
+    # fold norms, not numpy pairwise: keeps the centroid ranking
+    # bit-identical to _ivf_search_broadcast's, so IVFPQ probes exactly
+    # the cells exact IVF would
+    q_norm = np.sqrt(np.array([_py_dot(list(v), list(v)) for v in q_mat]))
+    if codes is None:
+        codes = ivfpq_encode(index, cb)
+    if not len(q_ids):
+        from pyspark.sql.types import IntegerType
+
+        empty_schema = StructType(
+            [
+                StructField(query_id, queries.schema[query_id].dataType),
+                StructField(corpus_id, index.assignment.schema[corpus_id].dataType),
+                StructField("rank", IntegerType()),
+                StructField("cosine", DoubleType()),
+            ]
+        )
+        return queries.sparkSession.createDataFrame([], empty_schema)
+
+    # probe ranking: identical machinery to _ivf_search_broadcast, so
+    # IVFPQ probes exactly the cells exact IVF would
+    cells = np.array([cell for cell, _ in index.centroids], dtype=np.int64)
+    cent_m = np.array([cv for _, cv in index.centroids], dtype=np.float64)
+    cent_nrm = np.array(
+        [math.sqrt(_py_dot(cv, cv)) for _, cv in index.centroids]
+    )
+    ranker = (
+        _negcos_order_gemm
+        if len(cells) > _HIER_ASSIGN_MIN_CELLS
+        else _negcos_order
+    )
+    order = ranker(np, q_mat, q_norm, cent_m, cent_nrm, nprobe)
+    cell2q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in cells[order[qi]]:
+            cell2q.setdefault(int(c), []).append(qi)
+    cell2q_np = {c: np.array(v) for c, v in cell2q.items()}
+
+    qn_mat = q_mat / q_norm[:, None]
+    books = cb.as_numpy()
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qn_mat, cell2q_np))
+    cand_k = k * refine_factor
+    m, dsub = cb.m, cb.dsub
+
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(corpus_id, index.assignment.schema[corpus_id].dataType),
+            StructField("adc_ip", DoubleType()),
+        ]
+    )
+
+    def op(batches):
+        ids, qmat, c2q = bq.value
+        luts = _adc_luts(np, qmat, books, m, dsub)
+        for pdf in batches:
+            frames = []
+            for cell, grp in pdf.groupby("__cell", sort=False):
+                qsel = c2q.get(int(cell))
+                if qsel is None or not len(grp):
+                    continue
+                c_ids = grp[corpus_id].to_numpy()
+                code_m = np.frombuffer(
+                    b"".join(grp["__code"]), dtype=np.uint8
+                ).reshape(len(grp), m)
+                for start in range(0, len(qsel), _GEMM_QUERY_CHUNK):
+                    qc = qsel[start : start + _GEMM_QUERY_CHUNK]
+                    scores = _adc_scores(np, luts, code_m, qc)
+                    frames.append(
+                        _emit_local_topk(
+                            np, pd, scores, ids, qc, c_ids, query_id,
+                            corpus_id, cand_k,
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    probed = sorted(cell2q_np)
+    partials = (
+        codes.filter(F.col("__cell").isin(probed))
+        .select(corpus_id, "__cell", "__code")
+        .mapInPandas(op, out_schema)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_ip").desc(), F.col(corpus_id)
+    )
+    cand = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cand_k)
+    )
+    return _refine_exact(
+        cand,
+        index.assignment.select(
+            F.col(corpus_id), F.col("__cv").alias("__pqcv")
+        ),
+        k,
+        query_id,
+        query_vec,
+        corpus_id,
+        "__pqcv",
+        queries,
+    )

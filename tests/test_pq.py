@@ -1,0 +1,186 @@
+"""Product-quantization tests: determinism, partition invariance,
+validation, and — the strong claim — refined-search bit-equality with
+the exact (oracle-grade) paths on the real gate corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rta_registrations_pyspark_glue_spark.operators import pq, similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cb(emb):
+    return pq.train_pq_codebooks(
+        emb, m=16, n_codes=256, iters=8, corpus_id="vec_id",
+        corpus_vec="embedding",
+    )
+
+
+@pytest.fixture(scope="module")
+def codes(emb, cb):
+    c = pq.pq_encode(emb, cb, corpus_id="vec_id", corpus_vec="embedding")
+    c.cache()
+    c.count()
+    return c
+
+
+def _q(emb):
+    return emb.selectExpr("vec_id as qid", "embedding as qv")
+
+
+def test_train_bit_deterministic(emb):
+    a = pq.train_pq_codebooks(emb, m=8, n_codes=16, iters=4,
+                              corpus_id="vec_id", corpus_vec="embedding")
+    b = pq.train_pq_codebooks(emb, m=8, n_codes=16, iters=4,
+                              corpus_id="vec_id", corpus_vec="embedding")
+    assert a == b  # nested float tuples: bit equality
+
+
+def test_encode_partition_invariant(emb, cb, codes):
+    base = {r["vec_id"]: r["__code"] for r in codes.collect()}
+    re = pq.pq_encode(
+        emb.repartition(7), cb, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    assert {r["vec_id"]: r["__code"] for r in re.collect()} == base
+
+
+def test_code_width_and_compression(cb, codes):
+    rows = codes.select(F.length("__code").alias("w")).distinct().collect()
+    assert [r["w"] for r in rows] == [cb.m]
+    assert cb.code_bytes == 16  # vs 64 dims * 8 B float64 = 32x
+
+
+def test_shape_validation(emb):
+    with pytest.raises(ValueError, match="must divide"):
+        pq.train_pq_codebooks(emb, m=7, corpus_id="vec_id",
+                              corpus_vec="embedding")
+    with pytest.raises(ValueError, match="n_codes"):
+        pq.train_pq_codebooks(emb, m=8, n_codes=257, corpus_id="vec_id",
+                              corpus_vec="embedding")
+    with pytest.raises(ValueError, match="n_codes"):
+        pq.train_pq_codebooks(emb, m=8, n_codes=0, corpus_id="vec_id",
+                              corpus_vec="embedding")
+
+
+def test_zero_norm_rows_dropped(spark, cb):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    out = pq.pq_encode(df, cb, corpus_id="vec_id", corpus_vec="embedding")
+    assert [r["vec_id"] for r in out.collect()] == [2]
+
+
+def test_ragged_codebooks_when_sample_small(spark):
+    # 3 distinct unit vectors (norm exactly 1, so normalization is
+    # bitwise stable) but n_codes=8: each subspace codebook shrinks to
+    # its distinct-subvector count, and encoding still works
+    rows = [
+        (i, [1.0 if d == i % 3 else 0.0 for d in range(8)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb3 = pq.train_pq_codebooks(df, m=4, n_codes=8, iters=2,
+                                corpus_id="vec_id", corpus_vec="embedding")
+    assert all(1 <= len(book) <= 3 for book in cb3.codebooks)
+    assert any(len(book) < 8 for book in cb3.codebooks)
+    out = pq.pq_encode(df, cb3, corpus_id="vec_id", corpus_vec="embedding")
+    assert out.count() == 12
+
+
+def test_max_train_rows_guard(emb):
+    with pytest.raises(ValueError, match="max_train_rows"):
+        pq.train_pq_codebooks(emb, corpus_id="vec_id", corpus_vec="embedding",
+                              max_train_rows=10)
+
+
+def test_refined_adc_equals_exact_bruteforce(emb, cb, codes):
+    """The headline pin: ADC candidates + exact re-rank reproduce the
+    fold-exact brute-force top-k BIT-FOR-BIT on the gate corpus."""
+    q = _q(emb)
+    exact = similarity.brute_force_topk(
+        q, emb, k=5, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    refined = pq.pq_topk_adc(
+        codes, cb, q, k=5, corpus_id="vec_id",
+        refine_with=emb, corpus_vec="embedding", refine_factor=16,
+    )
+    a = sorted(tuple(r) for r in exact.collect())
+    b = sorted(tuple(r) for r in refined.collect())
+    assert a == b
+
+
+def test_pure_adc_recall_floor(emb, cb, codes):
+    """Unrefined ADC ordering itself must stay useful: recall@5 vs the
+    exact top-5 at m=16/256 codes measured 0.78 on this corpus shape —
+    pin a conservative floor so codebook/scoring regressions surface."""
+    q = _q(emb)
+    exact = similarity.brute_force_topk(
+        q, emb, k=5, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    adc = pq.pq_topk_adc(codes, cb, q, k=5, corpus_id="vec_id")
+    truth: dict[int, set[int]] = {}
+    for r in exact.collect():
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+    got: dict[int, set[int]] = {}
+    for r in adc.collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = sum(len(truth[k] & got.get(k, set())) for k in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.6
+
+
+def test_ivfpq_search_equals_ivf_search(emb, cb):
+    idx = similarity.ivf_build(
+        emb, n_pivots=8, train_iters=2, corpus_id="vec_id",
+        corpus_vec="embedding",
+    )
+    q = _q(emb)
+    ivf = similarity.ivf_search(idx, q, k=5, nprobe=4)
+    ipq = pq.ivfpq_search(idx, cb, q, k=5, nprobe=4, refine_factor=16)
+    a = sorted(tuple(r) for r in ivf.collect())
+    b = sorted(tuple(r) for r in ipq.collect())
+    assert a == b
+
+
+def test_ivfpq_empty_queries(emb, cb, spark):
+    idx = similarity.ivf_build(
+        emb, n_pivots=4, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    q = _q(emb).filter(F.col("qid") < 0)
+    out = pq.ivfpq_search(idx, cb, q, k=5, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "vec_id", "rank", "cosine"]
+
+
+def test_adc_scores_batch_layout_invariant(emb, cb, codes):
+    """A row's adc_ip must not depend on which Arrow batch it lands in:
+    re-partitioning the codes table leaves every (qid, cid, adc_ip)
+    identical, not merely the same id sets."""
+    q = _q(emb).filter(F.col("qid") % 50 == 0)
+    a = sorted(tuple(r) for r in pq.pq_topk_adc(codes, cb, q, k=5,
+                                                corpus_id="vec_id").collect())
+    b = sorted(
+        tuple(r)
+        for r in pq.pq_topk_adc(codes.repartition(5), cb, q, k=5,
+                                corpus_id="vec_id").collect()
+    )
+    assert a == b
+
+
+def test_registry_entry_matches_oracle_backed_ivf(spark, sf_dir):
+    """cosine_topk_ivfpq (rows-only) is pinned bit-equal to the
+    ORACLE-BACKED cosine_topk_ivf at the gate corpus — the refined PQ
+    path inherits the oracle's verdict transitively."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    a = sorted(tuple(r) for r in qs["cosine_topk_ivf"](spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in qs["cosine_topk_ivfpq"](spark, sf_dir).collect())
+    assert a == b
