@@ -91,6 +91,69 @@ def write_jsonl(df: DataFrame, path: str, target_mb: float = TARGET_FILE_SIZE_MB
     df.sparkSession.catalog.refreshByPath(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC scan — same contract as read_parquet (S2 applied to the other
+    columnar interchange format a warehouse migration actually hands
+    you). ORC carries the same scan-side machinery Spark's parquet path
+    uses: column pruning, predicate pushdown into stripe/row-group
+    min-max stats, and bloom filters — all driven by the identical
+    declarative plan, so every operator in this repo runs unchanged on
+    an ORC lakehouse."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_mb: float = TARGET_FILE_SIZE_MB,
+    mode: str = "overwrite",
+    bloom_filter_cols: list[str] | None = None,
+) -> None:
+    """ORC sink through the same single-pass size-adaptive writer policy
+    as write_parquet (one plan-stats estimate, one write). Bloom filters
+    use ORC's native writer option (``orc.bloom.filter.columns`` — a
+    comma-separated column list, the ORC spec's equivalent of the
+    per-column parquet-mr flags write_parquet sets)."""
+    total_bytes = estimate_plan_bytes(df)
+    n_files = target_file_count(total_bytes, target_mb) if total_bytes > 0 else 1
+    df = df.coalesce(n_files)
+    writer = df.write.mode(mode)
+    if bloom_filter_cols:
+        writer = writer.option(
+            "orc.bloom.filter.columns", ",".join(bloom_filter_cols)
+        )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    df.sparkSession.catalog.refreshByPath(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — the row-oriented interchange format of Kafka/schema-
+    registry pipelines. Spark ships Avro as an EXTERNAL module
+    (spark-avro must be on the classpath: ``--packages
+    org.apache.spark:spark-avro_2.13:<spark version>``); this container
+    does not bundle it, so the capability is probed and the failure made
+    actionable instead of Spark's generic ClassNotFound chain. The
+    documented plug-in boundary, same discipline as the codec
+    boundaries."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise RuntimeError(
+                "Avro support needs the external spark-avro package on the "
+                "classpath (org.apache.spark:spark-avro_2.13). Add it via "
+                "spark.jars.packages; parquet/ORC/CSV/JSONL sources are "
+                "built in."
+            ) from e
+        raise
+
+
 def reconcile_union(dfs: list[DataFrame]) -> DataFrame:
     """Schema-drift-tolerant union (SURVEY.md §1.3): monthly drops gain or
     lose columns over time; unionByName(allowMissingColumns=True) aligns

@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark import io
@@ -223,3 +225,42 @@ def test_write_parquet_bloom_filters(spark, tmp_path):
     a = {r.doc_id: r.fp for r in read_parquet(spark, plain).collect()}
     b = {r.doc_id: r.fp for r in read_parquet(spark, bloomed).collect()}
     assert a == b
+
+
+def test_orc_roundtrip_and_partition_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 3, f"d{i}") for i in range(30)], "id long, g int, s string"
+    )
+    path = str(tmp_path / "orc_part")
+    io.write_orc(df, path, partition_by=["g"], bloom_filter_cols=["id"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("g=")
+    ) == ["g=0", "g=1", "g=2"]
+    back = io.read_orc(spark, path)
+    assert back.count() == 30
+    assert sorted(r["id"] for r in back.collect()) == list(range(30))
+    assert io.read_orc(spark, path, columns=["id"]).columns == ["id"]
+
+
+def test_orc_scan_prunes_and_pushes_down(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "id long, s string"
+    )
+    path = str(tmp_path / "orc_push")
+    io.write_orc(df, path)
+    plan = (
+        io.read_orc(spark, path, columns=["id"])
+        .filter("id = 7")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "id" in plan
+    assert "s#" not in plan.split("ReadSchema")[0] or "struct<id" in plan
+
+
+def test_read_avro_raises_actionable_boundary(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        io.read_avro(spark, str(tmp_path / "nothing.avro"))
