@@ -71,6 +71,16 @@ class PqCodebooks:
     dsub: int
     n_codes: int
     codebooks: tuple[tuple[tuple[float, ...], ...], ...]
+    #: True when the codebooks quantize RESIDUALS xn - c_cell (the
+    #: FAISS IndexIVFPQ form) rather than the normalized vector itself.
+    #: On clustered corpora the raw codebooks spend their bits encoding
+    #: cluster CENTERS — variance the coarse quantizer already removed —
+    #: while the neighbor-deciding within-cluster component is quantized
+    #: away; residual encoding gives the bits to exactly that component
+    #: (measured: tools/pq_dim_study.py, SCALING.md §14). Residual
+    #: codebooks are cell-coupled: only ivfpq_encode/ivfpq_search accept
+    #: them (pq_topk_adc has no cell context and raises).
+    residual: bool = False
 
     def as_numpy(self):
         """List of m (n_codes_s, dsub) float64 arrays (ragged across s
@@ -149,11 +159,20 @@ def train_pq_codebooks(
     mat /= np.sqrt(np.array([cn for _, _, cn in sample]))[:, None]
     dsub = _validate_pq_shape(mat.shape[1], m, n_codes)
 
+    books = _lloyd_subspace_books(np, mat, m, dsub, n_codes, iters)
+    return PqCodebooks(m=m, dsub=dsub, n_codes=n_codes, codebooks=books)
+
+
+def _lloyd_subspace_books(np, mat, m: int, dsub: int, n_codes: int,
+                          iters: int):
+    """The per-subspace Lloyd loop shared by the raw and residual
+    trainers. Deterministic: init from the first ``n_codes`` DISTINCT
+    subvectors in row (= id) order, first-min argmin tie-breaks, empty
+    clusters keep their previous centroid."""
     books: list[tuple[tuple[float, ...], ...]] = []
     for s in range(m):
         sub = np.ascontiguousarray(mat[:, s * dsub : (s + 1) * dsub])
-        # init: first n_codes distinct subvectors in id order
-        cents: list[np.ndarray] = []
+        cents: list = []
         seen: set[bytes] = set()
         for row in sub:
             key = row.tobytes()
@@ -175,7 +194,70 @@ def train_pq_codebooks(
                     new[j] = members.mean(axis=0)
             cent = new
         books.append(tuple(tuple(float(x) for x in c) for c in cent))
-    return PqCodebooks(m=m, dsub=dsub, n_codes=n_codes, codebooks=tuple(books))
+    return tuple(books)
+
+
+def _unit_centroid_map(np, centroids):
+    """{cell: unit-normalized centroid} — the coarse centroids in the
+    frame residuals are taken against. Zero-norm centroids (possible
+    only for degenerate training inputs) map to the zero vector, which
+    degrades residual encoding to raw encoding for that cell."""
+    out = {}
+    for cell, cv in centroids:
+        v = np.asarray(cv, dtype=np.float64)
+        nrm = np.sqrt(float(v @ v))
+        out[int(cell)] = v / nrm if nrm > 0 else v
+    return out
+
+
+def train_pq_codebooks_residual(
+    index: IvfIndex,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 8,
+    sample_mod: int = 1,
+    max_train_rows: int = 200_000,
+) -> PqCodebooks:
+    """Train codebooks on coarse-quantizer RESIDUALS xn - c_cell (the
+    FAISS IndexIVFPQ form). On a clustered corpus the raw trainer's
+    codebooks re-encode the cluster centers — variance the IVF
+    assignment already explains — so the within-cluster component that
+    actually ranks neighbors is what gets quantized away; training on
+    residuals hands every bit to that component. Measured on the
+    200-cluster d=1024 study corpus: refined agreement 0.58 -> (see
+    SCALING.md §14) at identical code bytes.
+
+    Same determinism contract as train_pq_codebooks; the sample is the
+    ASSIGNED corpus (index.assignment), so each vector's residual is
+    against the cell ivfpq_encode will encode it under."""
+    import numpy as np
+
+    src = index.assignment.select(index.corpus_id, "__cv", "__cn", "__cell")
+    if sample_mod > 1:
+        src = src.filter(F.col(index.corpus_id) % sample_mod == 0)
+    n = src.count()
+    if n > max_train_rows:
+        raise ValueError(
+            f"train_pq_codebooks_residual collects the training sample: "
+            f"{n} rows exceeds max_train_rows={max_train_rows}. Raise "
+            f"sample_mod (or the bound)."
+        )
+    rows = src.collect()
+    if not rows:
+        raise ValueError("train_pq_codebooks_residual: empty training sample")
+    sample = sorted(
+        (r[index.corpus_id], r["__cv"], r["__cn"], r["__cell"]) for r in rows
+    )
+    mat = np.array([cv for _, cv, _, _ in sample], dtype=np.float64)
+    mat /= np.sqrt(np.array([cn for _, _, cn, _ in sample]))[:, None]
+    cmap = _unit_centroid_map(np, index.centroids)
+    for i, (_, _, _, cell) in enumerate(sample):
+        mat[i] -= cmap[int(cell)]
+    dsub = _validate_pq_shape(mat.shape[1], m, n_codes)
+    books = _lloyd_subspace_books(np, mat, m, dsub, n_codes, iters)
+    return PqCodebooks(
+        m=m, dsub=dsub, n_codes=n_codes, codebooks=books, residual=True
+    )
 
 
 def pq_encode(
@@ -184,6 +266,7 @@ def pq_encode(
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
     keep: tuple[str, ...] = (),
+    residual_centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` byte codes packed into one BINARY
     column ``__code`` — the compressed index payload (m bytes/row vs
@@ -199,6 +282,19 @@ def pq_encode(
     import pandas as pd
     from pyspark.sql.types import BinaryType, StructField, StructType
 
+    if cb.residual and residual_centroids is None:
+        raise ValueError(
+            "residual codebooks encode xn - c_cell: pass residual_centroids "
+            "(the IVF coarse centroids) and keep the __cell column — or use "
+            "ivfpq_encode, which wires both."
+        )
+    if residual_centroids is not None and "__cell" not in keep:
+        raise ValueError("residual encoding needs '__cell' in keep")
+    cmap = (
+        _unit_centroid_map(np, residual_centroids)
+        if residual_centroids is not None
+        else None
+    )
     dim = cb.m * cb.dsub
     books = cb.as_numpy()
     out_schema = StructType(
@@ -216,6 +312,9 @@ def pq_encode(
             if not len(pdf):
                 continue
             v = v / nrm[:, None]
+            if cmap is not None:
+                cells = pdf["__cell"].to_numpy()
+                v = v - np.stack([cmap[int(c)] for c in cells])
             codes = np.empty((len(v), cb.m), dtype=np.uint8)
             for s in range(cb.m):
                 sub = v[:, s * cb.dsub : (s + 1) * cb.dsub]
@@ -296,6 +395,27 @@ def _emit_local_topk(np, pd, scores, q_ids, qsel, c_ids, query_id,
     )
 
 
+def _prune_topk_frame(pd, np, frame, query_id: str, k: int):
+    """Second-level local prune: keep, per query, every row whose score
+    is >= that query's k-th best IN THIS FRAME (boundary ties survive,
+    as everywhere). Applied to the concatenation of a batch's per-cell
+    emissions before yielding — without it, a query probing p cells
+    ships up to p·k rows per task into the global merge window, and at
+    refine-sized k (k·refine_factor) that window dominated the search
+    (measured at sf5: 2x slower than exact IVF purely from merge-window
+    volume). After the prune each task emits <=k rows (+ties) per query
+    it saw — the same shape as the exact path's emissions."""
+    if not len(frame):
+        return frame
+    srt = frame.sort_values(
+        [query_id, "adc_ip"], ascending=[True, False], kind="stable"
+    )
+    pos = srt.groupby(query_id, sort=False).cumcount()
+    kth = srt[pos == k - 1].set_index(query_id)["adc_ip"]
+    thr = srt[query_id].map(kth).fillna(-np.inf)
+    return srt[srt["adc_ip"] >= thr]
+
+
 def _refine_exact(
     candidates: DataFrame,
     corpus: DataFrame,
@@ -368,6 +488,12 @@ def pq_topk_adc(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if cb.residual:
+        raise ValueError(
+            "pq_topk_adc scores raw-vector codebooks; residual codebooks "
+            "are cell-coupled — use ivfpq_search with the index they were "
+            "trained against."
+        )
     q_ids, q_mat, q_norm = _collect_queries(queries, query_id, query_vec,
                                             max_queries)
     qn_mat = q_mat / q_norm[:, None] if len(q_ids) else q_mat
@@ -435,6 +561,7 @@ def ivfpq_encode(index: IvfIndex, cb: PqCodebooks) -> DataFrame:
         corpus_id=index.corpus_id,
         corpus_vec="__cv",
         keep=("__cell",),
+        residual_centroids=index.centroids if cb.residual else None,
     )
 
 
@@ -466,7 +593,13 @@ def ivfpq_search(
 
     Pass ``codes`` (from ivfpq_encode, persisted) to search many times
     without re-encoding — the build-once/search-many discipline of
-    _IVF_MEMO applied to the compressed payload."""
+    _IVF_MEMO applied to the compressed payload.
+
+    ``refine_factor=0`` skips the exact re-rank entirely and returns the
+    pure compressed search — (qid, cid, rank, adc_ip), top-k by ADC
+    score. That is the configuration whose scan reads ONLY code bytes
+    (no raw-vector fetch at all); recall vs exact is what
+    tools/pq_recall_check.py measures as adc_recall."""
     import math
 
     import numpy as np
@@ -516,9 +649,14 @@ def ivfpq_search(
 
     qn_mat = q_mat / q_norm[:, None]
     books = cb.as_numpy()
+    # residual codebooks: score = qn.c_cell + sum_s LUT[s, code] — the
+    # exact IP decomposition IP(qn, xn) = qn.c_cell + qn.(xn - c_cell)
+    # with only the residual term quantized. The per-(query, cell) base
+    # term is one small GEMM per cell group below.
+    base_map = _unit_centroid_map(np, index.centroids) if cb.residual else None
     sc = queries.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, qn_mat, cell2q_np))
-    cand_k = k * refine_factor
+    bq = sc.broadcast((q_ids, qn_mat, cell2q_np, base_map))
+    cand_k = k * refine_factor if refine_factor >= 1 else k
     m, dsub = cb.m, cb.dsub
 
     out_schema = StructType(
@@ -530,7 +668,7 @@ def ivfpq_search(
     )
 
     def op(batches):
-        ids, qmat, c2q = bq.value
+        ids, qmat, c2q, bmap = bq.value
         luts = _adc_luts(np, qmat, books, m, dsub)
         for pdf in batches:
             frames = []
@@ -545,6 +683,8 @@ def ivfpq_search(
                 for start in range(0, len(qsel), _GEMM_QUERY_CHUNK):
                     qc = qsel[start : start + _GEMM_QUERY_CHUNK]
                     scores = _adc_scores(np, luts, code_m, qc)
+                    if bmap is not None:
+                        scores = scores + (qmat[qc] @ bmap[int(cell)])[:, None]
                     frames.append(
                         _emit_local_topk(
                             np, pd, scores, ids, qc, c_ids, query_id,
@@ -552,7 +692,13 @@ def ivfpq_search(
                         )
                     )
             if frames:
-                yield pd.concat(frames, ignore_index=True)
+                # second-level prune ACROSS the batch's cells: a query
+                # probing p resident cells contributed up to p.cand_k
+                # rows above; the merge window only needs cand_k
+                yield _prune_topk_frame(
+                    pd, np, pd.concat(frames, ignore_index=True),
+                    query_id, cand_k,
+                )
 
     probed = sorted(cell2q_np)
     partials = (
@@ -567,6 +713,8 @@ def ivfpq_search(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cand_k)
     )
+    if refine_factor < 1:
+        return cand.select(query_id, corpus_id, "rank", "adc_ip")
     return _refine_exact(
         cand,
         index.assignment.select(

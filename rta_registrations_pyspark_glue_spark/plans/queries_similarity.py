@@ -264,13 +264,16 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str):
     if key not in _PQ_MEMO:
         idx = _ivf_index(spark, sf_dir)
         if sf_dir not in _PQ_CODEBOOKS:
-            _, c = _queries_corpus(spark, sf_dir)
-            # full-corpus training at gate scale (500-2,000 vectors):
-            # 256 codes need >=256 distinct training subvectors, which
-            # the 1/4 id-sample cannot supply at sf0.001; production
-            # corpora pass sample_mod to bound the driver sample
-            _PQ_CODEBOOKS[sf_dir] = pq.train_pq_codebooks(
-                c.drop("label"), m=16, n_codes=256, iters=8,
+            # RESIDUAL codebooks (the FAISS IndexIVFPQ form): quantize
+            # xn - c_cell so the bits model the neighbor-deciding
+            # within-cell component, not the cell centers the coarse
+            # quantizer already explains (SCALING.md §14 measures the
+            # difference). Trained on the full assigned corpus at gate
+            # scale (500-2,000 vectors — 256 codes need >=256 distinct
+            # training subvectors, which the 1/4 id-sample cannot
+            # supply at sf0.001); production corpora pass sample_mod.
+            _PQ_CODEBOOKS[sf_dir] = pq.train_pq_codebooks_residual(
+                idx, m=16, n_codes=256, iters=8,
             )
         _PQ_MEMO[key] = _PQ_CODEBOOKS[sf_dir]
         _PQ_CODES[key] = tracked_persist(pq.ivfpq_encode(idx, _PQ_MEMO[key]))

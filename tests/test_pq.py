@@ -184,3 +184,51 @@ def test_registry_entry_matches_oracle_backed_ivf(spark, sf_dir):
     a = sorted(tuple(r) for r in qs["cosine_topk_ivf"](spark, sf_dir).collect())
     b = sorted(tuple(r) for r in qs["cosine_topk_ivfpq"](spark, sf_dir).collect())
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def ivf_idx(emb):
+    return similarity.ivf_build(
+        emb, n_pivots=8, train_iters=2, corpus_id="vec_id",
+        corpus_vec="embedding",
+    )
+
+
+def test_residual_train_deterministic(ivf_idx):
+    a = pq.train_pq_codebooks_residual(ivf_idx, m=8, n_codes=32, iters=4)
+    b = pq.train_pq_codebooks_residual(ivf_idx, m=8, n_codes=32, iters=4)
+    assert a == b and a.residual
+
+
+def test_residual_ivfpq_equals_exact_ivf(ivf_idx):
+    cbr = pq.train_pq_codebooks_residual(ivf_idx, m=16, n_codes=256, iters=8)
+    codes = pq.ivfpq_encode(ivf_idx, cbr)
+    q = ivf_idx.assignment.selectExpr("vec_id as qid", "__cv as qv")
+    ivf = similarity.ivf_search(ivf_idx, q, k=5, nprobe=4)
+    ipq = pq.ivfpq_search(ivf_idx, cbr, q, k=5, nprobe=4, refine_factor=16,
+                          codes=codes)
+    assert sorted(tuple(r) for r in ivf.collect()) == sorted(
+        tuple(r) for r in ipq.collect()
+    )
+
+
+def test_residual_codebooks_rejected_without_cell_context(emb, ivf_idx):
+    cbr = pq.train_pq_codebooks_residual(ivf_idx, m=8, n_codes=16, iters=2)
+    with pytest.raises(ValueError, match="residual"):
+        pq.pq_encode(emb, cbr, corpus_id="vec_id", corpus_vec="embedding")
+    q = emb.selectExpr("vec_id as qid", "embedding as qv")
+    with pytest.raises(ValueError, match="cell-coupled"):
+        pq.pq_topk_adc(emb.limit(0), cbr, q, corpus_id="vec_id")
+
+
+def test_ivfpq_pure_adc_mode(emb, cb, ivf_idx):
+    """refine_factor=0: pure compressed search, (qid, cid, rank, adc_ip)
+    schema, k rows per query, no raw-vector fetch."""
+    q = emb.selectExpr("vec_id as qid", "embedding as qv").limit(20)
+    out = pq.ivfpq_search(ivf_idx, cb, q, k=5, nprobe=4, refine_factor=0)
+    rows = out.collect()
+    assert [f.name for f in out.schema.fields] == ["qid", "vec_id", "rank", "adc_ip"]
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+    assert per_q and all(v == 5 for v in per_q.values())
