@@ -47,6 +47,7 @@ from rta_registrations_pyspark_glue_spark.operators.similarity import (
     _GEMM_QUERY_CHUNK,
     _HIER_ASSIGN_MIN_CELLS,
     _negcos_order,
+    _prune_topk_frame,
     _negcos_order_gemm,
     _py_dot,
     IvfIndex,
@@ -395,27 +396,6 @@ def _emit_local_topk(np, pd, scores, q_ids, qsel, c_ids, query_id,
     )
 
 
-def _prune_topk_frame(pd, np, frame, query_id: str, k: int):
-    """Second-level local prune: keep, per query, every row whose score
-    is >= that query's k-th best IN THIS FRAME (boundary ties survive,
-    as everywhere). Applied to the concatenation of a batch's per-cell
-    emissions before yielding — without it, a query probing p cells
-    ships up to p·k rows per task into the global merge window, and at
-    refine-sized k (k·refine_factor) that window dominated the search
-    (measured at sf5: 2x slower than exact IVF purely from merge-window
-    volume). After the prune each task emits <=k rows (+ties) per query
-    it saw — the same shape as the exact path's emissions."""
-    if not len(frame):
-        return frame
-    srt = frame.sort_values(
-        [query_id, "adc_ip"], ascending=[True, False], kind="stable"
-    )
-    pos = srt.groupby(query_id, sort=False).cumcount()
-    kth = srt[pos == k - 1].set_index(query_id)["adc_ip"]
-    thr = srt[query_id].map(kth).fillna(-np.inf)
-    return srt[srt["adc_ip"] >= thr]
-
-
 def _refine_exact(
     candidates: DataFrame,
     corpus: DataFrame,
@@ -697,7 +677,7 @@ def ivfpq_search(
                 # rows above; the merge window only needs cand_k
                 yield _prune_topk_frame(
                     pd, np, pd.concat(frames, ignore_index=True),
-                    query_id, cand_k,
+                    query_id, "adc_ip", cand_k,
                 )
 
     probed = sorted(cell2q_np)

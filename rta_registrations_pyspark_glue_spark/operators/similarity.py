@@ -1967,6 +1967,29 @@ def probe_memberships_vectorized(
 _GEMM_QUERY_CHUNK = 4096
 
 
+def _prune_topk_frame(pd, np, frame, query_id: str, score_col: str, k: int):
+    """Second-level per-task prune shared by the exact and PQ search
+    paths: keep, per query, every row whose score is >= that query's
+    k-th best IN THIS FRAME (boundary ties all survive — the global
+    window's (score DESC, id ASC) total order resolves them). Safe by
+    the same argument as the per-cell prune: a row in the GLOBAL top-k
+    has fewer than k rows anywhere with a strictly higher score, so it
+    is within every frame's kept set. Without this, a query probing p
+    resident cells ships up to p·k rows per task into the merge window;
+    with it, each task emits <=k (+ties) per query it saw — at sf135
+    scale the window input drops ~nprobe-fold (r10, measured in
+    SCALING.md §14 for the PQ path that motivated it)."""
+    if not len(frame):
+        return frame
+    srt = frame.sort_values(
+        [query_id, score_col], ascending=[True, False], kind="stable"
+    )
+    pos = srt.groupby(query_id, sort=False).cumcount()
+    kth = srt[pos == k - 1].set_index(query_id)[score_col]
+    thr = srt[query_id].map(kth).fillna(-np.inf)
+    return srt[srt[score_col] >= thr]
+
+
 def _ivf_search_broadcast(
     index: IvfIndex,
     queries: DataFrame,
@@ -2118,7 +2141,14 @@ def _ivf_search_broadcast(
                         )
                     )
             if frames:
-                yield pd.concat(frames, ignore_index=True)
+                # r10: second-level prune across the batch's cells —
+                # per-task emissions drop from nprobe.k to k (+ties)
+                # per query; final top-k is provably unchanged (see
+                # _prune_topk_frame)
+                yield _prune_topk_frame(
+                    pd, np, pd.concat(frames, ignore_index=True),
+                    query_id, "cosine", k,
+                )
 
     # STATIC pruning to the union of probed cells: a literal IN filter
     # on the partition column, so a durable cell-partitioned index
