@@ -707,3 +707,68 @@ def ivfpq_search(
         "__pqcv",
         queries,
     )
+
+
+def ivfpq_write_index(index: IvfIndex, cb: PqCodebooks, path: str,
+                      codes: DataFrame | None = None) -> None:
+    """Persist a built IVFPQ index durably: the CODES table as parquet
+    PARTITIONED BY cell (so searches read only probed cells via
+    partition pruning, like ivf_write_index — but over a table 32-512x
+    smaller than the raw-vector index) plus the codebooks + coarse
+    centroids as a JSON sidecar. The refine step needs raw vectors, so
+    a refined search over a loaded index pairs this with the raw
+    assignment (ivf_write_index) or the source table; a pure-ADC
+    search (refine_factor=0) needs nothing but this index."""
+    import json
+    import os
+
+    payload = codes if codes is not None else ivfpq_encode(index, cb)
+    payload.select(
+        F.col(index.corpus_id),
+        F.col("__code").alias("code"),
+        F.col("__cell").alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    meta = {
+        "corpus_id": index.corpus_id,
+        "m": cb.m,
+        "dsub": cb.dsub,
+        "n_codes": cb.n_codes,
+        "residual": cb.residual,
+        "codebooks": [[list(c) for c in book] for book in cb.codebooks],
+        "centroids": [[cell, cv] for cell, cv in index.centroids],
+    }
+    with open(os.path.join(path, "pq.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def ivfpq_read_index(spark, path: str):
+    """Load (codebooks, codes, centroids, corpus_id) written by
+    ivfpq_write_index. The codes frame is NOT persisted — the on-disk
+    cell partitioning is the index; ivfpq_search's probed-cell IN
+    filter prunes partitions at scan time. To search, rebuild an
+    IvfIndex around the same corpus (or load the raw twin via
+    ivf_read_index) and pass ``codes=`` to ivfpq_search."""
+    import json
+    import os
+
+    with open(os.path.join(path, "pq.json")) as f:
+        meta = json.load(f)
+    cb = PqCodebooks(
+        m=int(meta["m"]),
+        dsub=int(meta["dsub"]),
+        n_codes=int(meta["n_codes"]),
+        residual=bool(meta["residual"]),
+        codebooks=tuple(
+            tuple(tuple(float(x) for x in c) for c in book)
+            for book in meta["codebooks"]
+        ),
+    )
+    cents = [(int(cell), [float(x) for x in cv]) for cell, cv in meta["centroids"]]
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        F.col(meta["corpus_id"]),
+        F.col("cell").cast("long").alias("__cell"),
+        F.col("code").alias("__code"),
+    )
+    return cb, codes, cents, meta["corpus_id"]

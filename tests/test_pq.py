@@ -232,3 +232,28 @@ def test_ivfpq_pure_adc_mode(emb, cb, ivf_idx):
     for r in rows:
         per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
     assert per_q and all(v == 5 for v in per_q.values())
+
+
+def test_ivfpq_durable_roundtrip(spark, emb, cb, ivf_idx, tmp_path):
+    """Write → read → search parity, plus the scan-pruning layout: the
+    codes land partitioned by cell, and a loaded-codes search returns
+    exactly what the in-memory codes return."""
+    import os
+
+    codes = pq.ivfpq_encode(ivf_idx, cb)
+    path = str(tmp_path / "pqidx")
+    pq.ivfpq_write_index(ivf_idx, cb, path, codes=codes)
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(path, "codes"))
+    )
+    cb2, codes2, cents2, cid = pq.ivfpq_read_index(spark, path)
+    assert cb2 == cb and cid == "vec_id"
+    assert cents2 == [(int(c), [float(x) for x in v]) for c, v in ivf_idx.centroids]
+    q = emb.selectExpr("vec_id as qid", "embedding as qv").limit(30)
+    a = sorted(tuple(r) for r in pq.ivfpq_search(
+        ivf_idx, cb, q, k=5, nprobe=4, refine_factor=16, codes=codes
+    ).collect())
+    b = sorted(tuple(r) for r in pq.ivfpq_search(
+        ivf_idx, cb2, q, k=5, nprobe=4, refine_factor=16, codes=codes2
+    ).collect())
+    assert a == b
