@@ -357,6 +357,22 @@ def _adc_scores(np, luts, codes, qsel):
     return acc
 
 
+def _codes_matrix(np, pdf, m: int):
+    """(rows, m) uint8 view of the packed __code column, with an
+    explicit width check — a codes table encoded under a different m
+    (or corrupted bytes) must fail with the mismatch named, not with
+    numpy's bare reshape error deep inside an executor."""
+    buf = b"".join(pdf["__code"])
+    if len(buf) != len(pdf) * m:
+        widths = {len(c) for c in pdf["__code"][:100]}
+        raise ValueError(
+            f"PQ code width mismatch: expected {m} bytes/row, got widths "
+            f"{sorted(widths)} — codes were encoded with different "
+            f"codebooks than the ones passed to this search."
+        )
+    return np.frombuffer(buf, dtype=np.uint8).reshape(len(pdf), m)
+
+
 def _collect_queries(queries: DataFrame, query_id: str, query_vec: str,
                      max_queries: int):
     import numpy as np
@@ -502,9 +518,7 @@ def pq_topk_adc(
             if not len(pdf):
                 continue
             c_ids = pdf[corpus_id].to_numpy()
-            code_m = np.frombuffer(
-                b"".join(pdf["__code"]), dtype=np.uint8
-            ).reshape(len(pdf), m)
+            code_m = _codes_matrix(np, pdf, m)
             for start in range(0, len(ids), _GEMM_QUERY_CHUNK):
                 qc = allq[start : start + _GEMM_QUERY_CHUNK]
                 scores = _adc_scores(np, luts, code_m, qc)
@@ -657,9 +671,7 @@ def ivfpq_search(
                 if qsel is None or not len(grp):
                     continue
                 c_ids = grp[corpus_id].to_numpy()
-                code_m = np.frombuffer(
-                    b"".join(grp["__code"]), dtype=np.uint8
-                ).reshape(len(grp), m)
+                code_m = _codes_matrix(np, grp, m)
                 for start in range(0, len(qsel), _GEMM_QUERY_CHUNK):
                     qc = qsel[start : start + _GEMM_QUERY_CHUNK]
                     scores = _adc_scores(np, luts, code_m, qc)

@@ -147,3 +147,92 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+SESSION_STATE_SCHEMA = "start timestamp, last timestamp, n bigint, total double"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+
+
+def stateful_sessions(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful sessionizer with EVENT-TIME TIMEOUT — the
+    bounded-state form of sessionization. session_windows covers the
+    built-in aggregate; this operator exists for session state the
+    built-in cannot hold (arbitrary per-session accumulators) and, more
+    importantly at scale, demonstrates the state-EVICTION contract:
+
+    - one open session per user lives in the state store (O(users), not
+      O(events));
+    - events extend it, and a batch-internal gap > ``gap_minutes``
+      closes it inline (emitted immediately, append mode);
+    - when the event-time WATERMARK passes last_event + gap, the state
+      times out: the final session row is emitted and the state REMOVED
+      — without this, per-key state grows forever and a 100 TB stream
+      eventually spills the state store (the NoTimeout running_user_
+      totals above is the demonstrative counter-example: totals are
+      meant to live forever, sessions are not).
+
+    Events inside a micro-batch are processed in (ts, event_id) order,
+    so the emitted sessions are deterministic for a given batching;
+    cross-batch determinism is the watermark's job, as for every
+    streaming aggregate."""
+    gap_s = gap_minutes * 60
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        done: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            done.append((key[0], start, last, n, total))
+            state.remove()
+        else:
+            start = last = None
+            n, total = 0, 0.0
+            if state.exists:
+                start, last, n, total = state.get
+            rows = []
+            for pdf in pdfs:
+                rows.extend(
+                    zip(pdf["ts"], pdf["event_id"], pdf["value"])
+                )
+            rows.sort(key=lambda r: (r[0], r[1]))
+            for ts, _eid, val in rows:
+                if start is not None and (ts - last).total_seconds() > gap_s:
+                    done.append((key[0], start, last, n, total))
+                    start = None
+                if start is None:
+                    start, last, n, total = ts, ts, 0, 0.0
+                n += 1
+                total += float(val)
+                if ts > last:
+                    last = ts
+            if start is not None:
+                state.update((start, last, n, total))
+                state.setTimeoutTimestamp(
+                    int(last.timestamp() * 1000) + gap_s * 1000
+                )
+        if done:
+            yield pd.DataFrame(
+                done,
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "total_value",
+                ],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -257,3 +257,22 @@ def test_ivfpq_durable_roundtrip(spark, emb, cb, ivf_idx, tmp_path):
         ivf_idx, cb2, q, k=5, nprobe=4, refine_factor=16, codes=codes2
     ).collect())
     assert a == b
+
+
+def test_code_width_mismatch_is_named(emb, ivf_idx):
+    """Searching codes encoded under one m with codebooks of another m
+    must fail with the mismatch NAMED, not a bare numpy reshape error."""
+    cb8 = pq.train_pq_codebooks(emb, m=8, n_codes=16, iters=2,
+                                corpus_id="vec_id", corpus_vec="embedding")
+    cb16 = pq.train_pq_codebooks(emb, m=16, n_codes=16, iters=2,
+                                 corpus_id="vec_id", corpus_vec="embedding")
+    codes8 = pq.ivfpq_encode(ivf_idx, cb8)
+    q = emb.selectExpr("vec_id as qid", "embedding as qv").limit(5)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="code width mismatch"):
+        try:
+            pq.ivfpq_search(ivf_idx, cb16, q, k=5, nprobe=2,
+                            codes=codes8).collect()
+        except Py4JJavaError as e:  # surfaced through the executor
+            raise RuntimeError(str(e)) from e

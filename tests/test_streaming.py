@@ -400,3 +400,69 @@ def test_interval_join_batch_mode_bound_is_respected(spark, stream_path, signup_
     for r in out:
         assert r.signup_ts <= r.ts
         assert (r.ts - r.signup_ts).total_seconds() <= 3600
+
+
+def test_stateful_sessions_inline_close_and_timeout_eviction(spark, tmp_path):
+    """The bounded-state sessionizer: an in-batch gap closes a session
+    immediately; the event-time watermark closes (and EVICTS) sessions
+    left open across batches; a session still open when the stream ends
+    is never emitted. Three single-file micro-batches with controlled
+    modification times pin each mechanism."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        papq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), d / name,
+            coerce_timestamps="us",
+        )
+        os.utime(d / name, (mtime, mtime))
+
+    t0 = _time.time()
+    # batch 1: user 1 has two sessions split by a >30min in-batch gap;
+    # user 2 has one session left open
+    write("a.parquet", [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 10:05:00", 1, "view", 2.0),
+        (3, "2024-01-01 12:00:00", 1, "view", 4.0),
+        (4, "2024-01-01 10:00:00", 2, "view", 8.0),
+    ], t0 - 300)
+    # batch 2: far-future event advances the watermark past user 2's
+    # timeout (10:30) but not user 1's (12:30)
+    write("b.parquet", [(5, "2024-01-01 20:00:00", 3, "view", 16.0)], t0 - 200)
+    # batch 3: advances the watermark past user 1's open session too;
+    # user 3's own session stays open and must never emit
+    write("c.parquet", [(6, "2024-01-01 20:01:00", 3, "view", 32.0)], t0 - 100)
+
+    stream = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = _run(
+        spark,
+        sw.stateful_sessions(stream, gap_minutes=30, watermark="1 minute"),
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in rows
+    }
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    assert got == {
+        (1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")): (2, 3.0),
+        (2, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00")): (1, 8.0),
+        (1, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00")): (1, 4.0),
+    }
