@@ -2249,6 +2249,8 @@ def _ivf_search_join(
     )
 
     def score(batches):
+        import numpy as np
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -2258,12 +2260,24 @@ def _ivf_search_join(
                 pdf["__qn"].to_numpy(),
                 pdf["__cn"].to_numpy(),
             )
-            yield pd.DataFrame(
-                {
-                    query_id: pdf[query_id].to_numpy(),
-                    corpus_id: pdf[corpus_id].to_numpy(),
-                    "cosine": cos,
-                }
+            # r10: same per-task prune as the broadcast path — keep each
+            # query's batch-wide top-k (+boundary ties); the global
+            # window's input drops from Q·nprobe·|cell| candidate rows
+            # to ~k per query per batch, final top-k provably unchanged
+            # (see _prune_topk_frame)
+            yield _prune_topk_frame(
+                pd,
+                np,
+                pd.DataFrame(
+                    {
+                        query_id: pdf[query_id].to_numpy(),
+                        corpus_id: pdf[corpus_id].to_numpy(),
+                        "cosine": cos,
+                    }
+                ),
+                query_id,
+                "cosine",
+                k,
             )
 
     scored = cands.mapInPandas(score, schema=out_schema)
