@@ -466,3 +466,98 @@ def test_stateful_sessions_inline_close_and_timeout_eviction(spark, tmp_path):
         (2, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00")): (1, 8.0),
         (1, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00")): (1, 4.0),
     }
+
+
+def test_stateful_sessions_match_batch_sessionization(spark, sf_dir, tmp_path):
+    """Semantic pin against batch: once the watermark flushes everything,
+    the stateful sessionizer's closed sessions must equal gap-based
+    batch sessionization of the same rows (same >gap rule, sub-second
+    precision via double-epoch arithmetic)."""
+    import os
+
+    from pyspark.sql import Window
+
+    d = tmp_path / "sess_eq"
+    d.mkdir()
+    events = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") % 50 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(str(d / "base"))
+    base = str(d / "base")
+    # flush file: one far-future sentinel event advances the watermark
+    # past every real session's timeout; written later so it forms the
+    # second micro-batch
+    flush = spark.createDataFrame(
+        [(999999999, "2031-01-01 00:00:00", -1, "view", 0.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).select("event_id", F.col("ts").cast("timestamp"), "user_id",
+             "event_type", "value")
+    stream_dir = d / "stream"
+    stream_dir.mkdir()
+    files = sorted(
+        f for f in os.listdir(base) if f.endswith(".parquet")
+    )
+    import shutil as _sh
+    import time as _time
+
+    t0 = _time.time()
+    for i, f in enumerate(files):
+        _sh.copy(os.path.join(base, f), stream_dir / f"a{i}.parquet")
+        os.utime(stream_dir / f"a{i}.parquet", (t0 - 300, t0 - 300))
+    flush.coalesce(1).write.mode("overwrite").parquet(str(d / "flush"))
+    ff = [f for f in os.listdir(d / "flush") if f.endswith(".parquet")][0]
+    _sh.copy(os.path.join(d / "flush", ff), stream_dir / "zz_flush.parquet")
+    os.utime(stream_dir / "zz_flush.parquet", (t0 - 100, t0 - 100))
+
+    stream = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    rows = _run(
+        spark,
+        sw.stateful_sessions(stream, gap_minutes=30, watermark="1 minute"),
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events,
+                                                      round(r.total_value, 6))
+        for r in rows
+        if r.user_id != -1
+    }
+
+    # batch mirror with double-epoch gap arithmetic (>1800s starts new)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        events.withColumn("__prev", F.lag(F.col("ts").cast("double")).over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | ((F.col("ts").cast("double") - F.col("__prev")) > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events,
+                                                      round(r.total_value, 6))
+        for r in sess.collect()
+    }
+    assert len(want) > 5
+    assert got == want
