@@ -306,6 +306,8 @@ def pq_encode(
 
     def op(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             v = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
             nrm = np.sqrt((v * v).sum(axis=1))
             ok = nrm > 0
@@ -339,21 +341,25 @@ def pq_encode(
 
 
 def _adc_luts(np, q_mat, books, m, dsub):
-    """(Q, m, n_codes_s) lookup tables, ragged over s: LUT[q, s, j] =
+    """Per-subspace lookup tables for a query CHUNK: LUT[s][q, j] =
     q_s . C[s, j], so a candidate's approximate IP with query q is
-    sum_s LUT[q, s, code_s] — m gathers + adds instead of d multiplies."""
+    sum_s LUT[s][q, code_s] — m gathers + adds instead of d multiplies.
+    Built per _GEMM_QUERY_CHUNK slice inside the scoring loops (never
+    for the full collected query set), so per-task scratch is bounded
+    at CHUNK*m*n_codes*8 bytes regardless of max_queries — the same
+    memory discipline as the exact path's chunked GEMM."""
     return [
         q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)
     ]
 
 
-def _adc_scores(np, luts, codes, qsel):
-    """(len(qsel), rows) approximate-IP matrix for the query subset
-    ``qsel`` against uint8 ``codes`` (rows, m). Accumulation runs in
-    fixed subspace order, so every element is batch-layout invariant."""
-    acc = luts[0][qsel][:, codes[:, 0]].copy()
+def _adc_scores(np, luts, codes):
+    """(chunk, rows) approximate-IP matrix from PER-CHUNK lookup tables
+    against uint8 ``codes`` (rows, m). Accumulation runs in fixed
+    subspace order, so every element is batch-layout invariant."""
+    acc = luts[0][:, codes[:, 0]].copy()
     for s in range(1, codes.shape[1]):
-        acc += luts[s][qsel][:, codes[:, s]]
+        acc += luts[s][:, codes[:, s]]
     return acc
 
 
@@ -496,7 +502,11 @@ def pq_topk_adc(
     books = cb.as_numpy()
     sc = codes.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, qn_mat))
-    cand_k = k * refine_factor if refine_with is not None else k
+    # refine_factor < 1 with refine_with set degrades to pure ADC (the
+    # same contract as ivfpq_search's refine_factor=0 mode) instead of
+    # silently computing a zero-candidate window
+    do_refine = refine_with is not None and refine_factor >= 1
+    cand_k = k * refine_factor if do_refine else k
 
     out_schema = StructType(
         [
@@ -512,8 +522,8 @@ def pq_topk_adc(
         ids, qmat = bq.value
         if not len(ids):
             return
-        luts = _adc_luts(np, qmat, books, m, dsub)
         allq = np.arange(len(ids))
+        chunk_luts = {}  # start offset -> per-chunk LUTs, built once
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -521,7 +531,9 @@ def pq_topk_adc(
             code_m = _codes_matrix(np, pdf, m)
             for start in range(0, len(ids), _GEMM_QUERY_CHUNK):
                 qc = allq[start : start + _GEMM_QUERY_CHUNK]
-                scores = _adc_scores(np, luts, code_m, qc)
+                if start not in chunk_luts:
+                    chunk_luts = {start: _adc_luts(np, qmat[qc], books, m, dsub)}
+                scores = _adc_scores(np, chunk_luts[start], code_m)
                 yield _emit_local_topk(
                     np, pd, scores, ids, qc, c_ids, query_id, corpus_id,
                     cand_k,
@@ -535,7 +547,7 @@ def pq_topk_adc(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cand_k)
     )
-    if refine_with is None:
+    if not do_refine:
         return ranked.select(query_id, corpus_id, "rank", "adc_ip")
     return _refine_exact(
         ranked, refine_with, k, query_id, query_vec, corpus_id, corpus_vec,
@@ -663,7 +675,6 @@ def ivfpq_search(
 
     def op(batches):
         ids, qmat, c2q, bmap = bq.value
-        luts = _adc_luts(np, qmat, books, m, dsub)
         for pdf in batches:
             frames = []
             for cell, grp in pdf.groupby("__cell", sort=False):
@@ -674,7 +685,8 @@ def ivfpq_search(
                 code_m = _codes_matrix(np, grp, m)
                 for start in range(0, len(qsel), _GEMM_QUERY_CHUNK):
                     qc = qsel[start : start + _GEMM_QUERY_CHUNK]
-                    scores = _adc_scores(np, luts, code_m, qc)
+                    luts = _adc_luts(np, qmat[qc], books, m, dsub)
+                    scores = _adc_scores(np, luts, code_m)
                     if bmap is not None:
                         scores = scores + (qmat[qc] @ bmap[int(cell)])[:, None]
                     frames.append(

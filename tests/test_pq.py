@@ -276,3 +276,16 @@ def test_code_width_mismatch_is_named(emb, ivf_idx):
                             codes=codes8).collect()
         except Py4JJavaError as e:  # surfaced through the executor
             raise RuntimeError(str(e)) from e
+
+
+def test_pq_topk_adc_refine_factor_zero_degrades_to_pure_adc(emb, cb, codes):
+    """refine_with plus refine_factor=0 must behave like the pure-ADC
+    mode (ivfpq_search's documented contract), not silently window on
+    zero candidates."""
+    q = _q(emb).limit(10)
+    out = pq.pq_topk_adc(codes, cb, q, k=5, corpus_id="vec_id",
+                         refine_with=emb, corpus_vec="embedding",
+                         refine_factor=0)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert [f.name for f in out.schema.fields] == ["qid", "vec_id", "rank", "adc_ip"]
