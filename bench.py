@@ -82,9 +82,6 @@ HEADLINE = [
     # scoring, exact re-rank); same probes as cosine_topk_ivf, so the
     # delta between the two IS the compression win/cost at this scale
     "cosine_topk_ivfpq",
-    # round 10: token-window chunking — scan-shaped, zero shuffle,
-    # output rows proportional to token volume / stride
-    "document_chunks",
 ]
 
 #: Per-query SCOPE VERSION, emitted in the bench JSON ("scopes") so
@@ -191,9 +188,6 @@ SCALING_SUBSET = [
     # leg, the refine join is O(Q.k.refine_factor) — expected to track
     # cosine_topk_ivf's exponent with a smaller constant per candidate
     "cosine_topk_ivfpq",
-    # round 10: chunking is row-local codegen over the token stream —
-    # expected exponent ~1 minus fixed overhead
-    "document_chunks",
 ]
 
 #: name -> why it is not in the scaling pass. These are DESIGNED

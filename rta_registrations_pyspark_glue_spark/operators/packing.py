@@ -348,76 +348,3 @@ def select_token_budget(
         ),
     )
 
-
-def chunk_documents(
-    df: DataFrame,
-    max_tokens: int,
-    overlap: int = 0,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Token-window document chunking — the complement of packing: where
-    pack_sequences concatenates short documents up to seq_len, this
-    splits LONG documents into overlapping ``max_tokens`` windows
-    (context-window preparation for embedding / pretraining pipelines).
-
-    Whitespace tokenization (the repo's token-count convention, see
-    text.py); chunk i covers tokens [i·stride, i·stride + max_tokens)
-    with ``stride = max_tokens - overlap``; the last chunk may be short;
-    a document with <= max_tokens tokens yields exactly one chunk, and
-    an empty document yields chunk 0 with zero tokens — every input doc
-    is represented, so coverage stays auditable with one count.
-    Chunk text is reconstructed with single spaces (whitespace runs are
-    NOT preserved — token identity is; documented normalization).
-
-    Output: (id, chunk_idx, n_chunks, chunk_tokens, chunk_text).
-
-    Scale shape: pure Column expressions end to end — split, sequence +
-    posexplode, slice, array_join — whole-stage-codegen row-local work
-    with zero shuffle; output rows ∝ total token volume / stride. The
-    expression grammar is the Java∩DuckDB common subset so the operator
-    is oracle-mirrorable (tests/test_packing_chunks.py replays it in
-    DuckDB verbatim)."""
-    if max_tokens < 1:
-        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
-    if not 0 <= overlap < max_tokens:
-        raise ValueError(
-            f"overlap must be in [0, max_tokens), got {overlap}"
-        )
-    stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
-        F.size(toks)
-    )
-    n_chunks = F.when(n_tok <= max_tokens, F.lit(1)).otherwise(
-        F.lit(1)
-        + F.ceil((n_tok - F.lit(max_tokens)) / F.lit(float(stride))).cast("int")
-    )
-    base = (
-        df.select(
-            F.col(id_col),
-            toks.alias("__toks"),
-            n_tok.alias("__n"),
-            n_chunks.alias("n_chunks"),
-        )
-        .select(
-            id_col,
-            "__toks",
-            "__n",
-            "n_chunks",
-            F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
-                "chunk_idx", "__dummy"
-            ),
-        )
-    )
-    start = F.col("chunk_idx") * stride  # 0-based token offset
-    width = F.least(F.lit(max_tokens), F.col("__n") - start)
-    return base.select(
-        id_col,
-        "chunk_idx",
-        "n_chunks",
-        F.greatest(width, F.lit(0)).alias("chunk_tokens"),
-        F.when(F.col("__n") == 0, F.lit("")).otherwise(
-            F.array_join(F.slice(F.col("__toks"), start + 1, F.lit(max_tokens)), " ")
-        ).alias("chunk_text"),
-    )

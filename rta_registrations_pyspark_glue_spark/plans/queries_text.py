@@ -1623,22 +1623,6 @@ def packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_bins(docs, seq_len=128, n_groups=8)
 
 
-@register("document_chunks")
-def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-window document chunking with overlap (operators/packing.
-    chunk_documents): every document split into 40-token windows with
-    8-token overlap — the context-window-preparation complement of
-    sequence packing, pure whole-stage-codegen Column expressions with
-    zero shuffle. Rows-only in the driver gate (the 50-row cap), but
-    the correctness evidence is oracle-grade anyway:
-    tests/test_packing_chunks.py replays the ENTIRE expression chain
-    verbatim in DuckDB over the real documents table and asserts exact
-    row equality, alongside edge pins (empty/whitespace docs, exact-
-    boundary lengths) and coverage/overlap invariants."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    return packing.chunk_documents(docs, max_tokens=40, overlap=8)
-
-
 @register("bpe_merges")
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training on the documents corpus

@@ -179,7 +179,21 @@ def stateful_sessions(
     Events inside a micro-batch are processed in (ts, event_id) order,
     so the emitted sessions are deterministic for a given batching;
     cross-batch determinism is the watermark's job, as for every
-    streaming aggregate."""
+    streaming aggregate.
+
+    Admitted-late events (older than the open session but inside the
+    watermark) are handled with O(1) state: one that falls WITHIN the
+    gap of the open session merges into it (extending session_start
+    backward); one DISJOINT from it (more than a gap earlier) is
+    emitted immediately as a singleton session. The singleton is an
+    approximation — exact retroactive merging of arbitrarily late
+    events requires buffering every in-watermark event per key, which
+    is precisely what the built-in ``session_window`` aggregate's state
+    store does (use session_windows for that); this operator trades
+    that for bounded custom state, and documents the trade instead of
+    hiding it. Timeout timestamps follow the repo-wide UTC session
+    contract (session.py pins spark.sql.session.timeZone=UTC; the
+    tz-naive pandas event times ARE UTC instants)."""
     gap_s = gap_minutes * 60
 
     def update(
@@ -202,11 +216,19 @@ def stateful_sessions(
                 )
             rows.sort(key=lambda r: (r[0], r[1]))
             for ts, _eid, val in rows:
-                if start is not None and (ts - last).total_seconds() > gap_s:
-                    done.append((key[0], start, last, n, total))
-                    start = None
+                if start is not None:
+                    if (ts - last).total_seconds() > gap_s:
+                        done.append((key[0], start, last, n, total))
+                        start = None
+                    elif (start - ts).total_seconds() > gap_s:
+                        # admitted-late event disjoint from the open
+                        # session: emit as a singleton (see docstring)
+                        done.append((key[0], ts, ts, 1, float(val)))
+                        continue
                 if start is None:
                     start, last, n, total = ts, ts, 0, 0.0
+                elif ts < start:
+                    start = ts  # late but within gap: extend backward
                 n += 1
                 total += float(val)
                 if ts > last:

@@ -561,3 +561,69 @@ def test_stateful_sessions_match_batch_sessionization(spark, sf_dir, tmp_path):
     }
     assert len(want) > 5
     assert got == want
+
+
+def test_stateful_sessions_late_event_handling(spark, tmp_path):
+    """Admitted-late events: within-gap late arrivals merge into the
+    open session (extending session_start backward); disjoint earlier
+    ones emit immediately as singleton sessions (the documented O(1)
+    approximation)."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        papq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), d / name,
+            coerce_timestamps="us",
+        )
+        os.utime(d / name, (mtime, mtime))
+
+    t0 = _time.time()
+    write("a.parquet", [(1, "2024-01-01 12:00:00", 9, "view", 1.0)], t0 - 400)
+    # batch 2: both events are LATE (older than the open session's
+    # start) but inside the 10h watermark — 11:00 is disjoint (>30min
+    # before start), 11:45 is within the gap
+    write("b.parquet", [
+        (2, "2024-01-01 11:00:00", 9, "view", 2.0),
+        (3, "2024-01-01 11:45:00", 9, "view", 4.0),
+    ], t0 - 300)
+    # two far-future batches: the first advances the watermark, the
+    # second delivers the timeout for user 9's open session
+    write("c.parquet", [(4, "2024-01-02 23:00:00", 99, "view", 8.0)], t0 - 200)
+    write("d.parquet", [(5, "2024-01-02 23:01:00", 99, "view", 16.0)], t0 - 100)
+
+    stream = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = _run(
+        spark,
+        sw.stateful_sessions(stream, gap_minutes=30, watermark="10 hours"),
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in rows
+    }
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    assert got == {
+        # disjoint late singleton
+        (9, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:00:00")): (1, 2.0),
+        # open session extended backward by the within-gap late event,
+        # closed by the watermark timeout
+        (9, ts("2024-01-01 11:45:00"), ts("2024-01-01 12:00:00")): (2, 5.0),
+        # user 99's session stays open and never emits
+    }
