@@ -796,3 +796,212 @@ def ivfpq_read_index(spark, path: str):
         F.col("code").alias("__code"),
     )
     return cb, codes, cents, meta["corpus_id"]
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the middle point of the compression family:
+# int8 per DIMENSION (vs PQ's one byte per SUBSPACE of dims). 8x smaller
+# than the float64 column, approximation error ~1/255 of each dim's
+# trained range (orders of magnitude finer than PQ's 256-point codebook
+# over a whole subspace), so unrefined recall stays near-exact where PQ
+# needs a refine pass. FAISS's IndexScalarQuantizer(QT_8bit) shape.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SqParams:
+    """Per-dimension affine quantizer for L2-NORMALIZED vectors:
+    code = round((xn[d] - lo[d]) / (hi[d] - lo[d]) * 255), clipped to
+    [0, 255]; dequantize to the cell midpoint-free lower grid point
+    lo + code/255*(hi-lo). lo/hi are the training sample's per-dim
+    min/max (normalized space, so new vectors rarely clip)."""
+
+    lo: tuple[float, ...]
+    hi: tuple[float, ...]
+
+    def as_numpy(self):
+        import numpy as np
+
+        lo = np.array(self.lo, dtype=np.float64)
+        hi = np.array(self.hi, dtype=np.float64)
+        scale = hi - lo
+        scale[scale == 0] = 1.0  # constant dims decode exactly to lo
+        return lo, scale
+
+
+def train_sq_params(
+    corpus: DataFrame,
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+    sample_mod: int = 1,
+    max_train_rows: int = 200_000,
+) -> SqParams:
+    """Train the per-dimension ranges on a bounded sample — one
+    distributed aggregate would also do, but the driver-side sample
+    keeps the exact determinism contract of the PQ trainer (sorted by
+    id, pure numpy min/max) and the same OOM guard."""
+    import numpy as np
+
+    src = (
+        corpus
+        if sample_mod <= 1
+        else corpus.filter(F.col(corpus_id) % sample_mod == 0)
+    )
+    n = src.count()
+    if n > max_train_rows:
+        raise ValueError(
+            f"train_sq_params collects the training sample to the driver: "
+            f"{n} rows exceeds max_train_rows={max_train_rows}. Raise "
+            f"sample_mod (or the bound)."
+        )
+    rows = (
+        src.select(F.col(corpus_id), as_double(corpus_vec).alias("__cv"))
+        .withColumn("__cn", dot("__cv", "__cv"))
+        .filter(F.col("__cn") > 0)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_sq_params: empty training sample")
+    sample = sorted((r[0], r["__cv"], r["__cn"]) for r in rows)
+    mat = np.array([cv for _, cv, _ in sample], dtype=np.float64)
+    mat /= np.sqrt(np.array([cn for _, _, cn in sample]))[:, None]
+    return SqParams(
+        lo=tuple(float(x) for x in mat.min(axis=0)),
+        hi=tuple(float(x) for x in mat.max(axis=0)),
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    sq: SqParams,
+    corpus_id: str = "cid",
+    corpus_vec: str = "cv",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode each L2-normalized vector as d uint8 codes packed into one
+    BINARY column ``__sq`` (8x smaller than the float64 column).
+    Zero-norm rows drop; per-row and deterministic like pq_encode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    lo, scale = sq.as_numpy()
+    out_schema = StructType(
+        [StructField(corpus_id, df.schema[corpus_id].dataType)]
+        + [StructField(c, df.schema[c].dataType) for c in keep]
+        + [StructField("__sq", BinaryType())]
+    )
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["__cv"].map(np.asarray)).astype(np.float64)
+            nrm = np.sqrt((v * v).sum(axis=1))
+            ok = nrm > 0
+            pdf, v, nrm = pdf[ok], v[ok], nrm[ok]
+            if not len(pdf):
+                continue
+            v = v / nrm[:, None]
+            codes = np.clip(
+                np.rint((v - lo) / scale * 255.0), 0, 255
+            ).astype(np.uint8)
+            out = {corpus_id: pdf[corpus_id].to_numpy()}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            out["__sq"] = [r.tobytes() for r in codes]
+            yield pd.DataFrame(out)
+
+    src = df.select(
+        F.col(corpus_id), *[F.col(c) for c in keep],
+        as_double(corpus_vec).alias("__cv"),
+    )
+    src = spread_for_gemm(src, 2.0 * estimated_rows(src, len(sq.lo)) * len(sq.lo))
+    return src.mapInPandas(op, out_schema)
+
+
+def sq_topk(
+    codes: DataFrame,
+    sq: SqParams,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    corpus_id: str = "cid",
+    refine_with: DataFrame | None = None,
+    corpus_vec: str = "cv",
+    refine_factor: int = 4,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Compressed brute-force top-k over SQ8 codes: each Arrow batch
+    dequantizes its codes (one fused multiply-add) and scores ALL
+    queries with one float64 BLAS GEMM — the same per-batch shape as
+    brute_force_topk_fast, reading 1/8 the bytes. Output (qid, cid,
+    rank, sq_ip) approximate; with ``refine_with`` the top
+    k·refine_factor are re-ranked exactly (fold cosine) like the PQ
+    path — (qid, cid, rank, cosine). SQ8's approximation error is per-
+    dim range/255, so small refine factors already recover exactness
+    where PQ needs 16x (measured in tests/test_pq.py and SCALING §14)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_ids, q_mat, q_norm = _collect_queries(queries, query_id, query_vec,
+                                            max_queries)
+    qn_mat = q_mat / q_norm[:, None] if len(q_ids) else q_mat
+    lo, scale = sq.as_numpy()
+    d = len(sq.lo)
+    sc = codes.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qn_mat))
+    do_refine = refine_with is not None and refine_factor >= 1
+    cand_k = k * refine_factor if do_refine else k
+
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(corpus_id, codes.schema[corpus_id].dataType),
+            StructField("sq_ip", DoubleType()),
+        ]
+    )
+
+    def op(batches):
+        ids, qmat = bq.value
+        if not len(ids):
+            return
+        allq = np.arange(len(ids))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[corpus_id].to_numpy()
+            buf = b"".join(pdf["__sq"])
+            if len(buf) != len(pdf) * d:
+                widths = {len(c) for c in pdf["__sq"][:100]}
+                raise ValueError(
+                    f"SQ code width mismatch: expected {d} bytes/row, got "
+                    f"widths {sorted(widths)} — codes were encoded under "
+                    f"different SqParams."
+                )
+            c8 = np.frombuffer(buf, dtype=np.uint8).reshape(len(pdf), d)
+            c_mat = lo + c8.astype(np.float64) * (scale / 255.0)
+            for start in range(0, len(ids), _GEMM_QUERY_CHUNK):
+                qc = allq[start : start + _GEMM_QUERY_CHUNK]
+                scores = qmat[qc] @ c_mat.T
+                yield _emit_local_topk(
+                    np, pd, scores, ids, qc, c_ids, query_id, corpus_id,
+                    cand_k,
+                ).rename(columns={"adc_ip": "sq_ip"})
+
+    partials = codes.mapInPandas(op, out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sq_ip").desc(), F.col(corpus_id)
+    )
+    ranked = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cand_k)
+    )
+    if not do_refine:
+        return ranked.select(query_id, corpus_id, "rank", "sq_ip")
+    return _refine_exact(
+        ranked, refine_with, k, query_id, query_vec, corpus_id, corpus_vec,
+        queries,
+    )

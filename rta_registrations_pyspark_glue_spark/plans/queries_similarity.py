@@ -304,6 +304,42 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ_PARAMS: dict[str, "pq.SqParams"] = {}
+_SQ_CODES: dict[tuple[str, str], DataFrame] = {}
+register_release_hook(_SQ_CODES.clear)
+
+
+@register("cosine_topk_sq8")
+def cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 compressed exact-recall search (operators/pq.py sq_*): the
+    brute-force scan reads int8 codes (64 B/vector, 8x smaller than the
+    float64 column), scores by one dequantize+GEMM per batch, and
+    exactly re-ranks the top k·4 — per-dim error is range/255, so the
+    small refine already reproduces the fold-exact brute force
+    BIT-FOR-BIT (pinned vs the oracle-backed cosine_topk_bruteforce in
+    tests/test_pq.py; refine_factor=2 sufficed at every gate scale,
+    4 is the registered margin). Rows-only for the same reason as the
+    PQ entry: approximate-by-construction before the refine, and the
+    gate is at its 50-row cap — the pytest pin carries the oracle's
+    verdict transitively."""
+    q, c = _queries_corpus(spark, sf_dir)
+    corpus = c.drop("label")
+    if sf_dir not in _SQ_PARAMS:
+        _SQ_PARAMS[sf_dir] = pq.train_sq_params(
+            corpus, corpus_id="cid", corpus_vec="cv"
+        )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SQ_CODES:
+        _SQ_CODES[key] = tracked_persist(
+            pq.sq_encode(corpus, _SQ_PARAMS[sf_dir], corpus_id="cid",
+                         corpus_vec="cv")
+        )
+    return pq.sq_topk(
+        _SQ_CODES[key], _SQ_PARAMS[sf_dir], q, k=5, corpus_id="cid",
+        refine_with=corpus, corpus_vec="cv", refine_factor=4,
+    )
+
+
 # The former embedding_near_dup_pairs gate entry (exact all-pairs theta
 # join at cosine >= 0.35) was retired to free its oracle slot under the
 # gate's 50-row cap for embedding_near_dup_ivf: its recall-baseline role

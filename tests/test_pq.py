@@ -289,3 +289,98 @@ def test_pq_topk_adc_refine_factor_zero_degrades_to_pure_adc(emb, cb, codes):
     rows = out.collect()
     assert len(rows) == 50
     assert [f.name for f in out.schema.fields] == ["qid", "vec_id", "rank", "adc_ip"]
+
+
+# ----------------------------- SQ8 family -----------------------------
+
+
+@pytest.fixture(scope="module")
+def sq(emb):
+    return pq.train_sq_params(emb, corpus_id="vec_id", corpus_vec="embedding")
+
+
+@pytest.fixture(scope="module")
+def sq_codes(emb, sq):
+    c = pq.sq_encode(emb, sq, corpus_id="vec_id", corpus_vec="embedding")
+    c.cache()
+    c.count()
+    return c
+
+
+def test_sq_train_deterministic_and_width(emb, sq, sq_codes):
+    assert sq == pq.train_sq_params(emb, corpus_id="vec_id",
+                                    corpus_vec="embedding")
+    widths = {len(r["__sq"]) for r in sq_codes.limit(20).collect()}
+    assert widths == {64}  # one byte per dim: 8x vs float64
+
+
+def test_sq_encode_partition_invariant(emb, sq, sq_codes):
+    base = {r["vec_id"]: r["__sq"] for r in sq_codes.collect()}
+    re = pq.sq_encode(emb.repartition(7), sq, corpus_id="vec_id",
+                      corpus_vec="embedding")
+    assert {r["vec_id"]: r["__sq"] for r in re.collect()} == base
+
+
+def test_sq_refined_equals_exact_bruteforce(emb, sq, sq_codes):
+    """SQ8's per-dim error is range/255, so refine_factor=2 already
+    recovers the exact fold-cosine top-k BIT-FOR-BIT on the gate corpus
+    (PQ needs 16x on the same data — the family's documented trade)."""
+    q = _q(emb)
+    exact = sorted(tuple(r) for r in similarity.brute_force_topk(
+        q, emb, k=5, corpus_id="vec_id", corpus_vec="embedding"
+    ).collect())
+    refined = sorted(tuple(r) for r in pq.sq_topk(
+        sq_codes, sq, q, k=5, corpus_id="vec_id",
+        refine_with=emb, corpus_vec="embedding", refine_factor=2,
+    ).collect())
+    assert refined == exact
+
+
+def test_sq_pure_rank_agreement_floor(emb, sq, sq_codes):
+    q = _q(emb)
+    exact = {(r["qid"], r["rank"]): r["vec_id"]
+             for r in similarity.brute_force_topk(
+                 q, emb, k=5, corpus_id="vec_id", corpus_vec="embedding"
+             ).collect()}
+    pure = {(r["qid"], r["rank"]): r["vec_id"]
+            for r in pq.sq_topk(sq_codes, sq, q, k=5,
+                                corpus_id="vec_id").collect()}
+    agree = sum(1 for kk in exact if pure.get(kk) == exact[kk]) / len(exact)
+    assert agree >= 0.9  # measured 0.938 on this corpus
+
+
+def test_sq_width_mismatch_named(emb, sq, cb, codes):
+    """Feeding PQ codes (16 B) to the SQ scorer (expects 64 B) must fail
+    with the mismatch named."""
+    from py4j.protocol import Py4JJavaError
+
+    q = _q(emb).limit(3)
+    pq_as_sq = codes.withColumnRenamed("__code", "__sq")
+    with pytest.raises(Exception, match="code width mismatch"):
+        try:
+            pq.sq_topk(pq_as_sq, sq, q, k=5, corpus_id="vec_id").collect()
+        except Py4JJavaError as e:
+            raise RuntimeError(str(e)) from e
+
+
+def test_sq_constant_dim_decodes_exactly(spark):
+    """A dimension that is constant across the corpus has range 0; it
+    must decode to exactly lo (scale clamps to 1, codes to 0) rather
+    than dividing by zero."""
+    rows = [(i, [1.0, float(i % 3 + 1)]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sq2 = pq.train_sq_params(df, corpus_id="vec_id", corpus_vec="embedding")
+    codes2 = pq.sq_encode(df, sq2, corpus_id="vec_id", corpus_vec="embedding")
+    assert codes2.count() == 9
+    q = df.selectExpr("vec_id as qid", "embedding as qv").limit(3)
+    out = pq.sq_topk(codes2, sq2, q, k=2, corpus_id="vec_id")
+    assert out.count() == 6
+
+
+def test_sq8_registry_entry_matches_oracle_backed_bruteforce(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    a = sorted(tuple(r) for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in qs["cosine_topk_sq8"](spark, sf_dir).collect())
+    assert a == b
