@@ -991,6 +991,16 @@ def sq_topk(
                     cand_k,
                 ).rename(columns={"adc_ip": "sq_ip"})
 
+    # the codes table is 8x denser than the float column it replaces —
+    # a corpus whose GEMM work is multi-GFLOP can arrive as ONE scan
+    # split (6.4 MB at 100k x 64), which would run the whole scoring
+    # serial; spread by the same flop gate as the exact path (a wide
+    # 100 TB codes table is never coalesced)
+    if len(q_ids):
+        from rta_registrations_pyspark_glue_spark.io import estimate_plan_bytes
+
+        n_est = max(1, estimate_plan_bytes(codes) // (d + 16))
+        codes = spread_for_gemm(codes, 2.0 * len(q_ids) * n_est * d)
     partials = codes.mapInPandas(op, out_schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("sq_ip").desc(), F.col(corpus_id)
