@@ -82,6 +82,11 @@ HEADLINE = [
     # scoring, exact re-rank); same probes as cosine_topk_ivf, so the
     # delta between the two IS the compression win/cost at this scale
     "cosine_topk_ivfpq",
+    # round 11: SQ8 — the 8x scalar-quantized full-scan path; the
+    # "compressed beats exact at d=64" claim (SCALING.md §14) is now
+    # bench-reproducible instead of tool-only (VERDICT r10 #2 /
+    # ADVICE r10): compare this row against cosine_topk_bruteforce
+    "cosine_topk_sq8",
 ]
 
 #: Per-query SCOPE VERSION, emitted in the bench JSON ("scopes") so
@@ -188,6 +193,11 @@ SCALING_SUBSET = [
     # leg, the refine join is O(Q.k.refine_factor) — expected to track
     # cosine_topk_ivf's exponent with a smaller constant per candidate
     "cosine_topk_ivfpq",
+    # round 11: SQ8 full scan — O(N.Q) in flops like the exact baseline
+    # it is claimed to beat, but the claim is a CONSTANT (8x scan
+    # bytes, int-dot GEMM), so the honest treatment is a measured ~1
+    # exponent next to the baseline's exclusion note, not an exclusion
+    "cosine_topk_sq8",
 ]
 
 #: name -> why it is not in the scaling pass. These are DESIGNED

@@ -144,7 +144,17 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" in str(e).lower():
+        # Match the data-source-lookup failure specifically (message or
+        # Spark 4 error class), NOT any message containing "avro" — with
+        # spark-avro actually installed, a plain path-not-found on
+        # "*.avro" would otherwise be rewrapped into the misleading
+        # add-the-package error (ADVICE r10).
+        msg = str(e).lower()
+        if (
+            "failed to find data source" in msg
+            or "failed to find the data source" in msg
+            or "data_source_not_found" in msg
+        ):
             raise RuntimeError(
                 "Avro support needs the external spark-avro package on the "
                 "classpath (org.apache.spark:spark-avro_2.13). Add it via "

@@ -523,7 +523,13 @@ def pq_topk_adc(
         if not len(ids):
             return
         allq = np.arange(len(ids))
-        chunk_luts = {}  # start offset -> per-chunk LUTs, built once
+        # start offset -> per-chunk LUTs, each built once per task and
+        # kept for every subsequent Arrow batch. Total memory across
+        # chunks is len(ids) * n_codes * 8 bytes per subspace — the
+        # full-query LUT, bounded by the _collect_queries max_queries
+        # guard (ADVICE r10: the old single-entry replacement rebuilt
+        # every chunk's LUT per batch once len(ids) > _GEMM_QUERY_CHUNK)
+        chunk_luts = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -532,7 +538,7 @@ def pq_topk_adc(
             for start in range(0, len(ids), _GEMM_QUERY_CHUNK):
                 qc = allq[start : start + _GEMM_QUERY_CHUNK]
                 if start not in chunk_luts:
-                    chunk_luts = {start: _adc_luts(np, qmat[qc], books, m, dsub)}
+                    chunk_luts[start] = _adc_luts(np, qmat[qc], books, m, dsub)
                 scores = _adc_scores(np, chunk_luts[start], code_m)
                 yield _emit_local_topk(
                     np, pd, scores, ids, qc, c_ids, query_id, corpus_id,
@@ -624,12 +630,17 @@ def ivfpq_search(
     if not len(q_ids):
         from pyspark.sql.types import IntegerType
 
+        # schema contract must be input-independent (ADVICE r10): the
+        # non-empty result's score column is "cosine" after the exact
+        # refine but "adc_ip" in pure-ADC mode (refine_factor < 1), so
+        # the zero-query result mirrors that choice
+        score_col = "cosine" if refine_factor >= 1 else "adc_ip"
         empty_schema = StructType(
             [
                 StructField(query_id, queries.schema[query_id].dataType),
                 StructField(corpus_id, index.assignment.schema[corpus_id].dataType),
                 StructField("rank", IntegerType()),
-                StructField("cosine", DoubleType()),
+                StructField(score_col, DoubleType()),
             ]
         )
         return queries.sparkSession.createDataFrame([], empty_schema)

@@ -157,6 +157,11 @@ def test_ivfpq_empty_queries(emb, cb, spark):
     out = pq.ivfpq_search(idx, cb, q, k=5, nprobe=2)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["qid", "vec_id", "rank", "cosine"]
+    # pure-ADC mode (refine_factor=0): the score column is adc_ip for
+    # non-empty inputs, so the zero-query schema must match (ADVICE r10)
+    out0 = pq.ivfpq_search(idx, cb, q, k=5, nprobe=2, refine_factor=0)
+    assert out0.count() == 0
+    assert [f.name for f in out0.schema.fields] == ["qid", "vec_id", "rank", "adc_ip"]
 
 
 def test_adc_scores_batch_layout_invariant(emb, cb, codes):

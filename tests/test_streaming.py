@@ -627,3 +627,81 @@ def test_stateful_sessions_late_event_handling(spark, tmp_path):
         (9, ts("2024-01-01 11:45:00"), ts("2024-01-01 12:00:00")): (2, 5.0),
         # user 99's session stays open and never emits
     }
+
+
+def test_stateful_sessions_late_run_merging(spark, tmp_path):
+    """Consecutive admitted-late events that are within gap of EACH
+    OTHER but disjoint from the open session emit as ONE merged session
+    (ADVICE r10: the per-event singleton split); and a within-gap late
+    event that extends the open session backward to within a gap of the
+    pending late run folds the whole run into the session."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    d = tmp_path / "late_run_stream"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        papq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), d / name,
+            coerce_timestamps="us",
+        )
+        os.utime(d / name, (mtime, mtime))
+
+    t0 = _time.time()
+    # user 9: open session at 12:00. user 7: open session at 12:00.
+    write("a.parquet", [
+        (1, "2024-01-01 12:00:00", 9, "view", 1.0),
+        (2, "2024-01-01 12:00:00", 7, "view", 1.0),
+    ], t0 - 400)
+    # batch 2, user 9: two late events 20min apart (within the 30min
+    # gap of each other), both >30min before the session start -> ONE
+    # merged late session 09:00-09:20, not two singletons.
+    # user 7: a disjoint late run 11:05-11:10, then a within-gap late
+    # event at 11:35 that extends the open session's start back to
+    # 11:35 — which is within 30min of the run's last (11:10), so the
+    # run folds into the session: start 11:05, 4 events.
+    write("b.parquet", [
+        (3, "2024-01-01 09:00:00", 9, "view", 2.0),
+        (4, "2024-01-01 09:20:00", 9, "view", 4.0),
+        (5, "2024-01-01 11:05:00", 7, "view", 2.0),
+        (6, "2024-01-01 11:10:00", 7, "view", 4.0),
+        (7, "2024-01-01 11:35:00", 7, "view", 8.0),
+    ], t0 - 300)
+    # far-future batches: advance the watermark, then deliver timeouts
+    write("c.parquet", [(8, "2024-01-02 23:00:00", 99, "view", 8.0)], t0 - 200)
+    write("d.parquet", [(9, "2024-01-02 23:01:00", 99, "view", 16.0)], t0 - 100)
+
+    stream = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = _run(
+        spark,
+        sw.stateful_sessions(stream, gap_minutes=30, watermark="10 hours"),
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in rows
+    }
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    assert got == {
+        # user 9: the merged late run (was two singletons before r11)
+        (9, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:20:00")): (2, 6.0),
+        # user 9: open session closed by the watermark timeout
+        (9, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00")): (1, 1.0),
+        # user 7: late run folded into the backward-extended session
+        (7, ts("2024-01-01 11:05:00"), ts("2024-01-01 12:00:00")): (4, 15.0),
+        # user 99's session stays open and never emits
+    }
