@@ -98,8 +98,11 @@ HEADLINE = [
 #: phone/SSN patterns). Queries not listed are scope version 1.
 SCOPES = {
     # round 9: cleaning_suite gains the 'url' rows (URL normalization,
-    # registrable domain, md5-ranked per-domain quota — scan-side)
-    "cleaning_suite": 2,
+    # registrable domain, md5-ranked per-domain quota — scan-side);
+    # round 11: the url rows run against the FULL vendored Public
+    # Suffix List (~8k rules; was a 386-line subset) and gain a
+    # private-section host branch (github.io)
+    "cleaning_suite": 3,
     "exact_dedup_documents": 2,
     "packed_sequences": 2,
     "dataset_split": 2,

@@ -33,27 +33,45 @@ from pyspark.sql import functions as F
 #: no-data fallback when the vendored PSL file is absent
 SECOND_LEVEL_SUFFIX_RE = r"(\.|^)(co|com|org|gov|ac|net)\.(uk|au|jp|br|in|nz)$"
 
-#: vendored subset of the Mozilla Public Suffix List in the upstream
-#: publicsuffix.org format (exact / "*." wildcard / "!" exception
-#: rules) — production swaps in the full file, same parser
+#: vendored FULL Mozilla Public Suffix List (ICANN + PRIVATE sections,
+#: ~8k non-redundant rules) in the upstream publicsuffix.org format
+#: (exact / "*." wildcard / "!" exception rules); refresh is a data
+#: change — overwrite with a newer upstream copy, same parser
 _PSL_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data",
-    "public_suffix_subset.dat",
+    "public_suffix_list.dat",
 )
 
 
 @dataclass(frozen=True)
 class PslRules:
-    """Parsed public-suffix rules, bucketed by shape so the lookup is
-    pure InSet membership (the rule shapes the vendored ICANN subset
-    uses: 2- and 3-label exact rules, single-label wildcards, 2-label
-    exceptions). Lists are sorted for deterministic plans/SQL."""
+    """Parsed public-suffix rules, bucketed BY LABEL COUNT so the
+    lookup compiles to one InSet membership test per (shape, length)
+    bucket — the full upstream list has exact rules of 2-5 labels,
+    wildcard bases of 1-4 labels, and exceptions of 2-3 labels, and
+    the buckets are discovered from the data, not hard-coded. Values
+    are sorted for deterministic plans/SQL."""
 
-    exact2: tuple[str, ...]
-    exact3: tuple[str, ...]
-    wildcard_tlds: tuple[str, ...]
-    exceptions: tuple[str, ...]
+    #: exact rule of n labels -> registrable domain has n+1 labels
+    exact: dict[int, tuple[str, ...]]
+    #: "*.base" with an n-label base -> any (n+1)-label host ending in
+    #: base is itself a public suffix -> registrable has n+2 labels
+    wildcards: dict[int, tuple[str, ...]]
+    #: "!rule" of n labels -> the rule ITSELF is registrable
+    exceptions: dict[int, tuple[str, ...]]
+
+    def max_labels(self) -> int:
+        """Deepest label extract any rule bucket needs (the
+        registrable-domain label count of the longest rule)."""
+        out = 2
+        for n in self.exact:
+            out = max(out, n + 1)
+        for b in self.wildcards:
+            out = max(out, b + 2)
+        for n in self.exceptions:
+            out = max(out, n)
+        return out
 
 
 @lru_cache(maxsize=4)
@@ -61,34 +79,40 @@ def load_psl(path: str | None = None) -> PslRules | None:
     """Parse a publicsuffix.org-format rules file (comments '//',
     blank lines, exact / '*.' wildcard / '!' exception rules). Returns
     None when the file is absent — callers fall back to the built-in
-    regex subset, so a missing data file degrades, never breaks."""
+    regex subset, so a missing data file degrades, never breaks.
+
+    1-label exact rules (every plain TLD and gTLD, ~1500 of them) are
+    dropped at parse time: they register at the second label, which is
+    exactly what the list's implicit default rule ("*") does, so they
+    are redundant with the CASE's ELSE branch and would only bloat the
+    InSet tables. Unicode (IDN) rules are kept verbatim and match
+    hosts given in the same Unicode form; punycode (xn--) hosts only
+    match where the upstream list itself carries punycode rules —
+    punycode<->unicode normalization is the caller's canonicalization
+    step, not this lookup's."""
     p = path or _PSL_PATH
     if not os.path.isfile(p):
         return None
-    exact2, exact3, wild, exc = [], [], [], []
+    exact: dict[int, list] = {}
+    wild: dict[int, list] = {}
+    exc: dict[int, list] = {}
     with open(p, encoding="utf-8") as fh:
         for line in fh:
             rule = line.strip().lower()
             if not rule or rule.startswith("//"):
                 continue
             if rule.startswith("!"):
-                exc.append(rule[1:])
+                body = rule[1:]
+                exc.setdefault(body.count(".") + 1, []).append(body)
             elif rule.startswith("*."):
-                wild.append(rule[2:])
+                base = rule[2:]
+                wild.setdefault(base.count(".") + 1, []).append(base)
             else:
                 n = rule.count(".") + 1
-                if n == 2:
-                    exact2.append(rule)
-                elif n == 3:
-                    exact3.append(rule)
-                # 1-label exact rules are the implicit default ("*");
-                # >3-label rules don't occur in the vendored subset
-    return PslRules(
-        tuple(sorted(exact2)),
-        tuple(sorted(exact3)),
-        tuple(sorted(wild)),
-        tuple(sorted(exc)),
-    )
+                if n > 1:
+                    exact.setdefault(n, []).append(rule)
+    freeze = lambda d: {k: tuple(sorted(v)) for k, v in sorted(d.items())}  # noqa: E731
+    return PslRules(freeze(exact), freeze(wild), freeze(exc))
 
 
 def normalize_url(col: Column) -> Column:
@@ -148,37 +172,83 @@ def host_of(url_norm: Column) -> Column:
     return F.regexp_extract(url_norm, "^[a-z]+://([^/:?#]*)", 1)
 
 
+def _label_pattern(n: int) -> str:
+    """Regex capturing the last ``n`` dot-separated labels of a host
+    (Java-regex ∩ RE2: non-capturing repetition, no lookarounds)."""
+    if n == 1:
+        return "([^.]+)$"
+    return "([^.]+(?:\\.[^.]+){" + str(n - 1) + "})$"
+
+
+def _psl_branches(rules: PslRules):
+    """The publicsuffix.org precedence as an ordered branch list shared
+    by the Spark and DuckDB code generators: each entry is
+    (shape, rule_label_count, registrable_label_count) where shape is
+    'exception' | 'exact' | 'wildcard'. Exception rules beat everything
+    (longest first — the rule itself is registrable); then the longest
+    matching rule wins, with exact-n and wildcard-base-(n-1) rules both
+    having effective length n (a same-length tie yields the same
+    registrable domain either way, so intra-length order is free)."""
+    out = []
+    for n in sorted(rules.exceptions, reverse=True):
+        out.append(("exception", n, n))
+    max_len = max(
+        [n for n in rules.exact]
+        + [b + 1 for b in rules.wildcards]
+        + [1]
+    )
+    for ln in range(max_len, 1, -1):
+        if ln in rules.exact:
+            out.append(("exact", ln, ln + 1))
+        if ln - 1 in rules.wildcards:
+            out.append(("wildcard", ln - 1, ln + 1))
+    return out
+
+
 def registrable_domain(host: Column, psl_path: str | None = None) -> Column:
-    """eTLD+1 against the vendored PSL (publicsuffix.org algorithm over
-    the subset's rule shapes, longest rule first): exception rules beat
-    wildcards; 3-label exact suffixes register at the fourth label;
-    2-label exact suffixes and wildcard TLDs at the third; everything
-    else at the second. A host that IS a bare suffix has no extra label
-    — fall back to its own two labels. Pure Column expressions: the
-    rule sets become InSet predicates (whole-stage codegen; no UDF, no
-    join, no shuffle — at corpus scale this runs on every row of the
-    scan). Falls back to the r9 built-in regex subset when the PSL data
-    file is absent."""
+    """eTLD+1 against the vendored FULL Public Suffix List
+    (publicsuffix.org algorithm, every upstream rule shape): exception
+    rules beat everything, then the longest matching rule wins — an
+    n-label exact suffix registers at label n+1, a wildcard with an
+    n-label base at label n+2 (and only when the wildcard label is
+    actually present: a host that IS the bare base falls through to
+    shorter rules), everything else at the second label. A host that
+    IS a public suffix has no extra label — fall back to the suffix
+    itself (best effort, same contract as r10). Pure Column
+    expressions: each (shape, length) rule bucket becomes ONE InSet
+    predicate over the extracted last-n-labels string (whole-stage
+    codegen; no UDF, no join, no shuffle — at corpus scale this runs
+    on every row of the scan). Falls back to the r9 built-in regex
+    subset when the PSL data file is absent."""
     rules = load_psl(psl_path)
     if rules is None:
         return _registrable_domain_regex(host)
-    ext2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    ext3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    ext4 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
-    tld = F.regexp_extract(host, r"([^.]+)$", 1)
-    pick3 = F.when(ext3 != "", ext3).otherwise(ext2)
-    pick4 = F.when(ext4 != "", ext4).otherwise(ext3)
+    branches = _psl_branches(rules)
+    need = max(reg for _, _, reg in branches) if branches else 2
+    ext = {
+        n: F.regexp_extract(host, _label_pattern(n), 1)
+        for n in range(1, need + 1)
+    }
 
     def member(col: Column, vals: tuple[str, ...]) -> Column:
         return col.isin(list(vals)) if vals else F.lit(False)
 
-    return (
-        F.when(member(ext2, rules.exceptions), ext2)
-        .when(member(ext3, rules.exact3), pick4)
-        .when(member(ext2, rules.exact2), pick3)
-        .when(member(tld, rules.wildcard_tlds), pick3)
-        .otherwise(ext2)
-    )
+    def pick(n: int) -> Column:
+        return F.when(ext[n] != "", ext[n]).otherwise(ext[n - 1])
+
+    buckets = {"exception": rules.exceptions, "exact": rules.exact,
+               "wildcard": rules.wildcards}
+    result = None
+    for shape, n, reg in branches:
+        if shape == "exception":
+            cond, val = member(ext[n], buckets[shape][n]), ext[n]
+        elif shape == "exact":
+            cond, val = member(ext[n], buckets[shape][n]), pick(reg)
+        else:  # wildcard: the wildcard label itself must be present
+            cond = member(ext[n], buckets[shape][n]) & (ext[n + 1] != "")
+            val = pick(reg)
+        result = F.when(cond, val) if result is None else result.when(cond, val)
+    return ext[2] if result is None else result.otherwise(ext[2])
 
 
 def _registrable_domain_regex(host: Column) -> Column:
@@ -205,24 +275,38 @@ def registrable_domain_sql(host_expr: str, psl_path: str | None = None) -> str:
              THEN {three}
              ELSE {ext2} END
         """
-    ext3 = f"regexp_extract({h}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
-    ext4 = f"regexp_extract({h}, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)"
-    tld = f"regexp_extract({h}, '([^.]+)$', 1)"
-    pick3 = f"CASE WHEN {ext3} != '' THEN {ext3} ELSE {ext2} END"
-    pick4 = f"CASE WHEN {ext4} != '' THEN {ext4} ELSE {ext3} END"
+    branches = _psl_branches(rules)
+    need = max(reg for _, _, reg in branches) if branches else 2
+    ext = {
+        n: f"regexp_extract({h}, '{_label_pattern(n)}', 1)"
+        for n in range(1, need + 1)
+    }
 
     def inlist(vals: tuple[str, ...]) -> str:
         # '.' can never equal an extracted label group — a safe
         # never-matching literal for an empty rule bucket
         return ", ".join(f"'{v}'" for v in vals) if vals else "'.'"
 
-    return f"""
-    CASE WHEN {ext2} IN ({inlist(rules.exceptions)}) THEN {ext2}
-         WHEN {ext3} IN ({inlist(rules.exact3)}) THEN {pick4}
-         WHEN {ext2} IN ({inlist(rules.exact2)}) THEN {pick3}
-         WHEN {tld} IN ({inlist(rules.wildcard_tlds)}) THEN {pick3}
-         ELSE {ext2} END
-    """
+    def pick(n: int) -> str:
+        return f"CASE WHEN {ext[n]} != '' THEN {ext[n]} ELSE {ext[n-1]} END"
+
+    buckets = {"exception": rules.exceptions, "exact": rules.exact,
+               "wildcard": rules.wildcards}
+    whens = []
+    for shape, n, reg in branches:
+        vals = inlist(buckets[shape][n])
+        if shape == "exception":
+            whens.append(f"WHEN {ext[n]} IN ({vals}) THEN {ext[n]}")
+        elif shape == "exact":
+            whens.append(f"WHEN {ext[n]} IN ({vals}) THEN {pick(reg)}")
+        else:
+            whens.append(
+                f"WHEN {ext[n]} IN ({vals}) AND {ext[n+1]} != '' "
+                f"THEN {pick(reg)}"
+            )
+    if not whens:
+        return ext[2]
+    return "\n    CASE " + "\n         ".join(whens) + f"\n         ELSE {ext[2]} END\n    "
 
 
 def cap_per_domain(

@@ -309,9 +309,11 @@ def make_year_harden(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: non-default ports, utm_* params in every position (incl. an
 #: ADJACENT multi-utm run and a non-utm "xutm_" param that anchored
 #: stripping must keep — ADVICE r9), fragments, trailing slashes, www.
-#: prefixes, and .com / .co.uk / .co.kr / *.ck-wildcard hosts spanning
-#: the PSL rule shapes — each targeting one normalize_url rewrite or
-#: one registrable_domain rule. Mirrored literally below.
+#: prefixes, and .com / .co.uk / .co.kr / *.ck-wildcard /
+#: github.io-PRIVATE-section hosts spanning the PSL rule shapes (the
+#: github.io branch exercises the full vendored list's private
+#: section, r11) — each targeting one normalize_url rewrite or one
+#: registrable_domain rule. Mirrored literally below.
 _RAW_URL_SQL = """
     (CASE doc_id % 2 WHEN 0 THEN 'HTTP' ELSE 'https' END || '://'
      || CASE WHEN doc_id % 5 = 0
@@ -320,6 +322,8 @@ _RAW_URL_SQL = """
              THEN 'Shop' || (doc_id % 7) || '.CO.KR'
              WHEN doc_id % 5 = 2
              THEN 'Press' || (doc_id % 7) || '.GOV.CK'
+             WHEN doc_id % 5 = 3
+             THEN 'Docs.User' || (doc_id % 7) || '.GitHub.IO'
              ELSE 'Www.Site' || (doc_id % 7) || '.COM' END
      || CASE WHEN doc_id % 3 = 0
              THEN CASE doc_id % 2 WHEN 0 THEN ':80' ELSE ':443' END
@@ -350,6 +354,12 @@ def _raw_url_expr() -> "F.Column":
         .when(
             d % 5 == 2,
             F.concat(F.lit("Press"), (d % 7).cast("string"), F.lit(".GOV.CK")),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(
+                F.lit("Docs.User"), (d % 7).cast("string"), F.lit(".GitHub.IO")
+            ),
         )
         .otherwise(
             F.concat(F.lit("Www.Site"), (d % 7).cast("string"), F.lit(".COM"))

@@ -71,6 +71,25 @@ _DOMAIN_CASES = [
     # exception !www.ck beats the wildcard
     ("www.ck", "www.ck"),
     ("sub.www.ck", "www.ck"),
+    # r11 full-list shapes (the vendored subset had none of these):
+    # PRIVATE-section 2-label exact rule — per-user subdomain hosting
+    ("user.github.io", "user.github.io"),
+    ("assets.user.github.io", "user.github.io"),
+    # 4-label exact rule (a.prod.fastly.net): registers at label five
+    ("x.a.prod.fastly.net", "x.a.prod.fastly.net"),
+    ("y.x.a.prod.fastly.net", "x.a.prod.fastly.net"),
+    # 5-label exact rule: registers at label six
+    ("app.cn-north-1.eb.amazonaws.com.cn",
+     "app.cn-north-1.eb.amazonaws.com.cn"),
+    # 2-label wildcard base (*.0emm.com): <label>.0emm.com is a suffix
+    ("bar.foo.0emm.com", "bar.foo.0emm.com"),
+    ("foo.0emm.com", "foo.0emm.com"),  # bare wildcard suffix
+    # ...but the bare BASE is NOT covered by the wildcard — plain .com
+    ("0emm.com", "0emm.com"),
+    # 3-label exception beats the *.kawasaki.jp wildcard
+    ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("x.y.kawasaki.jp", "x.y.kawasaki.jp"),
 ]
 
 
