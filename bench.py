@@ -361,6 +361,13 @@ def measure_scaling(
 
     t_bigs = {name: run(name) for name in SCALING_SUBSET}
     passes = {name: 1 for name in SCALING_SUBSET}
+    # Every pass time is kept and emitted (t_passes) — r10's
+    # minhash_lsh_near_dups exponent drift (0.583 -> 0.875 from
+    # unchanged code) was three passes that never reached steady state
+    # (first-execution codegen/persist overhead at the big dir is ~3x
+    # steady; SCALING.md §15), and only the per-pass list makes that
+    # failure mode diagnosable from the sidecar alone.
+    all_passes = {name: [t] for name, t in t_bigs.items()}
     caching.release_tracked()
     # Adaptive re-measure: cold-pass/JVM-session noise at these absolute
     # times can read as a fake red flag (the r6 study measured
@@ -378,7 +385,9 @@ def measure_scaling(
         for _try in range(2):
             if t_bigs[name] <= 5 * base_times[name]:
                 break
-            t_bigs[name] = min(t_bigs[name], run(name))
+            t = run(name)
+            all_passes[name].append(t)
+            t_bigs[name] = min(t_bigs[name], t)
             passes[name] += 1
             caching.release_tracked()
     caching.release_tracked()
@@ -388,6 +397,7 @@ def measure_scaling(
             "t_big": t_big,
             "exponent": round(math.log(t_big / base_times[name]) / math.log(10), 3),
             "passes": passes[name],
+            "t_passes": all_passes[name],
         }
         for name, t_big in t_bigs.items()
     }
@@ -404,6 +414,11 @@ def measure_scaling(
                 "exponent": round(
                     math.log(t_big / mm_legs_base[kind]) / math.log(10), 3
                 ),
+                # In-band caveat (VERDICT r10 #5): single warm pass over
+                # sub-second base times — these rows LOCALIZE which leg
+                # moved, they are not scaling-exponent estimates (the
+                # suite-level row above is; full analysis SCALING.md §13)
+                "role": "localization",
             }
             for kind, t_big in mm_big.items()
             if mm_legs_base.get(kind)

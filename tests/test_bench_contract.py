@@ -52,11 +52,57 @@ def _fake_scaling():
         "scale_factor_ratio": 10,
         "big_dir": "/root/repo/.scale/sf1",
         "queries": {
-            name: {"t_base": 1.0, "t_big": 10.0, "exponent": 1.0, "passes": 1}
+            name: {"t_base": 1.0, "t_big": 10.0, "exponent": 1.0,
+                   "passes": 1, "t_passes": [10.0]}
             for name in bench.SCALING_SUBSET
         },
         "excluded": bench.SCALING_EXCLUDED,
     }
+
+
+class _FakeWriter:
+    def __init__(self, sleep_s):
+        self._sleep = sleep_s
+
+    def format(self, *_):
+        return self
+
+    def mode(self, *_):
+        return self
+
+    def save(self):
+        import time
+
+        time.sleep(self._sleep)
+
+
+class _FakeDF:
+    def __init__(self, sleep_s=0.002):
+        self.write = _FakeWriter(sleep_s)
+
+
+def test_measure_scaling_emits_per_pass_times(monkeypatch):
+    """Every sidecar row must carry the full pass list (r11: the r10
+    minhash exponent drift was three never-steady passes — only
+    t_passes makes that diagnosable from the sidecar), with t_big ==
+    min(t_passes) and passes == len(t_passes); flagged queries (t_big >
+    5x base) get re-measured and therefore a longer list."""
+    if not os.path.isdir("/root/repo/.scale/sf1"):
+        import pytest
+
+        pytest.skip("no scaled replica dir")
+    qs = {name: (lambda spark, d: _FakeDF()) for name in bench.SCALING_SUBSET}
+    fast = bench.SCALING_SUBSET[0]
+    # base so small the first big pass always flags -> re-measure path
+    bases = {name: 1.0 for name in bench.SCALING_SUBSET}
+    bases[fast] = 0.0001
+    monkeypatch.setattr(bench.caching, "release_tracked", lambda: None)
+    out = bench.measure_scaling(None, qs, bases, mm_legs_base=None)
+    for name, row in out["queries"].items():
+        assert row["t_big"] == min(row["t_passes"])
+        assert row["passes"] == len(row["t_passes"])
+        expect = 3 if name == fast else 1
+        assert row["passes"] == expect, (name, row)
 
 
 def test_headline_is_last_line_and_parseable(tmp_path):
