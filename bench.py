@@ -140,8 +140,12 @@ SCOPES = {
     # rows (frame-level decode: CRC-16, complete side-info unpack,
     # reservoir, exact silent-granule PCM, doc_id % 8 ∈ {3,4}), and
     # the 'mkv' rows (EBML Cluster/SimpleBlock walk with all four
-    # lacing schemes, MJPEG/raw-RGB/PCM routing, doc_id % 8 ∈ {0,7})
-    "multimodal_suite": 6,
+    # lacing schemes, MJPEG/raw-RGB/PCM routing, doc_id % 8 ∈ {0,7});
+    # round 11 → 7: + the 'aac' rows (mp4a STRUCTURAL extraction —
+    # esds descriptor chain, AudioSpecificConfig decode, access-unit
+    # addressing; PCM decode stays the plug-in boundary,
+    # doc_id % 16 = 3 subset)
+    "multimodal_suite": 7,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental
     # substring dedup, oracle-consolidated under the 50-query cap)

@@ -23,7 +23,13 @@ route to decoders this repo already owns:
 Compressed codecs (avc1, hvc1, vp09, mp4a/AAC, ...) raise
 NotImplementedError at the per-track boundary — the documented plug-in
 point where ffmpeg/PyAV slots in — while the container walk, the other
-track, and the features still work. The box walk itself is shared with
+track, and the features still work. For mp4a/AAC the boundary moved
+down a layer in r11: the esds descriptor chain and
+AudioSpecificConfig decode plus full access-unit addressing are
+implemented (``extract_aac_track`` — profile/rate/channels/duration
+and exact AU structure, the fields a curation pass filters on), and
+only PCM synthesis remains external (the spectral Huffman codebooks
+are ISO tabulated data; same provenance rule as operators/mp3.py). The box walk itself is shared with
 `operators/mediameta.py` (`_mp4_boxes`), which parses the same files
 header-only; this module is the payload path.
 
@@ -165,6 +171,237 @@ def _sample_layout(
 
 
 # ---------------------------------------------------------------------------
+# AAC (mp4a) — STRUCTURAL support: esds/AudioSpecificConfig parsing and
+# access-unit extraction. PCM decode stays the documented plug-in
+# boundary (the AAC spectral Huffman codebooks are ISO tabulated data
+# this container has no codec library to recover from — the same
+# provenance discipline as operators/mp3.py's granule boundary), but a
+# curation pass filters on profile/rate/channels/duration, and THOSE
+# need only the descriptor walk below.
+
+#: ISO/IEC 14496-3 samplingFrequencyIndex table (Table 1.18; also
+#: reproduced in RFC 6416 §7.1 and every ADTS writer) — structural
+#: constants of the bitstream format, not codec tables. Index 13/14
+#: are reserved; 15 = escape (explicit 24-bit rate follows in the ASC).
+_AAC_SAMPLE_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+#: audioObjectType -> profile name (the common subset; anything else
+#: reports "AOT <n>")
+_AAC_PROFILES = {
+    1: "AAC Main", 2: "AAC-LC", 3: "AAC SSR", 4: "AAC LTP",
+    5: "HE-AAC (SBR)", 29: "HE-AACv2 (PS)",
+}
+
+
+def _read_desc(buf: bytes, pos: int) -> tuple[int, int, int]:
+    """MPEG-4 descriptor header: tag byte + expandable length (up to
+    four 7-bit groups, high bit = continuation). Returns (tag, length,
+    body_pos)."""
+    tag = buf[pos]
+    pos += 1
+    ln = 0
+    for _ in range(4):
+        b = buf[pos]
+        pos += 1
+        ln = (ln << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            break
+    return tag, ln, pos
+
+
+class _Bits:
+    """MSB-first bit cursor over bytes (the ASC is bit-packed)."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos = data, 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def parse_audio_specific_config(asc: bytes) -> dict:
+    """Decode an AudioSpecificConfig (ISO/IEC 14496-3 §1.6.2.1):
+    audioObjectType (with the 31-escape), samplingFrequencyIndex (with
+    the 15-escape explicit 24-bit rate), channelConfiguration, and —
+    for the GA (AAC) object types — the frameLengthFlag that decides
+    1024- vs 960-sample access units."""
+    if len(asc) < 2:
+        raise ValueError("AudioSpecificConfig under 2 bytes")
+    bits = _Bits(asc)
+    aot = bits.take(5)
+    if aot == 31:
+        aot = 32 + bits.take(6)
+    fi = bits.take(4)
+    if fi == 15:
+        rate = bits.take(24)
+    elif fi < len(_AAC_SAMPLE_RATES):
+        rate = _AAC_SAMPLE_RATES[fi]
+    else:
+        raise ValueError(f"reserved samplingFrequencyIndex {fi}")
+    channels = bits.take(4)
+    frame_length = 1024
+    if aot in (1, 2, 3, 4, 6, 7, 17, 19, 20, 21, 22, 23):
+        # GASpecificConfig starts with frameLengthFlag
+        if bits.take(1):
+            frame_length = 960
+    return {
+        "object_type": aot,
+        "profile": _AAC_PROFILES.get(aot, f"AOT {aot}"),
+        "sample_rate": rate,
+        "channels": channels,
+        "frame_length": frame_length,
+    }
+
+
+def _parse_esds(buf: bytes, fields: int, entry_end: int) -> dict | None:
+    """Find and decode the esds box among an AudioSampleEntry's child
+    boxes (children start after the 20-byte v0 audio fields), then walk
+    ES_Descriptor -> DecoderConfigDescriptor -> DecoderSpecificInfo and
+    decode the AudioSpecificConfig. Returns None when no esds child
+    exists (PCM-style entries)."""
+    children = fields + 20
+    if children >= entry_end:
+        return None
+    for typ, body, bend in _mp4_boxes(buf, children, entry_end):
+        if typ != b"esds":
+            continue
+        pos = body + 4  # skip FullBox version/flags
+        tag, ln, pos = _read_desc(buf, pos)
+        if tag != 0x03:
+            raise ValueError(f"esds: expected ES_Descriptor, got tag {tag}")
+        es_end = pos + ln
+        flags = buf[pos + 2]
+        pos += 3  # ES_ID (2) + flags byte
+        if flags & 0x80:
+            pos += 2  # dependsOn_ES_ID
+        if flags & 0x40:
+            pos += 1 + buf[pos]  # URLstring
+        if flags & 0x20:
+            pos += 2  # OCR_ES_ID
+        while pos < es_end:
+            tag, ln, pos = _read_desc(buf, pos)
+            if tag != 0x04:  # DecoderConfigDescriptor
+                pos += ln
+                continue
+            dcd_end = pos + ln
+            oti = buf[pos]
+            pos += 13  # OTI(1) streamType(1) bufferSize(3) max/avg(8)
+            while pos < dcd_end:
+                tag, ln, pos = _read_desc(buf, pos)
+                if tag == 0x05:  # DecoderSpecificInfo = the ASC
+                    info = parse_audio_specific_config(buf[pos : pos + ln])
+                    info["object_type_indication"] = oti
+                    return info
+                pos += ln
+            raise ValueError("esds: DecoderConfig without DecoderSpecificInfo")
+        raise ValueError("esds: no DecoderConfigDescriptor")
+    return None
+
+
+def extract_aac_track(content: bytes) -> dict:
+    """STRUCTURAL extraction of the first mp4a (AAC) audio track: the
+    decoded esds configuration plus every addressed access unit — the
+    per-track facts a 100 TB curation pass filters on (profile, rate,
+    channels, AU count/bytes, exact duration in samples) without any
+    PCM decode. Raises ValueError if the file has no mp4a track.
+
+    Returns {profile, object_type, sample_rate, channels,
+    frame_length, n_access_units, au_sizes, au_bytes, au_byte_sum,
+    duration_samples}; ``au_byte_sum`` is the plain byte sum of all AU
+    payloads — a cheap integrity pin that any mis-addressed stsc/stco
+    walk shifts."""
+    try:
+        return _extract_aac_inner(content)
+    except struct.error as e:
+        raise ValueError(f"truncated MP4 structure: {e}") from None
+    except IndexError:
+        # bytes indexing in the descriptor/ASC bit walk ran off the end
+        # (descriptor lengths lie on corrupted input) — same envelope
+        raise ValueError("truncated esds descriptor chain") from None
+
+
+def _extract_aac_inner(content: bytes) -> dict:
+    buf = content
+    tracks: list[dict] = []
+    track: dict = {}
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal track
+        for typ, body, bend in _mp4_boxes(buf, pos, end):
+            if typ == b"hdlr":
+                track["class"] = buf[body + 8 : body + 12]
+            elif typ == b"stsd":
+                track["stsd"] = _parse_stsd(buf, body)
+                track["stsd_body"] = body
+            elif typ == b"stsz":
+                track["n_samples"], track["sizes"] = _parse_stsz(buf, body)
+                (track["uniform"],) = struct.unpack_from(">I", buf, body + 4)
+            elif typ == b"stsc":
+                track["stsc"] = _parse_stsc(buf, body)
+            elif typ == b"stco":
+                track["chunks"] = _parse_stco(buf, body, wide=False)
+            elif typ == b"co64":
+                track["chunks"] = _parse_stco(buf, body, wide=True)
+            elif typ in _CONTAINERS:
+                if typ == b"trak":
+                    track = {}
+                walk(body, bend)
+                if typ == b"trak":
+                    tracks.append(track)
+
+    walk(0, len(buf))
+    aac = next(
+        (
+            t
+            for t in tracks
+            if t.get("class") == b"soun"
+            and t.get("stsd", {}).get("codec") == "mp4a"
+        ),
+        None,
+    )
+    if aac is None:
+        raise ValueError("no mp4a audio track")
+    fields = aac["stsd"]["entry_off"]
+    entry_end = aac["stsd_body"] + 8 + aac["stsd"]["entry_size"]
+    cfg = _parse_esds(buf, fields, entry_end)
+    if cfg is None:
+        raise ValueError("mp4a entry without esds")
+    layout = _sample_layout(
+        aac.get("stsc", []), aac.get("chunks", []),
+        aac.get("n_samples", 0), aac.get("uniform", 0), aac.get("sizes"),
+    )
+    total = 0
+    byte_sum = 0
+    sizes = []
+    for off, sz in layout:
+        if off + sz > len(buf):
+            raise ValueError("AAC access unit beyond EOF")
+        sizes.append(sz)
+        total += sz
+        byte_sum += int(np.frombuffer(buf[off : off + sz], np.uint8).sum())
+    return {
+        "profile": cfg["profile"],
+        "object_type": cfg["object_type"],
+        "sample_rate": cfg["sample_rate"],
+        "channels": cfg["channels"],
+        "frame_length": cfg["frame_length"],
+        "n_access_units": len(layout),
+        "au_sizes": sizes,
+        "au_bytes": total,
+        "au_byte_sum": byte_sum,
+        "duration_samples": len(layout) * cfg["frame_length"],
+    }
+
+
+# ---------------------------------------------------------------------------
 # Demux
 
 
@@ -263,6 +500,27 @@ def _demux_mp4_inner(content: bytes) -> dict:
     if soun is not None and "stsd" in soun:
         codec = soun["stsd"]["codec"]
         out["audio_codec"] = codec
+        if codec == "mp4a":
+            # Name the ACTUAL stream in the boundary error: the esds
+            # walk is implemented (extract_aac_track gives profile /
+            # rate / channels / AU structure without decode); only the
+            # PCM synthesis needs the external codec.
+            detail = ""
+            try:
+                cfg = extract_aac_track(buf)
+                detail = (
+                    f" ({cfg['profile']} {cfg['sample_rate']} Hz "
+                    f"x{cfg['channels']}, {cfg['n_access_units']} AUs)"
+                )
+            except ValueError:
+                pass
+            raise NotImplementedError(
+                f"MP4 audio codec 'mp4a'{detail}: access-unit extraction "
+                "and esds config parsing work (extract_aac_track); PCM "
+                "decode needs an external AAC codec (ffmpeg/PyAV plug-in "
+                "boundary — the spectral Huffman codebooks are ISO "
+                "tabulated data, same provenance rule as mp3.py)"
+            )
         if codec not in _AUDIO_ROUTED:
             raise NotImplementedError(
                 f"MP4 audio codec {codec!r}: 'sowt'/'twos' PCM and '.mp3' "
@@ -322,6 +580,38 @@ def _full(typ: bytes, body: bytes) -> bytes:
     return _box(typ, b"\x00\x00\x00\x00" + body)
 
 
+def _desc_write(tag: int, body: bytes) -> bytes:
+    """MPEG-4 descriptor with minimal expandable-length encoding (the
+    inverse of _read_desc)."""
+    n = len(body)
+    groups = [n & 0x7F]
+    n >>= 7
+    while n:
+        groups.append(0x80 | (n & 0x7F))
+        n >>= 7
+    return bytes([tag]) + bytes(reversed(groups)) + body
+
+
+def _make_esds(freq_index: int, channels: int, object_type: int = 2) -> bytes:
+    """A real esds box: ES_Descriptor(0x03) > DecoderConfigDescriptor
+    (0x04, OTI 0x40 = MPEG-4 audio, streamType 5) > DecoderSpecificInfo
+    (0x05) carrying a 2-byte AAC AudioSpecificConfig, plus the
+    SLConfigDescriptor(0x06, predefined=2) every MP4 muxer writes."""
+    asc = bytes(
+        [
+            (object_type << 3) | (freq_index >> 1),
+            ((freq_index & 1) << 7) | (channels << 3),
+        ]
+    )
+    dsi = _desc_write(0x05, asc)
+    dcd = _desc_write(
+        0x04, bytes([0x40, 0x15]) + b"\x00" * 11 + dsi
+    )
+    sl = _desc_write(0x06, b"\x02")
+    es = _desc_write(0x03, struct.pack(">HB", 2, 0) + dcd + sl)
+    return _full(b"esds", es)
+
+
 def encode_mp4_av(
     frames: list,
     *,
@@ -331,6 +621,9 @@ def encode_mp4_av(
     audio_rate: int = 8000,
     audio_codec: str = "sowt",
     use_co64: bool = False,
+    aac_freq_index: int = 4,
+    aac_channels: int = 2,
+    aac_object_type: int = 2,
 ) -> bytes:
     """Fixture-grade ISO-BMFF writer with REAL sample tables: mdat
     carries the actual payloads, and stsd/stts/stsc/stsz/stco (or co64
@@ -361,7 +654,20 @@ def encode_mp4_av(
     else:
         raise ValueError(f"fixture codec {codec!r}")
 
-    if audio_codec == ".mp3" and audio is not None:
+    aac_aus: list[bytes] | None = None
+    if audio_codec == "mp4a" and audio is not None:
+        # AAC-in-MP4 fixture: ``audio`` is a list of ACCESS UNITS
+        # (opaque bytes — the payload is the decode boundary; the
+        # structure is real). Each AU is one sample; split across two
+        # chunks so the stsc walk runs. The esds written below carries
+        # a real descriptor chain + AudioSpecificConfig.
+        aac_aus = [bytes(a) for a in audio]
+        ch = int(aac_channels)
+        n_pcm = len(aac_aus)
+        half = max(1, n_pcm // 2)
+        a_chunks = [b"".join(aac_aus[:half]), b"".join(aac_aus[half:])]
+        mp3_sizes = [len(a) for a in aac_aus]
+    elif audio_codec == ".mp3" and audio is not None:
         # MP3-in-MP4 fixture: ``audio`` is the raw elementary stream
         # (bytes); each half is one sample so the layout walk still runs
         es = bytes(audio)
@@ -495,7 +801,21 @@ def encode_mp4_av(
             + b"\x00" * 8 + struct.pack(">HH", ch, 16) + b"\x00" * 4
             + struct.pack(">I", audio_rate << 16)
         )
-        if mp3_sizes is not None:
+        if aac_aus is not None:
+            a_entry += _make_esds(aac_freq_index, aac_channels,
+                                  aac_object_type)
+            n_aus = len(aac_aus)
+            half = max(1, n_aus // 2)
+            a_stsc = [(1, half, 1)]
+            if n_aus > half:
+                a_stsc.append((2, n_aus - half, 1))
+            traks += trak(
+                b"soun", audio_codec, 2, stsd_entry=a_entry,
+                stts=[(n_aus, 1)], stsc=a_stsc, uniform=0,
+                sizes=mp3_sizes, n_samples=n_aus, offsets=offs["a"],
+                tdur=n_aus,
+            )
+        elif mp3_sizes is not None:
             a_stsc = [(1, 1, 1), (2, 1, 1)]
             traks += trak(
                 b"soun", audio_codec, 2, stsd_entry=a_entry,
@@ -639,3 +959,108 @@ def demux_mp4_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "content").mapInPandas(op, MP4_SCHEMA)
+
+
+AAC_SCHEMA = (
+    "doc_id bigint, profile string, sample_rate int, channels int, "
+    "frame_length int, n_aus int, au_bytes bigint, au_byte_sum bigint, "
+    "duration_samples bigint, parse_ok boolean"
+)
+
+
+def synthesize_aac_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): a deterministic AAC-in-MP4 per doc — a real
+    esds descriptor chain (AudioSpecificConfig: AAC-LC, frequency index
+    ``doc_id % 13``, ``1 + doc_id % 2`` channels) addressing
+    ``3 + doc_id % 5`` access units whose payload bytes are the closed
+    form ``(doc_id + 3k + i) % 256`` (AU k, byte i) with AU sizes
+    ``16 + (doc_id*13 + k*7) % 32``. The payloads are OPAQUE by design:
+    AAC PCM decode is the documented plug-in boundary; everything the
+    oracle pins here (config fields, AU structure, byte sums) is what
+    the structural walk must recover exactly. A one-frame JPEG video
+    track rides along so the fixture stays a well-formed two-track MP4."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_aus = 3 + d % 5
+                aus = []
+                for k in range(n_aus):
+                    size = 16 + (d * 13 + k * 7) % 32
+                    i = np.arange(size, dtype=np.int64)
+                    aus.append(((d + 3 * k + i) % 256).astype(np.uint8).tobytes())
+                frame = np.full((8, 8), (d * 37) % 256, np.uint8)
+                payloads.append(
+                    encode_mp4_av(
+                        [frame], codec="jpeg", audio=aus, audio_codec="mp4a",
+                        aac_freq_index=d % 13, aac_channels=1 + d % 2,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread_ids(docs.select("doc_id")).mapInPandas(
+        op, "doc_id bigint, content binary"
+    )
+
+
+def extract_aac_features(df: DataFrame) -> DataFrame:
+    """Run the structural AAC walk (esds config + access-unit layout)
+    over the binary column and emit the curation-facing fields. Rows
+    whose container or descriptors fail to parse come back
+    parse_ok=false with NULLs — the decode boundary itself is never hit
+    here because no PCM is synthesized."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "profile", "sample_rate", "channels", "frame_length",
+                    "n_aus", "au_bytes", "au_byte_sum", "duration_samples",
+                )
+            }
+            oks = []
+            for content in pdf["content"]:
+                try:
+                    info = extract_aac_track(bytes(content))
+                except (ValueError, NotImplementedError, TypeError):
+                    for v in cols.values():
+                        v.append(None)
+                    oks.append(False)
+                else:
+                    cols["profile"].append(info["profile"])
+                    cols["sample_rate"].append(info["sample_rate"])
+                    cols["channels"].append(info["channels"])
+                    cols["frame_length"].append(info["frame_length"])
+                    cols["n_aus"].append(info["n_access_units"])
+                    cols["au_bytes"].append(info["au_bytes"])
+                    cols["au_byte_sum"].append(info["au_byte_sum"])
+                    cols["duration_samples"].append(info["duration_samples"])
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "profile": pd.Series(cols["profile"], dtype="object"),
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                    "channels": pd.array(cols["channels"], dtype="Int32"),
+                    "frame_length": pd.array(
+                        cols["frame_length"], dtype="Int32"
+                    ),
+                    "n_aus": pd.array(cols["n_aus"], dtype="Int32"),
+                    "au_bytes": pd.array(cols["au_bytes"], dtype="Int64"),
+                    "au_byte_sum": pd.array(cols["au_byte_sum"], dtype="Int64"),
+                    "duration_samples": pd.array(
+                        cols["duration_samples"], dtype="Int64"
+                    ),
+                    "parse_ok": pd.array(oks, dtype="boolean"),
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(op, AAC_SCHEMA)

@@ -1005,6 +1005,59 @@ def multimodal_demux_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4.demux_mp4_features(mp4.synthesize_mp4_docs(docs))
 
 
+#: AAC structural extraction (r11): real esds descriptor-chain walk +
+#: AudioSpecificConfig decode + access-unit addressing, with the PCM
+#: decode left as mp4.py's documented plug-in boundary — the payloads
+#: are opaque closed-form bytes, so every field the oracle pins
+#: (profile, rate from the 14496-3 frequency-index table, channels, AU
+#: count/bytes/byte-sum, 1024-sample AU duration) is exactly what the
+#: STRUCTURAL walk must recover. Budget: residue {3} mod 16 — every
+#: mod-8 residue is already claimed (mp4 {1,6}, avi {2,5}, mkv {0,7},
+#: mp3 {3,4}), so this takes HALF of mp3's residue-3 docs; those docs
+#: pay one extra structural walk (descriptor parse + table walk, no
+#: decode), the cheapest leg in the suite.
+_MM_AAC_ORACLE = """
+    SELECT doc_id,
+           'AAC-LC' AS profile,
+           CAST(list_extract([96000, 88200, 64000, 48000, 44100, 32000,
+                              24000, 22050, 16000, 12000, 11025, 8000,
+                              7350],
+                             CAST(doc_id % 13 AS INT) + 1) AS INT)
+               AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(1024 AS INT) AS frame_length,
+           CAST(3 + doc_id % 5 AS INT) AS n_aus,
+           CAST(list_sum(list_transform(range(0, 3 + doc_id % 5), k ->
+                16 + (doc_id * 13 + k * 7) % 32)) AS BIGINT) AS au_bytes,
+           CAST(list_sum(list_transform(range(0, 3 + doc_id % 5), k ->
+                list_sum(list_transform(
+                    range(0, 16 + (doc_id * 13 + k * 7) % 32), i ->
+                    (doc_id + 3 * k + i) % 256)))) AS BIGINT)
+               AS au_byte_sum,
+           CAST((3 + doc_id % 5) * 1024 AS BIGINT) AS duration_samples,
+           TRUE AS parse_ok
+    FROM documents WHERE doc_id % 16 = 3
+    """
+
+
+def multimodal_aac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC-in-MP4 STRUCTURAL extraction through the Arrow/pandas path
+    (r11): each doc gets a real two-track MP4 whose audio track is
+    mp4a with a genuine esds descriptor chain (mp4.synthesize_aac_docs),
+    and mp4.extract_aac_track walks ES_Descriptor →
+    DecoderConfigDescriptor → AudioSpecificConfig plus the stbl
+    addressing to recover profile/rate/channels and the exact
+    access-unit structure — no PCM decode (that is the documented AAC
+    plug-in boundary, tests/test_mp4.py pins its message names the
+    parsed stream). This is the curation-first AAC contract: filter 100
+    TB of scraped video by audio profile/rate/duration without paying
+    for (or shipping) a decoder."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 16 == 3
+    )
+    return mp4.extract_aac_features(mp4.synthesize_aac_docs(docs))
+
+
 def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL AVI container demux through the Arrow/pandas path (r9):
     each doc gets a two-stream interleaved AVI (avi.synthesize_avi_docs
@@ -1208,6 +1261,8 @@ def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'mp4' AS kind, * FROM ({_MM_MP4_ORACLE})
     UNION ALL BY NAME
+    SELECT 'aac' AS kind, * FROM ({_MM_AAC_ORACLE})
+    UNION ALL BY NAME
     SELECT 'mp3' AS kind, * FROM ({_MM_MP3_ORACLE})
     UNION ALL BY NAME
     SELECT 'mkv' AS kind, * FROM ({_MM_MKV_ORACLE})
@@ -1286,6 +1341,10 @@ MULTIMODAL_LEGS = {
     # 'mp4' (r10): ISO-BMFF sample extraction — stsc/stsz/stco walk,
     # Motion-JPEG + raw-RGB routing, sowt/twos PCM
     "mp4": multimodal_demux_mp4,
+    # 'aac' (r11): mp4a STRUCTURAL extraction — esds descriptor chain,
+    # AudioSpecificConfig decode, access-unit addressing; PCM decode
+    # stays the documented plug-in boundary
+    "aac": multimodal_aac,
     # 'mp3' (r10): frame-level decode — CRC-16, full side-info unpack,
     # reservoir, exact silent-granule PCM
     "mp3": multimodal_decode_mp3,

@@ -220,3 +220,30 @@ def test_mkv_corruption_envelope(seed, n_flips, truncate, lacing):
         assert isinstance(clip, dict)
     except _ENVELOPE:
         pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 10),
+    truncate=st.booleans(),
+)
+def test_aac_corruption_envelope(seed, n_flips, truncate):
+    """extract_aac_track on corrupted AAC-in-MP4: a valid structural
+    dict or the declared ValueError/NotImplementedError envelope —
+    descriptor-length arithmetic must never leak IndexError/KeyError."""
+    rng = np.random.default_rng(seed)
+    n_aus = 3 + int(seed) % 5
+    aus = [rng.integers(0, 256, 16 + k, dtype=np.uint8).tobytes()
+           for k in range(n_aus)]
+    frame = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    buf = mp4.encode_mp4_av(
+        [frame], codec="jpeg", audio=aus, audio_codec="mp4a",
+        aac_freq_index=int(seed) % 13, aac_channels=1 + int(seed) % 2,
+    )
+    data = _mutate(buf, seed, n_flips, truncate)
+    try:
+        info = mp4.extract_aac_track(data)
+        assert isinstance(info, dict)
+    except _ENVELOPE:
+        pass

@@ -170,3 +170,118 @@ def test_mp3_track_routes_to_frame_decoder():
                 frames, codec="raw ", audio=bytes(hot), audio_codec=".mp3"
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# AAC (mp4a) structural extraction (r11)
+
+
+def _aac_fixture(d: int) -> tuple[bytes, dict]:
+    n_aus = 3 + d % 5
+    aus = []
+    for k in range(n_aus):
+        size = 16 + (d * 13 + k * 7) % 32
+        i = np.arange(size, dtype=np.int64)
+        aus.append(((d + 3 * k + i) % 256).astype(np.uint8).tobytes())
+    frame = np.full((8, 8), (d * 37) % 256, np.uint8)
+    buf = mp4.encode_mp4_av(
+        [frame], codec="jpeg", audio=aus, audio_codec="mp4a",
+        aac_freq_index=d % 13, aac_channels=1 + d % 2,
+    )
+    want = {
+        "n_aus": n_aus,
+        "sizes": [len(a) for a in aus],
+        "byte_sum": sum(b for a in aus for b in a),
+        "rate": mp4._AAC_SAMPLE_RATES[d % 13],
+        "channels": 1 + d % 2,
+    }
+    return buf, want
+
+
+def test_aac_structural_roundtrip():
+    """esds chain + AU addressing recover exactly what the fixture
+    wrote: profile, the 14496-3 frequency-index rate, channels, AU
+    sizes and byte sum, 1024-sample duration."""
+    for d in (0, 3, 19, 37, 255):
+        buf, want = _aac_fixture(d)
+        info = mp4.extract_aac_track(buf)
+        assert info["profile"] == "AAC-LC"
+        assert info["object_type"] == 2
+        assert info["sample_rate"] == want["rate"]
+        assert info["channels"] == want["channels"]
+        assert info["frame_length"] == 1024
+        assert info["n_access_units"] == want["n_aus"]
+        assert info["au_sizes"] == want["sizes"]
+        assert info["au_byte_sum"] == want["byte_sum"]
+        assert info["duration_samples"] == want["n_aus"] * 1024
+
+
+def test_aac_demux_boundary_names_the_stream():
+    """demux_mp4 still refuses mp4a PCM decode, but the boundary error
+    now names the ACTUAL parsed stream (profile, rate, channels, AU
+    count) — an operator of a 100 TB pipeline reads the error and knows
+    which plug-in to provision."""
+    buf, want = _aac_fixture(19)
+    with pytest.raises(NotImplementedError) as ei:
+        mp4.demux_mp4(buf)
+    msg = str(ei.value)
+    assert "AAC-LC" in msg
+    assert f"{want['rate']} Hz" in msg
+    assert "extract_aac_track" in msg
+
+
+def test_asc_escapes():
+    """AudioSpecificConfig corner decodes: the 31-escape object type,
+    the 15-escape explicit 24-bit rate, and the 960-sample
+    frameLengthFlag."""
+    # object_type 2 (AAC-LC), freq idx 3 (48000), 2ch, frameLength 960
+    b0 = (2 << 3) | (3 >> 1)
+    b1 = ((3 & 1) << 7) | (2 << 3) | (1 << 2)  # frameLengthFlag=1
+    info = mp4.parse_audio_specific_config(bytes([b0, b1]))
+    assert (info["sample_rate"], info["frame_length"]) == (48000, 960)
+    # escape rate: freq idx 15 then explicit 24-bit 12345 Hz
+    packed = ((2 << 43) | (15 << 39) | (12345 << 15) | (2 << 11)).to_bytes(6, "big")
+    info = mp4.parse_audio_specific_config(packed)
+    assert info["sample_rate"] == 12345
+    assert info["channels"] == 2
+    # escape object type: aot 31 -> 32 + ext
+    ext = ((31 << 43) | (4 << 37) | (4 << 33) | (2 << 29)).to_bytes(6, "big")
+    info = mp4.parse_audio_specific_config(ext)
+    assert info["object_type"] == 36
+    assert info["sample_rate"] == 44100
+
+
+def test_aac_malformed_envelope():
+    """Garbage esds bodies land in the declared ValueError envelope."""
+    buf, _ = _aac_fixture(7)
+    with pytest.raises(ValueError):
+        mp4.extract_aac_track(b"\x00\x00\x00\x08ftyp")
+    # no mp4a track at all
+    frames = _rgb_frames(1, 1)
+    plain = mp4.encode_mp4_av(frames, codec="raw ")
+    with pytest.raises(ValueError):
+        mp4.extract_aac_track(plain)
+    with pytest.raises(ValueError):
+        mp4.parse_audio_specific_config(b"\x12")
+
+
+def test_aac_spark_leg_matches_local(spark, sf_dir):
+    """The Arrow/pandas leg agrees with a local loop over the same
+    closed forms."""
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 16 == 3
+    ).limit(40)
+    rows = mp4.extract_aac_features(mp4.synthesize_aac_docs(docs)).collect()
+    assert rows
+    for r in rows:
+        _, want = _aac_fixture(r.doc_id)
+        assert r.parse_ok
+        assert r.profile == "AAC-LC"
+        assert r.sample_rate == want["rate"]
+        assert r.channels == want["channels"]
+        assert r.n_aus == want["n_aus"]
+        assert r.au_bytes == sum(want["sizes"])
+        assert r.au_byte_sum == want["byte_sum"]
+        assert r.duration_samples == want["n_aus"] * 1024
