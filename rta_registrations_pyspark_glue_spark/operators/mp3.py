@@ -26,6 +26,13 @@ is published spec data, not derivable; this container has no MP3
 library to recover it from (the VP8 decoder's tables were extracted
 from the system libwebp — there is no libmpg123/libmad here), and an
 unverifiable from-memory transcription would be worse than a boundary.
+(r11 status: the extraction plan was re-attempted and remains
+environment-blocked — the host was re-searched for ANY extractable
+MP3 codec: no libmpg123/libmad/libavcodec/ffmpeg/gstreamer in
+ldconfig or on disk, ctypes.util.find_library returns None for all
+of them, and the container has no network egress to fetch upstream
+sources. The boundary stands until a host with a codec runs
+tools/mpg123_ref.py's differential oracle.)
 So non-empty granules raise NotImplementedError at the granule
 boundary — the documented plug-in point — and `tools/mpg123_ref.py`
 ships ctypes bindings used as a differential oracle on hosts that have

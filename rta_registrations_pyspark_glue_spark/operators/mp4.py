@@ -306,20 +306,123 @@ def _parse_esds(buf: bytes, fields: int, entry_end: int) -> dict | None:
     return None
 
 
-def extract_aac_track(content: bytes) -> dict:
-    """STRUCTURAL extraction of the first mp4a (AAC) audio track: the
-    decoded esds configuration plus every addressed access unit — the
-    per-track facts a 100 TB curation pass filters on (profile, rate,
-    channels, AU count/bytes, exact duration in samples) without any
-    PCM decode. Raises ValueError if the file has no mp4a track.
+def parse_adts(content: bytes) -> dict:
+    """STRUCTURAL walk of a raw ADTS stream (the .aac file / streaming
+    carrier of AAC): per-frame 12-bit syncword, 7/9-byte header
+    (profile = audioObjectType−1, the same 14496-3 frequency-index
+    table, 3-bit channel configuration, 13-bit frame length including
+    the header, optional CRC-16 when protection_absent=0), payload =
+    the raw access unit. Returns the same structural dict shape as the
+    MP4 path (container='adts'); a frame with
+    number_of_raw_data_blocks>0 counts 1+n access units but its
+    payload is kept as one span (block boundaries need the codec's
+    bitstream parse — the decode boundary, not the container's)."""
+    buf = content
+    pos = 0
+    aus: list[int] = []
+    byte_sum = 0
+    total = 0
+    cfg: dict | None = None
+    n_units = 0
+    while pos + 7 <= len(buf):
+        if not (buf[pos] == 0xFF and (buf[pos + 1] & 0xF6) == 0xF0):
+            raise ValueError(f"ADTS sync lost at byte {pos}")
+        protection_absent = buf[pos + 1] & 1
+        profile2 = (buf[pos + 2] >> 6) & 0x3
+        fi = (buf[pos + 2] >> 2) & 0xF
+        chan = ((buf[pos + 2] & 0x1) << 2) | ((buf[pos + 3] >> 6) & 0x3)
+        frame_len = (
+            ((buf[pos + 3] & 0x3) << 11)
+            | (buf[pos + 4] << 3)
+            | ((buf[pos + 5] >> 5) & 0x7)
+        )
+        n_blocks = buf[pos + 6] & 0x3
+        hdr = 7 if protection_absent else 9
+        if frame_len < hdr or pos + frame_len > len(buf):
+            raise ValueError("ADTS frame length beyond EOF")
+        if fi >= len(_AAC_SAMPLE_RATES):
+            raise ValueError(f"reserved ADTS samplingFrequencyIndex {fi}")
+        this = {
+            "object_type": profile2 + 1,
+            "profile": _AAC_PROFILES.get(profile2 + 1, f"AOT {profile2 + 1}"),
+            "sample_rate": _AAC_SAMPLE_RATES[fi],
+            "channels": chan,
+            "frame_length": 1024,  # ADTS carries no frameLengthFlag
+        }
+        if cfg is None:
+            cfg = this
+        elif this != cfg:
+            raise ValueError("ADTS stream changes configuration mid-stream")
+        payload = buf[pos + hdr : pos + frame_len]
+        aus.append(len(payload))
+        total += len(payload)
+        byte_sum += int(np.frombuffer(payload, np.uint8).sum())
+        n_units += 1 + n_blocks
+        pos += frame_len
+    if cfg is None:
+        raise ValueError("no ADTS frames")
+    if pos != len(buf):
+        raise ValueError("trailing garbage after last ADTS frame")
+    return {
+        "container": "adts",
+        **cfg,
+        "n_access_units": n_units,
+        "au_sizes": aus,
+        "au_bytes": total,
+        "au_byte_sum": byte_sum,
+        "duration_samples": n_units * cfg["frame_length"],
+    }
 
-    Returns {profile, object_type, sample_rate, channels,
+
+def encode_adts(
+    aus: list[bytes],
+    freq_index: int = 4,
+    channels: int = 2,
+    object_type: int = 2,
+    protected: bool = False,
+) -> bytes:
+    """Fixture-grade ADTS writer: one header per access unit, CRC bytes
+    zeroed when ``protected`` (the parser skips, never checks, CRC —
+    matching its structural scope)."""
+    out = bytearray()
+    hdr = 9 if protected else 7
+    for au in aus:
+        flen = hdr + len(au)
+        b = bytearray(hdr)
+        b[0] = 0xFF
+        b[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if protected else 1)
+        b[2] = (
+            ((object_type - 1) & 0x3) << 6
+            | (freq_index & 0xF) << 2
+            | ((channels >> 2) & 0x1)
+        )
+        b[3] = ((channels & 0x3) << 6) | ((flen >> 11) & 0x3)
+        b[4] = (flen >> 3) & 0xFF
+        b[5] = ((flen & 0x7) << 5) | 0x1F  # buffer fullness high bits
+        b[6] = 0xFC  # fullness low + 0 extra raw data blocks
+        out += b + au
+    return bytes(out)
+
+
+def extract_aac_track(content: bytes) -> dict:
+    """STRUCTURAL extraction of an AAC stream from EITHER carrier: the
+    first mp4a track of an ISO-BMFF file (esds + stbl addressing) or a
+    raw ADTS stream (sniffed by the 12-bit syncword) — the per-track
+    facts a 100 TB curation pass filters on (profile, rate, channels,
+    AU count/bytes, exact duration in samples) without any PCM decode.
+    Raises ValueError if the input is neither carrier or has no AAC.
+
+    Returns {container, profile, object_type, sample_rate, channels,
     frame_length, n_access_units, au_sizes, au_bytes, au_byte_sum,
     duration_samples}; ``au_byte_sum`` is the plain byte sum of all AU
     payloads — a cheap integrity pin that any mis-addressed stsc/stco
-    walk shifts."""
+    (or frame-length) walk shifts."""
+    if len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xF6) == 0xF0:
+        return parse_adts(content)
     try:
-        return _extract_aac_inner(content)
+        out = _extract_aac_inner(content)
+        out["container"] = "mp4"
+        return out
     except struct.error as e:
         raise ValueError(f"truncated MP4 structure: {e}") from None
     except IndexError:

@@ -247,3 +247,26 @@ def test_aac_corruption_envelope(seed, n_flips, truncate):
         assert isinstance(info, dict)
     except _ENVELOPE:
         pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 10),
+    truncate=st.booleans(),
+)
+def test_adts_corruption_envelope(seed, n_flips, truncate):
+    """parse_adts on corrupted streams: structural dict or ValueError —
+    the 13-bit frame-length walk must never leak IndexError."""
+    rng = np.random.default_rng(seed)
+    aus = [rng.integers(0, 256, 16 + k, dtype=np.uint8).tobytes()
+           for k in range(3)]
+    buf = mp4.encode_adts(aus, freq_index=int(seed) % 13,
+                          channels=1 + int(seed) % 2,
+                          protected=bool(seed & 1))
+    data = _mutate(buf, seed, n_flips, truncate)
+    try:
+        info = mp4.extract_aac_track(data)
+        assert isinstance(info, dict)
+    except _ENVELOPE:
+        pass

@@ -285,3 +285,43 @@ def test_aac_spark_leg_matches_local(spark, sf_dir):
         assert r.au_bytes == sum(want["sizes"])
         assert r.au_byte_sum == want["byte_sum"]
         assert r.duration_samples == want["n_aus"] * 1024
+
+
+def test_adts_structural_roundtrip():
+    """ADTS carrier: header fields, frequency-index table, CRC-present
+    and CRC-absent header sizes, AU payload addressing, byte sums."""
+    aus = [bytes((i + k) % 256 for i in range(20 + 3 * k)) for k in range(4)]
+    for prot in (False, True):
+        buf = mp4.encode_adts(aus, freq_index=7, channels=1, protected=prot)
+        info = mp4.extract_aac_track(buf)
+        assert info["container"] == "adts"
+        assert info["profile"] == "AAC-LC"
+        assert info["sample_rate"] == 22050
+        assert info["channels"] == 1
+        assert info["n_access_units"] == 4
+        assert info["au_sizes"] == [len(a) for a in aus]
+        assert info["au_byte_sum"] == sum(b for a in aus for b in a)
+        assert info["duration_samples"] == 4 * 1024
+    # dispatch: the MP4 carrier still routes to the esds path
+    buf, _ = _aac_fixture(37)
+    assert mp4.extract_aac_track(buf)["container"] == "mp4"
+
+
+def test_adts_malformed_envelope():
+    """Sync loss, truncation, and mid-stream config changes land in the
+    declared ValueError envelope."""
+    aus = [b"\x01" * 16, b"\x02" * 16]
+    buf = mp4.encode_adts(aus)
+    with pytest.raises(ValueError):
+        mp4.parse_adts(buf[:-4])  # truncated final frame
+    bad = bytearray(buf)
+    bad[0] = 0x00
+    with pytest.raises(ValueError):
+        mp4.extract_aac_track(bytes(bad) + b"x")  # not ADTS, not MP4
+    # config change mid-stream: second frame different freq index
+    two = bytearray(
+        mp4.encode_adts([aus[0]], freq_index=4)
+        + mp4.encode_adts([aus[1]], freq_index=5)
+    )
+    with pytest.raises(ValueError, match="configuration"):
+        mp4.parse_adts(bytes(two))
