@@ -2318,7 +2318,31 @@ def ivf_topk(
     )
 
 
-def ivf_write_index(index: IvfIndex, path: str) -> None:
+def _assignment_quant_stats(index: IvfIndex) -> tuple[int, float]:
+    """(row count, mean 1−cos(vector, assigned centroid)) over an
+    assignment frame — the QUANTIZATION-ERROR baseline an incremental
+    index needs: when appended batches quantize much worse than the
+    build-time corpus did, the coarse quantizer no longer describes the
+    data and a retrain is due. One broadcast join on the tiny centroid
+    table + one aggregate; scan-shaped."""
+    spark = index.assignment.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cell), [float(x) for x in cv]) for cell, cv in index.centroids],
+        "___cell long, ___cv array<double>",
+    )
+    joined = index.assignment.join(
+        F.broadcast(cent_df), F.col("__cell") == F.col("___cell")
+    )
+    cos = dot("__cv", "___cv") / (
+        F.sqrt(F.col("__cn")) * F.sqrt(dot("___cv", "___cv"))
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.lit(1.0) - cos).alias("err")
+    ).first()
+    return int(row["n"]), float(row["err"] or 0.0)
+
+
+def ivf_write_index(index: IvfIndex, path: str, with_stats: bool = True) -> None:
     """Persist a built IVF index durably: the cell assignment as parquet
     PARTITIONED BY cell — so searches read only probed cells via
     partition pruning — plus the centroids as a small JSON sidecar.
@@ -2326,7 +2350,11 @@ def ivf_write_index(index: IvfIndex, path: str) -> None:
     This is the cross-session form of the build/search split: at 100 TB
     the assignment write is one full pass, and afterwards every search
     (from any session) scans ~nprobe/n_cells of the corpus off disk,
-    with the pruning visible in the scan's PartitionFilters."""
+    with the pruning visible in the scan's PartitionFilters.
+
+    ``with_stats`` additionally records the build-time quantization
+    baseline (one aggregate job) — the reference point
+    ivf_append_index's drift ratio is measured against."""
     import json
     import os
 
@@ -2337,8 +2365,101 @@ def ivf_write_index(index: IvfIndex, path: str) -> None:
         "corpus_id": index.corpus_id,
         "centroids": [[cell, cv] for cell, cv in index.centroids],
     }
+    if with_stats:
+        n, err = _assignment_quant_stats(index)
+        meta["stats"] = {"n": n, "mean_quant_err": err}
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(meta, f)
+
+
+def ivf_append_index(
+    spark,
+    path: str,
+    new_batch: DataFrame,
+    corpus_vec: str = "vec",
+) -> dict:
+    """Incrementally grow a durable IVF index WITHOUT retraining — the
+    production maintenance mode of a continuously-ingesting corpus:
+    assign ONLY the new batch against the index's frozen centroids
+    (the same dispatch ivf_build uses, so cells are bit-identical to
+    what a full rebuild with these centroids would pick), append the
+    rows into the cell-partitioned assignment layout, and report the
+    health numbers that decide when a retrain IS due:
+
+    - ``drift_ratio``: the batch's mean quantization error over the
+      build-time baseline (stored by ivf_write_index). ~1 means the
+      quantizer still describes the data; growing ratios mean the
+      corpus distribution has moved and recall at fixed nprobe is
+      decaying — the retrain trigger.
+    - ``occupancy_ratio``: max/mean cell occupancy after the append —
+      the skew number that predicts probe-cost variance.
+
+    Cost shape at 100 TB: one scan of the BATCH (assignment + stats),
+    one partitioned append write, one column-pruned count over the
+    assignment for occupancy; the existing index rows are never
+    rewritten, re-read into memory, or reassigned. The caller owns id
+    uniqueness across appends (same contract as any append sink).
+    New ids search identically to rebuilt ones because probing reads
+    the merged partition layout (pinned by the bit-equality test
+    against a one-shot assignment over the union)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    corpus_id = meta["corpus_id"]
+    cents = [(int(cell), [float(x) for x in cv]) for cell, cv in meta["centroids"]]
+    part = ivf_build(
+        new_batch, centroids=cents, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    n_new, new_err = _assignment_quant_stats(part)
+    cells_touched = part.assignment.select("__cell").distinct().count()
+    part.assignment.select(
+        F.col(corpus_id), F.col("__cv").alias("vec"), F.col("__cell").alias("cell")
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "assignment")
+    )
+    base = meta.get("stats")
+    drift = None
+    if base and base.get("mean_quant_err", 0) > 0:
+        # drift is ALWAYS measured against the original build's
+        # baseline, not the running mean — otherwise a slowly-moving
+        # corpus re-normalizes its own drift away append after append
+        baseline_err = base.get("build_mean_quant_err") or base["mean_quant_err"]
+        drift = new_err / baseline_err
+        total = base["n"] + n_new
+        meta["stats"] = {
+            "n": total,
+            "mean_quant_err": (
+                base["mean_quant_err"] * base["n"] + new_err * n_new
+            ) / total,
+            # the baseline the NEXT drift reading compares against stays
+            # the original build's unless a rebuild rewrites it
+            "build_mean_quant_err": base.get(
+                "build_mean_quant_err", base["mean_quant_err"]
+            ),
+        }
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(meta, f)
+    occ = (
+        spark.read.parquet(os.path.join(path, "assignment"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
+        .first()
+    )
+    return {
+        "appended": n_new,
+        "cells_touched": cells_touched,
+        "n_cells": len(cents),
+        "new_mean_quant_err": new_err,
+        "baseline_mean_quant_err": (base or {}).get("build_mean_quant_err")
+        or (base or {}).get("mean_quant_err"),
+        "drift_ratio": drift,
+        "occupancy_max": int(occ["mx"]),
+        "occupancy_mean": float(occ["mean"]),
+        "occupancy_ratio": float(occ["mx"] / occ["mean"]) if occ["mean"] else None,
+    }
 
 
 def ivf_read_index(spark, path: str) -> IvfIndex:

@@ -1854,3 +1854,63 @@ def test_spread_ids_contract(spark):
     wide = spark.range(1000).repartition(target + 5)
     out = spread_ids(wide)
     assert out is wide  # no-op, not even a new plan node
+
+
+def test_ivf_append_index_bit_equal_and_drift(spark, sf_dir, tmp_path):
+    """Incremental index maintenance (r11): append a batch to a durable
+    IVF index without retraining. Pins (a) search over the appended
+    layout is BIT-EQUAL to a one-shot assignment over the union with
+    the same frozen centroids (cells are deterministic given centroids,
+    so the on-disk merge must be invisible to probing); (b) the drift
+    ratio reads ~1 for a same-distribution batch and strictly higher
+    ~0 for a batch the quantizer describes perfectly (the centroids
+    themselves) — the metric orders quantization quality correctly, so
+    a distribution move shows up as the ratio rising from its ~1
+    baseline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 3 != 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    batch = emb.filter(F.col("vec_id") % 3 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    idx = similarity.ivf_build(base, n_pivots=8, train_iters=2,
+                               train_sample_mod=4)
+    path = str(tmp_path / "ivf_grow")
+    similarity.ivf_write_index(idx, path)
+    out = similarity.ivf_append_index(spark, path, batch, corpus_vec="cv")
+    assert out["appended"] == batch.count()
+    assert 0 < out["cells_touched"] <= out["n_cells"]
+    assert out["occupancy_max"] >= out["occupancy_mean"] > 0
+    # same-distribution batch: drift ~1 (loose band — the batch is a
+    # third of the corpus, not a resample of it)
+    assert out["drift_ratio"] is not None
+    assert 0.5 < out["drift_ratio"] < 1.5, out
+    # (a) bit-equality against a one-shot assignment over the union
+    loaded = similarity.ivf_read_index(spark, path)
+    union_idx = similarity.ivf_build(
+        base.unionByName(batch), centroids=idx.centroids
+    )
+    got = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(loaded, q, k=5, nprobe=2).collect()
+    )
+    want = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(union_idx, q, k=5, nprobe=2).collect()
+    )
+    assert got == want and len(got) > 0
+    # (b) sensitivity: a batch of the centroids themselves quantizes
+    # perfectly (err ~0), so its drift ratio must sit far below the
+    # generic batch's ~1 — the metric separates described from
+    # undescribed data (an upward move from ~1 is then the documented
+    # retrain trigger)
+    perfect = spark.createDataFrame(
+        [(1_000_000 + cell, cv) for cell, cv in idx.centroids],
+        "cid long, cv array<double>",
+    )
+    out2 = similarity.ivf_append_index(spark, path, perfect, corpus_vec="cv")
+    assert out2["drift_ratio"] < 0.2 < out["drift_ratio"], (out, out2)
