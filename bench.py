@@ -144,7 +144,9 @@ SCOPES = {
     # round 11 → 7: + the 'aac' rows (mp4a STRUCTURAL extraction —
     # esds descriptor chain, AudioSpecificConfig decode, access-unit
     # addressing; PCM decode stays the plug-in boundary,
-    # doc_id % 16 = 3 subset)
+    # doc_id % 16 = 3 subset) + the 'h264' rows (AVC STRUCTURAL
+    # extraction — real SPS parse with cropping, avcC walk, NAL
+    # composition; slice decode stays the boundary, doc_id % 16 = 11)
     "multimodal_suite": 7,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental

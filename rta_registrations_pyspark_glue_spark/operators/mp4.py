@@ -727,6 +727,7 @@ def encode_mp4_av(
     aac_freq_index: int = 4,
     aac_channels: int = 2,
     aac_object_type: int = 2,
+    avcc: bytes | None = None,
 ) -> bytes:
     """Fixture-grade ISO-BMFF writer with REAL sample tables: mdat
     carries the actual payloads, and stsd/stts/stsc/stsz/stco (or co64
@@ -753,6 +754,14 @@ def encode_mp4_av(
             if f.ndim != 3:
                 raise ValueError("'raw ' frames must be HxWx3")
             payloads.append(np.ascontiguousarray(f, np.uint8).tobytes())
+        depth = 24
+    elif codec == "avc1":
+        # AVC fixture: ``frames`` are pre-encoded length-prefixed NAL
+        # sample payloads (operators/h264.py builds them); requires
+        # frame_size and an avcC record for the sample entry
+        if frame_size is None or avcc is None:
+            raise ValueError("'avc1' needs frame_size and avcc")
+        payloads = [bytes(f) for f in frames]
         depth = 24
     else:
         raise ValueError(f"fixture codec {codec!r}")
@@ -891,6 +900,8 @@ def encode_mp4_av(
         + struct.pack(">H", 1) + b"\x00" * 32
         + struct.pack(">Hh", depth, -1)
     )
+    if avcc is not None:
+        v_entry += _box(b"avcC", avcc)
     v_stsc = [(1, 1, 1)] + ([(2, len(payloads) - 1, 1)] if len(payloads) > 1 else [])
     traks = trak(
         b"vide", codec, 1, stsd_entry=v_entry,

@@ -22,6 +22,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     mediameta,
     mkv,
     mp3,
+    h264,
     mp4,
     multimodal,
     pq,
@@ -1058,6 +1059,62 @@ def multimodal_aac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4.extract_aac_features(mp4.synthesize_aac_docs(docs))
 
 
+#: H.264 structural extraction (r11, with the 'aac' leg): REAL Exp-
+#: Golomb SPS parse (profile/level/EXACT cropped dims — the fixture
+#: dims are deliberately off the macroblock grid so the §7.4.2.1.1
+#: crop-unit math runs in-gate, and the profile rotation covers both
+#: SPS grammar arms), avcC record walk, and the per-sample
+#: length-prefixed NAL walk (counts by type, IDR keyframes, and the
+#: closed-form byte sum of picture/SEI NALs — the parameter sets'
+#: bytes are bit-packed and stay pytest-pinned). Slice DECODE is the
+#: documented external-codec boundary. Budget: residue {11} mod 16 —
+#: the other half of mp3's residue-3 docs (see the aac note above).
+_MM_H264_ORACLE = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Baseline'
+                WHEN 1 THEN 'Main' ELSE 'High' END AS profile,
+           CAST(30 + doc_id % 3 AS INT) AS level_idc,
+           CAST(16 * (4 + doc_id % 5) - 2 * (doc_id % 3) AS INT) AS width,
+           CAST(16 * (3 + doc_id % 4) - 2 * (doc_id % 2) AS INT) AS height,
+           CAST(2 + doc_id % 3 AS INT) AS n_samples,
+           CAST(5 + 2 * (doc_id % 3) AS INT) AS n_nals,
+           CAST(1 + (1 + doc_id % 3) // 2 AS INT) AS n_idr,
+           CAST(1 + doc_id % 3 AS INT) AS n_sei,
+           CAST(1 + (1 + doc_id % 3) // 2 AS INT) AS keyframes,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 3), s ->
+                CASE WHEN s = 0 THEN 101
+                     ELSE 102 + CASE WHEN s % 2 = 0 THEN 101 ELSE 97 END
+                END
+                + (CASE WHEN s = 0 THEN 1 ELSE 2 END)
+                  * list_sum(list_transform(
+                        range(0, 8 + (11 * doc_id + 5 * s) % 16),
+                        i -> (doc_id + 7 * s + i) % 256))))
+               AS BIGINT) AS slice_byte_sum,
+           TRUE AS parse_ok
+    FROM documents WHERE doc_id % 16 = 11
+    """
+
+
+def multimodal_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVC-in-MP4 STRUCTURAL extraction through the Arrow/pandas path
+    (r11): each doc gets an MP4 whose video track carries a REAL SPS
+    (h264.write_sps → parse_sps roundtrip, profile rotating
+    Baseline/Main/High, dims off the macroblock grid to force the
+    cropping math) plus opaque closed-form slice NALs, and
+    h264.extract_h264_track recovers profile/level/exact dims and the
+    full NAL composition without decoding a single slice — the
+    curation-first contract for the dominant scraped-video codec."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 16 == 11
+    )
+    feats = h264.extract_h264_features(h264.synthesize_h264_docs(docs))
+    return feats.select(
+        "doc_id", "profile", "level_idc", "width", "height", "n_samples",
+        "n_nals", "n_idr", "n_sei", "keyframes", "slice_byte_sum",
+        "parse_ok",
+    )
+
+
 def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL AVI container demux through the Arrow/pandas path (r9):
     each doc gets a two-stream interleaved AVI (avi.synthesize_avi_docs
@@ -1263,6 +1320,8 @@ def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'aac' AS kind, * FROM ({_MM_AAC_ORACLE})
     UNION ALL BY NAME
+    SELECT 'h264' AS kind, * FROM ({_MM_H264_ORACLE})
+    UNION ALL BY NAME
     SELECT 'mp3' AS kind, * FROM ({_MM_MP3_ORACLE})
     UNION ALL BY NAME
     SELECT 'mkv' AS kind, * FROM ({_MM_MKV_ORACLE})
@@ -1345,6 +1404,10 @@ MULTIMODAL_LEGS = {
     # AudioSpecificConfig decode, access-unit addressing; PCM decode
     # stays the documented plug-in boundary
     "aac": multimodal_aac,
+    # 'h264' (r11): AVC STRUCTURAL extraction — real Exp-Golomb SPS
+    # parse (profile/level/exact cropped dims), avcC walk, per-sample
+    # NAL composition; slice decode stays the plug-in boundary
+    "h264": multimodal_h264,
     # 'mp3' (r10): frame-level decode — CRC-16, full side-info unpack,
     # reservoir, exact silent-granule PCM
     "mp3": multimodal_decode_mp3,

@@ -270,3 +270,37 @@ def test_adts_corruption_envelope(seed, n_flips, truncate):
         assert isinstance(info, dict)
     except _ENVELOPE:
         pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(1, 10),
+    truncate=st.booleans(),
+)
+def test_h264_corruption_envelope(seed, n_flips, truncate):
+    """extract_h264_track on corrupted AVC-in-MP4: structural dict or
+    the ValueError envelope — Exp-Golomb/NAL-length arithmetic must
+    never leak IndexError."""
+    import struct as _struct
+
+    from rta_registrations_pyspark_glue_spark.operators import h264
+
+    rng = np.random.default_rng(seed)
+    d = int(seed)
+    sps = h264.write_sps(16 * (4 + d % 5), 16 * (3 + d % 4),
+                         profile_idc=[66, 77, 100][d % 3])
+    pps = h264.write_pps()
+    nals = [sps, pps,
+            b"\x65" + rng.integers(0, 256, 24, dtype=np.uint8).tobytes()]
+    sample = b"".join(_struct.pack(">I", len(n)) + n for n in nals)
+    buf = mp4.encode_mp4_av(
+        [sample], codec="avc1", frame_size=(48, 64),
+        avcc=h264.build_avcc(sps, pps),
+    )
+    data = _mutate(buf, seed, n_flips, truncate)
+    try:
+        info = h264.extract_h264_track(data)
+        assert isinstance(info, dict)
+    except _ENVELOPE:
+        pass
