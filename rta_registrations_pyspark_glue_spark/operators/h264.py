@@ -472,30 +472,50 @@ def _extract_h264_inner(content: bytes) -> dict:
         )
     except struct.error as e:
         raise ValueError(f"truncated sample tables: {e}") from None
-    lsz = cfg["nal_length_size"]
+    for off, size in layout:
+        if off + size > len(buf):
+            raise ValueError("sample beyond EOF")
+    stats = walk_nal_samples(
+        (buf[off : off + size] for off, size in layout),
+        cfg["nal_length_size"],
+    )
+    return {
+        **sps,
+        "nal_length_size": cfg["nal_length_size"],
+        "n_sps": len(cfg["sps"]),
+        "n_pps": len(cfg["pps"]),
+        **stats,
+    }
+
+
+def walk_nal_samples(samples, nal_length_size: int) -> dict:
+    """One pass over length-prefixed NAL sample payloads (an MP4
+    sample or a Matroska block frame each): counts by type, keyframe
+    (IDR-bearing sample) count, and byte sums. The picture/SEI-only
+    ``slice_byte_sum`` exists because parameter sets' bytes are
+    bit-packed Exp-Golomb and not closed-formable — the GATE pins the
+    slice sum; the all-NAL sums stay pytest-pinned."""
+    lsz = nal_length_size
     counts: dict[str, int] = {name: 0 for name in NAL_TYPES.values()}
     counts["other"] = 0
     n_nals = 0
     keyframes = 0
     nal_bytes = 0
     byte_sum = 0
-    slice_byte_sum = 0  # picture/SEI NALs only (types 1/5/6) — the
-    # parameter sets' byte content is bit-packed Exp-Golomb and not
-    # closed-formable, so the GATE pins this sum; the all-NAL sums
-    # stay pytest-pinned
-    for off, size in layout:
-        if off + size > len(buf):
-            raise ValueError("sample beyond EOF")
-        pos, end = off, off + size
+    slice_byte_sum = 0
+    n_samples = 0
+    for sample in samples:
+        n_samples += 1
+        pos, end = 0, len(sample)
         has_idr = False
         while pos < end:
             if pos + lsz > end:
                 raise ValueError("NAL length prefix beyond sample")
-            ln = int.from_bytes(buf[pos : pos + lsz], "big")
+            ln = int.from_bytes(sample[pos : pos + lsz], "big")
             pos += lsz
             if ln < 1 or pos + ln > end:
                 raise ValueError("NAL length beyond sample")
-            ntype = buf[pos] & 0x1F
+            ntype = sample[pos] & 0x1F
             counts[NAL_TYPES.get(ntype, "other")] = (
                 counts.get(NAL_TYPES.get(ntype, "other"), 0) + 1
             )
@@ -503,7 +523,9 @@ def _extract_h264_inner(content: bytes) -> dict:
                 has_idr = True
             n_nals += 1
             nal_bytes += ln
-            span = int(np.frombuffer(buf[pos : pos + ln], np.uint8).sum())
+            span = int(
+                np.frombuffer(sample[pos : pos + ln], np.uint8).sum()
+            )
             byte_sum += span
             if ntype in (1, 5, 6):
                 slice_byte_sum += span
@@ -511,11 +533,7 @@ def _extract_h264_inner(content: bytes) -> dict:
         if has_idr:
             keyframes += 1
     return {
-        **sps,
-        "nal_length_size": lsz,
-        "n_sps": len(cfg["sps"]),
-        "n_pps": len(cfg["pps"]),
-        "n_samples": len(layout),
+        "n_samples": n_samples,
         "n_nals": n_nals,
         "nal_counts": counts,
         "keyframes": keyframes,

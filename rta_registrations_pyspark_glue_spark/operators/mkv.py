@@ -158,7 +158,14 @@ def demux_mkv(content: bytes) -> dict:
         raise ValueError(f"truncated MKV structure: {e}") from None
 
 
-def _demux_mkv_inner(buf: bytes) -> dict:
+def _parse_mkv_tracks_blocks(
+    buf: bytes,
+) -> tuple[dict[int, dict], list[tuple[int, list[bytes]]]]:
+    """The shared EBML walk: Tracks (number/type/codec/CodecPrivate/
+    dims/audio fields) and every Cluster's SimpleBlock/BlockGroup
+    frames, lacing decoded. Raises ValueError when the stream is not
+    EBML/Matroska. Used by the payload demux AND the structural
+    codec-config extractor."""
     tracks: dict[int, dict] = {}
     blocks: list[tuple[int, list[bytes]]] = []  # (track_number, frames)
     saw_ebml = False
@@ -182,6 +189,8 @@ def _demux_mkv_inner(buf: bytes) -> dict:
                                 t["codec"] = buf[b4:e4end].decode(
                                     "ascii", "replace"
                                 )
+                            elif e4 == 0x63A2:  # CodecPrivate
+                                t["codec_private"] = buf[b4:e4end]
                             elif e4 == 0xE0:  # Video
                                 for e5, b5, e5end in _ebml_children(
                                     buf, b4, e4end
@@ -219,6 +228,11 @@ def _demux_mkv_inner(buf: bytes) -> dict:
 
     if not saw_ebml:
         raise ValueError("not an EBML/Matroska stream")
+    return tracks, blocks
+
+
+def _demux_mkv_inner(buf: bytes) -> dict:
+    tracks, blocks = _parse_mkv_tracks_blocks(buf)
 
     out = {
         "width": None, "height": None, "video_codec": None, "frames": [],
@@ -231,10 +245,29 @@ def _demux_mkv_inner(buf: bytes) -> dict:
         codec = vide.get("codec", "")
         out["video_codec"] = codec
         if codec not in _VIDEO_ROUTED:
+            detail = ""
+            if codec == "V_MPEG4/ISO/AVC" and vide.get("codec_private"):
+                # the CodecPrivate IS an avcC record — name the actual
+                # stream in the boundary error (extract_mkv_codec_config
+                # gives the full structural view without decode)
+                try:
+                    from rta_registrations_pyspark_glue_spark.operators import (
+                        h264,
+                    )
+
+                    cfg = h264.parse_avcc(bytes(vide["codec_private"]))
+                    sps = h264.parse_sps(cfg["sps"][0])
+                    detail = (
+                        f" ({sps['profile']} L{sps['level_idc']} "
+                        f"{sps['width']}x{sps['height']})"
+                    )
+                except ValueError:
+                    pass
             raise NotImplementedError(
-                f"MKV video codec {codec!r}: block extraction works, decode "
-                "needs an external codec (ffmpeg/PyAV plug-in boundary; "
-                "V_MJPEG and V_UNCOMPRESSED route natively)"
+                f"MKV video codec {codec!r}{detail}: block extraction works, "
+                "decode needs an external codec (ffmpeg/PyAV plug-in "
+                "boundary; V_MJPEG and V_UNCOMPRESSED route natively; "
+                "extract_mkv_codec_config reads AVC/AAC config structurally)"
             )
         w, h = vide.get("width"), vide.get("height")
         out["width"], out["height"] = w, h
@@ -259,10 +292,28 @@ def _demux_mkv_inner(buf: bytes) -> dict:
         codec = soun.get("codec", "")
         out["audio_codec"] = codec
         if codec not in _AUDIO_ROUTED:
+            detail = ""
+            if codec == "A_AAC" and soun.get("codec_private"):
+                # the CodecPrivate IS a raw AudioSpecificConfig
+                try:
+                    from rta_registrations_pyspark_glue_spark.operators.mp4 import (
+                        parse_audio_specific_config,
+                    )
+
+                    asc = parse_audio_specific_config(
+                        bytes(soun["codec_private"])
+                    )
+                    detail = (
+                        f" ({asc['profile']} {asc['sample_rate']} Hz "
+                        f"x{asc['channels']})"
+                    )
+                except ValueError:
+                    pass
             raise NotImplementedError(
-                f"MKV audio codec {codec!r}: A_PCM/INT/LIT|BIG and "
+                f"MKV audio codec {codec!r}{detail}: A_PCM/INT/LIT|BIG and "
                 "A_MPEG/L3 route natively; other compressed audio is the "
-                "plug-in boundary"
+                "plug-in boundary (extract_mkv_codec_config reads the AAC "
+                "config structurally)"
             )
         if codec == "A_MPEG/L3":
             # MP3-in-Matroska: block frames are whole MPEG frames —
@@ -298,6 +349,81 @@ def _demux_mkv_inner(buf: bytes) -> dict:
         out["audio"] = pcm.reshape(-1, ch)
         out["n_samples"] = out["audio"].shape[0]
 
+    return out
+
+
+def extract_mkv_codec_config(content: bytes) -> dict:
+    """STRUCTURAL extraction of compressed-codec configuration from a
+    Matroska file — the cross-container twin of mp4.extract_aac_track
+    and h264.extract_h264_track, because Matroska carries the SAME
+    records: a V_MPEG4/ISO/AVC track's CodecPrivate is an avcC
+    AVCDecoderConfigurationRecord (block frames are length-prefixed
+    NAL samples) and an A_AAC track's CodecPrivate is a raw
+    AudioSpecificConfig (block frames are raw access units). Returns
+    {video: {...} | None, audio: {...} | None} with the same field
+    shapes those extractors emit; tracks with other codecs (or no
+    CodecPrivate) are reported as None. No frame is decoded."""
+    from rta_registrations_pyspark_glue_spark.operators import h264
+    from rta_registrations_pyspark_glue_spark.operators.mp4 import (
+        parse_audio_specific_config,
+    )
+
+    try:
+        tracks, blocks = _parse_mkv_tracks_blocks(content)
+    except struct.error as e:
+        raise ValueError(f"truncated MKV structure: {e}") from None
+    out: dict = {"video": None, "audio": None}
+    vide = next((t for t in tracks.values() if t.get("type") == 1), None)
+    soun = next((t for t in tracks.values() if t.get("type") == 2), None)
+    if (
+        vide is not None
+        and vide.get("codec") == "V_MPEG4/ISO/AVC"
+        and vide.get("codec_private")
+    ):
+        cfg = h264.parse_avcc(bytes(vide["codec_private"]))
+        if not cfg["sps"]:
+            raise ValueError("avcC carries no SPS")
+        sps = h264.parse_sps(cfg["sps"][0])
+        frames = [
+            payload
+            for tn, fr in blocks
+            if tn == vide.get("number")
+            for payload in fr
+        ]
+        try:
+            stats = h264.walk_nal_samples(frames, cfg["nal_length_size"])
+        except IndexError:
+            raise ValueError("truncated NAL structure") from None
+        out["video"] = {
+            **sps,
+            "nal_length_size": cfg["nal_length_size"],
+            "n_sps": len(cfg["sps"]),
+            "n_pps": len(cfg["pps"]),
+            **stats,
+        }
+    if (
+        soun is not None
+        and soun.get("codec") == "A_AAC"
+        and soun.get("codec_private")
+    ):
+        asc = parse_audio_specific_config(bytes(soun["codec_private"]))
+        aus = [
+            payload
+            for tn, fr in blocks
+            if tn == soun.get("number")
+            for payload in fr
+        ]
+        out["audio"] = {
+            "container": "mkv",
+            **asc,
+            "n_access_units": len(aus),
+            "au_sizes": [len(a) for a in aus],
+            "au_bytes": sum(len(a) for a in aus),
+            "au_byte_sum": sum(
+                int(np.frombuffer(a, np.uint8).sum()) for a in aus
+            ),
+            "duration_samples": len(aus) * asc["frame_length"],
+        }
     return out
 
 
@@ -360,6 +486,8 @@ def encode_mkv_av(
     audio_rate: int = 8000,
     audio_codec: str = "A_PCM/INT/LIT",
     audio_lacing: str = "fixed",
+    codec_private: bytes | None = None,
+    audio_codec_private: bytes | None = None,
 ) -> bytes:
     """Fixture-grade Matroska writer: EBML header + Segment(Info,
     Tracks, two Clusters). Video goes one frame per SimpleBlock split
@@ -381,6 +509,12 @@ def encode_mkv_av(
             if f.ndim != 3:
                 raise ValueError("V_UNCOMPRESSED frames must be HxWx3")
             payloads.append(np.ascontiguousarray(f, np.uint8).tobytes())
+    elif codec == "V_MPEG4/ISO/AVC":
+        # AVC fixture: frames are pre-encoded length-prefixed NAL
+        # sample payloads; the avcC record rides CodecPrivate
+        if frame_size is None or codec_private is None:
+            raise ValueError("V_MPEG4/ISO/AVC needs frame_size + codec_private")
+        payloads = [bytes(f) for f in frames]
     else:
         raise ValueError(f"fixture codec {codec!r}")
 
@@ -399,6 +533,11 @@ def encode_mkv_av(
         0xAE,
         _ebml_el(0xD7, b"\x01") + _ebml_el(0x83, b"\x01")
         + _ebml_el(0x86, codec.encode())
+        + (
+            _ebml_el(0x63A2, codec_private)
+            if codec_private is not None
+            else b""
+        )
         + _ebml_el(
             0xE0,
             _ebml_el(0xB0, _ebml_uint_body(w)) + _ebml_el(0xBA, _ebml_uint_body(h)),
@@ -406,7 +545,32 @@ def encode_mkv_av(
     )
     tracks_body = vtrack
     a_blocks: list[bytes] = []
-    if audio is not None and audio_codec == "A_MPEG/L3":
+    if audio is not None and audio_codec == "A_AAC":
+        # AAC-in-Matroska fixture: ``audio`` is a list of raw ACCESS
+        # UNITS; CodecPrivate carries the AudioSpecificConfig. AUs are
+        # xiph-laced two blocks (sizes differ per AU, so the 255-run
+        # size coding is exercised), one block per cluster.
+        if audio_codec_private is None:
+            raise ValueError("A_AAC needs audio_codec_private (the ASC)")
+        aus = [bytes(x) for x in audio]
+        tracks_body += _ebml_el(
+            0xAE,
+            _ebml_el(0xD7, b"\x02") + _ebml_el(0x83, b"\x02")
+            + _ebml_el(0x86, audio_codec.encode())
+            + _ebml_el(0x63A2, audio_codec_private)
+            + _ebml_el(
+                0xE1,
+                _ebml_el(0xB5, struct.pack(">f", float(audio_rate)))
+                + _ebml_el(0x9F, _ebml_uint_body(1)),
+            ),
+        )
+        half = max(1, len(aus) // 2)
+        for chunk in (aus[:half], aus[half:]):
+            if not chunk:
+                continue
+            lac = "none" if len(chunk) == 1 else "xiph"
+            a_blocks.append(_simple_block(2, 0, chunk, lac))
+    elif audio is not None and audio_codec == "A_MPEG/L3":
         # MP3-in-Matroska fixture: ``audio`` is the raw elementary
         # stream; two unlaced blocks (the decoder reassembles them)
         es = bytes(audio)

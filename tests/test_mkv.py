@@ -148,3 +148,62 @@ def test_mp3_track_routes_to_frame_decoder():
     )
     assert clip["audio_codec"] == "A_MPEG/L3" and clip["n_samples"] == 2 * 1152
     assert int(np.abs(clip["audio"]).sum()) == 0
+
+
+def test_codec_config_extraction_avc_and_aac():
+    """Cross-container structural routing (r11): a Matroska
+    V_MPEG4/ISO/AVC track's CodecPrivate is an avcC record and an
+    A_AAC track's is a raw AudioSpecificConfig — extract_mkv_codec_config
+    must recover the same fields the MP4-side extractors do, from the
+    same parsers, plus per-track NAL/AU stats over the real blocks."""
+    import struct as _struct
+
+    from rta_registrations_pyspark_glue_spark.operators import h264
+
+    d = 43
+    width, height = 16 * 5 - 2, 16 * 4 - 2
+    sps = h264.write_sps(width, height, profile_idc=100, level_idc=32)
+    pps = h264.write_pps()
+    samples = []
+    slice_sum = 0
+    for s in range(3):
+        if s == 0:
+            sl = b"\x65" + bytes((d + i) % 256 for i in range(20))
+            nals = [sps, pps, sl]
+        else:
+            sl = b"\x61" + bytes((d + 7 * s + i) % 256 for i in range(12))
+            nals = [sl]
+        slice_sum += sum(sl)
+        samples.append(
+            b"".join(_struct.pack(">I", len(n)) + n for n in nals)
+        )
+    asc = bytes([(2 << 3) | (7 >> 1), ((7 & 1) << 7) | (1 << 3)])
+    aus = [bytes((d + 3 * k + i) % 256 for i in range(10 + k))
+           for k in range(4)]
+    buf = mkv.encode_mkv_av(
+        samples, codec="V_MPEG4/ISO/AVC", frame_size=(height, width),
+        codec_private=h264.build_avcc(sps, pps),
+        audio=aus, audio_codec="A_AAC", audio_codec_private=asc,
+    )
+    cfg = mkv.extract_mkv_codec_config(buf)
+    v, a = cfg["video"], cfg["audio"]
+    assert (v["width"], v["height"]) == (width, height)
+    assert v["profile"] == "High" and v["level_idc"] == 32
+    assert v["n_samples"] == 3 and v["keyframes"] == 1
+    assert v["nal_counts"]["sps"] == 1 and v["nal_counts"]["non_idr"] == 2
+    assert v["slice_byte_sum"] == slice_sum
+    assert a["profile"] == "AAC-LC" and a["sample_rate"] == 22050
+    assert a["channels"] == 1 and a["n_access_units"] == 4
+    assert a["au_sizes"] == [len(x) for x in aus]
+    assert a["au_byte_sum"] == sum(b for au in aus for b in au)
+    assert a["duration_samples"] == 4 * 1024
+    # the demux boundary errors name the actual parsed streams
+    with pytest.raises(NotImplementedError, match=r"High L32 78x62"):
+        mkv.demux_mkv(buf)
+    # a PCM-only file reports no compressed config
+    plain = mkv.encode_mkv_av(
+        [np.zeros((16, 16, 3), np.uint8)], codec="V_UNCOMPRESSED",
+        audio=np.zeros(64, np.int16),
+    )
+    out = mkv.extract_mkv_codec_config(plain)
+    assert out == {"video": None, "audio": None}
