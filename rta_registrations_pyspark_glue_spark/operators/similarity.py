@@ -2465,22 +2465,33 @@ def ivf_append_index(
 def ivf_read_index(spark, path: str) -> IvfIndex:
     """Load an index written by ivf_write_index. The assignment frame is
     NOT persisted in memory — the on-disk partition layout is the index;
-    ivf_search's cell equi-join prunes partitions at scan time."""
+    ivf_search's cell equi-join prunes partitions at scan time.
+
+    When the streaming sibling tree exists (``assignment_stream``,
+    written by streaming/annindex.stream_ivf_ingest), it is unioned in
+    — ``cell`` is a partition column in both trees, so the probed-cell
+    pruning applies to each scan independently."""
     import json
     import os
 
     with open(os.path.join(path, "centroids.json")) as f:
         meta = json.load(f)
     cents = [(int(cell), [float(x) for x in cv]) for cell, cv in meta["centroids"]]
-    assignment = (
-        spark.read.parquet(os.path.join(path, "assignment"))
-        .select(
-            F.col(meta["corpus_id"]),
-            F.col("vec").alias("__cv"),
-            F.col("cell").cast("long").alias("__cell"),
+
+    def load(subdir: str) -> DataFrame:
+        return (
+            spark.read.parquet(os.path.join(path, subdir))
+            .select(
+                F.col(meta["corpus_id"]),
+                F.col("vec").alias("__cv"),
+                F.col("cell").cast("long").alias("__cell"),
+            )
+            .withColumn("__cn", dot("__cv", "__cv"))
         )
-        .withColumn("__cn", dot("__cv", "__cv"))
-    )
+
+    assignment = load("assignment")
+    if os.path.isdir(os.path.join(path, "assignment_stream")):
+        assignment = assignment.unionByName(load("assignment_stream"))
     return IvfIndex(
         centroids=cents, assignment=assignment, corpus_id=meta["corpus_id"]
     )

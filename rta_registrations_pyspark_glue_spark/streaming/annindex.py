@@ -1,0 +1,125 @@
+"""Streaming maintenance of a durable IVF index — the continuous form
+of similarity.ivf_append_index (r11): a vector stream (file source,
+Kafka after parsing — anything with (id, vector) rows) keeps a durable
+ANN index current WITHOUT retraining, batch by batch.
+
+Layout contract: the base index stays exactly what ivf_write_index
+wrote (``assignment/cell=*``); streamed batches land in a SIBLING
+``assignment_stream/batch=<id>/cell=*`` tree. Two reasons:
+
+- REPLAY IDEMPOTENCE: foreachBatch re-delivers a batch after failure;
+  writing with dynamic partition overwrite means a replayed batch
+  OVERWRITES its own ``batch=<id>`` partitions instead of appending
+  duplicates (pinned by test). A bare append into the base tree could
+  not distinguish replay from growth.
+- the base tree is never rewritten — the 100 TB invariant shared with
+  ivf_append_index.
+
+ivf_read_index unions the sibling in when present, so searches see one
+assignment frame; ``cell`` is a partition column in BOTH trees, so the
+probed-cell pruning (static IN or dynamic pruning subquery) applies to
+each scan.
+
+Per-batch health (the retrain trigger) goes to
+``health/batch=<id>.json`` — quantization drift of the batch against
+the build-time baseline plus occupancy counts; overwritten on replay,
+so the health log is exactly-once too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ingest_ivf_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    corpus_vec: str = "vec",
+) -> dict:
+    """Assign ONE micro-batch against the durable index's frozen
+    centroids and write it into the streaming sibling tree,
+    idempotently (dynamic partition overwrite of ``batch=<id>``).
+    Module-level so batch replay semantics are testable without a
+    running stream (the streaming/dedup.py convention). Returns the
+    health dict it also writes."""
+    from rta_registrations_pyspark_glue_spark.operators.similarity import (
+        _assignment_quant_stats,
+        ivf_build,
+    )
+
+    with open(os.path.join(index_path, "centroids.json")) as f:
+        meta = json.load(f)
+    corpus_id = meta["corpus_id"]
+    cents = [
+        (int(cell), [float(x) for x in cv]) for cell, cv in meta["centroids"]
+    ]
+    part = ivf_build(
+        batch_df, centroids=cents, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    n_new, new_err = _assignment_quant_stats(part)
+    (
+        part.assignment.select(
+            F.col(corpus_id),
+            F.col("__cv").alias("vec"),
+            F.lit(int(batch_id)).alias("batch"),
+            F.col("__cell").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell")
+        .parquet(os.path.join(index_path, "assignment_stream"))
+    )
+    base = meta.get("stats") or {}
+    baseline = base.get("build_mean_quant_err") or base.get("mean_quant_err")
+    health = {
+        "batch_id": int(batch_id),
+        "appended": n_new,
+        "new_mean_quant_err": new_err,
+        "baseline_mean_quant_err": baseline,
+        "drift_ratio": (new_err / baseline) if baseline else None,
+    }
+    hdir = os.path.join(index_path, "health")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, f"batch={int(batch_id)}.json"), "w") as f:
+        json.dump(health, f)
+    return health
+
+
+def stream_ivf_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    corpus_vec: str = "vec",
+    available_now: bool = True,
+):
+    """Continuous IVF-index ingestion: each micro-batch of
+    ``vec_stream`` is assigned against the frozen coarse quantizer and
+    merged into the durable index's streaming tree (see module
+    docstring for the layout/replay contract). Returns the
+    StreamingQuery.
+
+    Scale shape: per-batch cost is the BATCH's assignment GEMM plus
+    one partitioned write — proportional to the batch, never the
+    index; searches pay one extra pruned scan over the streamed tree.
+    When drift_ratio in the health log trends up, retrain + rewrite
+    the base index and truncate the sibling — the documented
+    compaction path."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_ivf_batch(
+            batch_df.sparkSession, batch_df, batch_id, index_path,
+            corpus_vec=corpus_vec,
+        )
+
+    writer = vec_stream.writeStream.foreachBatch(body).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

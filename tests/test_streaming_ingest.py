@@ -111,3 +111,80 @@ def test_incremental_ingest_moved_key_empties_partition(spark):
     assert len(rows) == 1 and rows[0].month == 2
     assert not os.path.exists(f"{ROOT}/stage/year=2021/month=1")
     shutil.rmtree(ROOT, ignore_errors=True)
+
+
+def test_stream_ivf_ingest_bit_equal_and_idempotent(spark, tmp_path):
+    """Streaming IVF maintenance (r11): two micro-batches of vectors
+    keep a durable index current. Pins (a) search over the streamed
+    layout is BIT-EQUAL to a one-shot assignment over the full union
+    with the same frozen centroids; (b) replaying a batch id
+    overwrites its own partitions — row count unchanged (foreachBatch
+    replay safety); (c) the per-batch health log records drift."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rta_registrations_pyspark_glue_spark.operators import similarity
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+    from rta_registrations_pyspark_glue_spark.streaming.annindex import (
+        ingest_ivf_batch,
+        stream_ivf_ingest,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b1 = emb.filter(F.col("vec_id") % 3 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b2 = emb.filter(F.col("vec_id") % 3 == 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    idx = similarity.ivf_build(base, n_pivots=4, train_iters=2)
+    path = str(tmp_path / "ivf_stream_idx")
+    similarity.ivf_write_index(idx, path)
+    # two parquet files -> two micro-batches
+    feed = str(tmp_path / "feed")
+    b1.coalesce(1).write.parquet(f"{feed}/f1")
+    b2.coalesce(1).write.parquet(f"{feed}/f2")
+    stream = (
+        spark.readStream.schema("cid long, cv array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*/")
+    )
+    q = stream_ivf_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt"), corpus_vec="cv"
+    )
+    q.awaitTermination(120)
+    # (c) health log: one entry per batch, drift ~1 for in-distribution
+    hdir = os.path.join(path, "health")
+    logs = sorted(os.listdir(hdir))
+    assert len(logs) == 2, logs
+    for name in logs:
+        h = json.load(open(os.path.join(hdir, name)))
+        assert h["appended"] > 0
+        assert 0.3 < h["drift_ratio"] < 2.0, h
+    # (a) bit-equality vs one-shot assignment over the union
+    q2 = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    loaded = similarity.ivf_read_index(spark, path)
+    union_idx = similarity.ivf_build(
+        base.unionByName(b1).unionByName(b2), centroids=idx.centroids
+    )
+    got = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(loaded, q2, k=5, nprobe=2).collect()
+    )
+    want = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(union_idx, q2, k=5, nprobe=2).collect()
+    )
+    assert got == want and len(got) > 0
+    # (b) replay: re-ingest batch 0 with the same rows — no duplicates
+    n_before = spark.read.parquet(os.path.join(path, "assignment_stream")).count()
+    ingest_ivf_batch(spark, b1, 0, path, corpus_vec="cv")
+    n_after = spark.read.parquet(os.path.join(path, "assignment_stream")).count()
+    assert n_after == n_before
