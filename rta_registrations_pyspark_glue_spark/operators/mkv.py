@@ -401,6 +401,39 @@ def extract_mkv_codec_config(content: bytes) -> dict:
             "n_pps": len(cfg["pps"]),
             **stats,
         }
+    elif (
+        vide is not None
+        and vide.get("codec") == "V_MPEGH/ISO/HEVC"
+        and vide.get("codec_private")
+    ):
+        # HEVC-in-Matroska: CodecPrivate is an hvcC record, block
+        # frames are length-prefixed HEVC NAL samples
+        from rta_registrations_pyspark_glue_spark.operators import hevc
+
+        cfg = hevc.parse_hvcc(bytes(vide["codec_private"]))
+        if not cfg["sps"]:
+            raise ValueError("hvcC carries no SPS")
+        sps = hevc.parse_hevc_sps(cfg["sps"][0])
+        frames = [
+            payload
+            for tn, fr in blocks
+            if tn == vide.get("number")
+            for payload in fr
+        ]
+        try:
+            stats = hevc.walk_hevc_nal_samples(
+                frames, cfg["nal_length_size"]
+            )
+        except IndexError:
+            raise ValueError("truncated NAL structure") from None
+        out["video"] = {
+            **sps,
+            "nal_length_size": cfg["nal_length_size"],
+            "n_vps": len(cfg["vps"]),
+            "n_sps": len(cfg["sps"]),
+            "n_pps": len(cfg["pps"]),
+            **stats,
+        }
     if (
         soun is not None
         and soun.get("codec") == "A_AAC"
@@ -509,11 +542,11 @@ def encode_mkv_av(
             if f.ndim != 3:
                 raise ValueError("V_UNCOMPRESSED frames must be HxWx3")
             payloads.append(np.ascontiguousarray(f, np.uint8).tobytes())
-    elif codec == "V_MPEG4/ISO/AVC":
-        # AVC fixture: frames are pre-encoded length-prefixed NAL
-        # sample payloads; the avcC record rides CodecPrivate
+    elif codec in ("V_MPEG4/ISO/AVC", "V_MPEGH/ISO/HEVC"):
+        # AVC/HEVC fixture: frames are pre-encoded length-prefixed NAL
+        # sample payloads; the avcC/hvcC record rides CodecPrivate
         if frame_size is None or codec_private is None:
-            raise ValueError("V_MPEG4/ISO/AVC needs frame_size + codec_private")
+            raise ValueError(f"{codec} needs frame_size + codec_private")
         payloads = [bytes(f) for f in frames]
     else:
         raise ValueError(f"fixture codec {codec!r}")

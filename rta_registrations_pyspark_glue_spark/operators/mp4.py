@@ -571,10 +571,42 @@ def _demux_mp4_inner(content: bytes) -> dict:
         codec = vide["stsd"]["codec"]
         out["video_codec"] = codec
         if codec not in _VIDEO_ROUTED:
+            # name the ACTUAL stream where the config is structurally
+            # readable (r11): avc1/avc3 via the SPS, hvc1/hev1 via the
+            # hvcC+SPS — the operator of a 100 TB pipeline reads the
+            # error and knows profile/dims without a decoder
+            detail = ""
+            try:
+                if codec in ("avc1", "avc3"):
+                    from rta_registrations_pyspark_glue_spark.operators.h264 import (
+                        extract_h264_track,
+                    )
+
+                    c = extract_h264_track(buf)
+                    detail = (
+                        f" ({c['profile']} L{c['level_idc']} "
+                        f"{c['width']}x{c['height']}, "
+                        f"{c['n_samples']} samples)"
+                    )
+                elif codec in ("hvc1", "hev1"):
+                    from rta_registrations_pyspark_glue_spark.operators.hevc import (
+                        extract_hevc_track,
+                    )
+
+                    c = extract_hevc_track(buf)
+                    detail = (
+                        f" ({c['profile']} {c['tier']} L{c['level_idc']} "
+                        f"{c['width']}x{c['height']}, "
+                        f"{c['n_samples']} samples)"
+                    )
+            except ValueError:
+                pass
             raise NotImplementedError(
-                f"MP4 video codec {codec!r}: sample extraction works, "
-                "decode needs an external codec (ffmpeg/PyAV plug-in "
-                "boundary; 'jpeg' and 'raw ' route natively)"
+                f"MP4 video codec {codec!r}{detail}: sample extraction and "
+                "structural config parsing work (h264.extract_h264_track / "
+                "hevc.extract_hevc_track); frame decode needs an external "
+                "codec (ffmpeg/PyAV plug-in boundary; 'jpeg' and 'raw ' "
+                "route natively)"
             )
         w, h, depth = _stsd_video_dims(buf, vide["stsd"]["entry_off"])
         out["width"], out["height"] = w, h
@@ -728,6 +760,7 @@ def encode_mp4_av(
     aac_channels: int = 2,
     aac_object_type: int = 2,
     avcc: bytes | None = None,
+    config_fourcc: bytes = b"avcC",
 ) -> bytes:
     """Fixture-grade ISO-BMFF writer with REAL sample tables: mdat
     carries the actual payloads, and stsd/stts/stsc/stsz/stco (or co64
@@ -755,12 +788,13 @@ def encode_mp4_av(
                 raise ValueError("'raw ' frames must be HxWx3")
             payloads.append(np.ascontiguousarray(f, np.uint8).tobytes())
         depth = 24
-    elif codec == "avc1":
-        # AVC fixture: ``frames`` are pre-encoded length-prefixed NAL
-        # sample payloads (operators/h264.py builds them); requires
-        # frame_size and an avcC record for the sample entry
+    elif codec in ("avc1", "hvc1"):
+        # AVC/HEVC fixture: ``frames`` are pre-encoded length-prefixed
+        # NAL sample payloads (operators/h264.py / hevc.py build them);
+        # requires frame_size and a config record (avcC / hvcC via
+        # ``avcc`` + ``config_fourcc``) for the sample entry
         if frame_size is None or avcc is None:
-            raise ValueError("'avc1' needs frame_size and avcc")
+            raise ValueError(f"{codec!r} needs frame_size and avcc")
         payloads = [bytes(f) for f in frames]
         depth = 24
     else:
@@ -901,7 +935,7 @@ def encode_mp4_av(
         + struct.pack(">Hh", depth, -1)
     )
     if avcc is not None:
-        v_entry += _box(b"avcC", avcc)
+        v_entry += _box(config_fourcc, avcc)
     v_stsc = [(1, 1, 1)] + ([(2, len(payloads) - 1, 1)] if len(payloads) > 1 else [])
     traks = trak(
         b"vide", codec, 1, stsd_entry=v_entry,
