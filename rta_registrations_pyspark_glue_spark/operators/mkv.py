@@ -261,7 +261,9 @@ def _demux_mkv_inner(buf: bytes) -> dict:
                         f" ({sps['profile']} L{sps['level_idc']} "
                         f"{sps['width']}x{sps['height']})"
                     )
-                except ValueError:
+                except (ValueError, struct.error, IndexError):
+                    # corrupt CodecPrivate: the detail is best-effort,
+                    # the boundary below still fires (r11 advice)
                     pass
             raise NotImplementedError(
                 f"MKV video codec {codec!r}{detail}: block extraction works, "
@@ -307,7 +309,7 @@ def _demux_mkv_inner(buf: bytes) -> dict:
                         f" ({asc['profile']} {asc['sample_rate']} Hz "
                         f"x{asc['channels']})"
                     )
-                except ValueError:
+                except (ValueError, struct.error, IndexError):
                     pass
             raise NotImplementedError(
                 f"MKV audio codec {codec!r}{detail}: A_PCM/INT/LIT|BIG and "
@@ -380,10 +382,15 @@ def extract_mkv_codec_config(content: bytes) -> dict:
         and vide.get("codec") == "V_MPEG4/ISO/AVC"
         and vide.get("codec_private")
     ):
-        cfg = h264.parse_avcc(bytes(vide["codec_private"]))
-        if not cfg["sps"]:
-            raise ValueError("avcC carries no SPS")
-        sps = h264.parse_sps(cfg["sps"][0])
+        try:
+            cfg = h264.parse_avcc(bytes(vide["codec_private"]))
+            if not cfg["sps"]:
+                raise ValueError("avcC carries no SPS")
+            sps = h264.parse_sps(cfg["sps"][0])
+        except (struct.error, IndexError) as e:
+            # a truncated avcC CodecPrivate hits unpack_from at a
+            # length field — keep the documented ValueError envelope
+            raise ValueError(f"truncated avcC CodecPrivate: {e}") from None
         frames = [
             payload
             for tn, fr in blocks
@@ -410,10 +417,13 @@ def extract_mkv_codec_config(content: bytes) -> dict:
         # frames are length-prefixed HEVC NAL samples
         from rta_registrations_pyspark_glue_spark.operators import hevc
 
-        cfg = hevc.parse_hvcc(bytes(vide["codec_private"]))
-        if not cfg["sps"]:
-            raise ValueError("hvcC carries no SPS")
-        sps = hevc.parse_hevc_sps(cfg["sps"][0])
+        try:
+            cfg = hevc.parse_hvcc(bytes(vide["codec_private"]))
+            if not cfg["sps"]:
+                raise ValueError("hvcC carries no SPS")
+            sps = hevc.parse_hevc_sps(cfg["sps"][0])
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"truncated hvcC CodecPrivate: {e}") from None
         frames = [
             payload
             for tn, fr in blocks
@@ -439,7 +449,10 @@ def extract_mkv_codec_config(content: bytes) -> dict:
         and soun.get("codec") == "A_AAC"
         and soun.get("codec_private")
     ):
-        asc = parse_audio_specific_config(bytes(soun["codec_private"]))
+        try:
+            asc = parse_audio_specific_config(bytes(soun["codec_private"]))
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"truncated AAC CodecPrivate: {e}") from None
         aus = [
             payload
             for tn, fr in blocks

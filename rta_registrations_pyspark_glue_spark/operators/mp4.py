@@ -219,6 +219,11 @@ class _Bits:
         self.data, self.pos = data, 0
 
     def take(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            # surface truncation as the parse-error class every caller
+            # already catches (an AOT-31 escape on a 2-byte ASC used to
+            # leak IndexError past demux_mkv_features' envelope)
+            raise ValueError("bitstream truncated mid-field")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]

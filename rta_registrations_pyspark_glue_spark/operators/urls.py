@@ -61,18 +61,6 @@ class PslRules:
     #: "!rule" of n labels -> the rule ITSELF is registrable
     exceptions: dict[int, tuple[str, ...]]
 
-    def max_labels(self) -> int:
-        """Deepest label extract any rule bucket needs (the
-        registrable-domain label count of the longest rule)."""
-        out = 2
-        for n in self.exact:
-            out = max(out, n + 1)
-        for b in self.wildcards:
-            out = max(out, b + 2)
-        for n in self.exceptions:
-            out = max(out, n)
-        return out
-
 
 @lru_cache(maxsize=4)
 def load_psl(path: str | None = None) -> PslRules | None:

@@ -207,3 +207,51 @@ def test_codec_config_extraction_avc_and_aac():
     )
     out = mkv.extract_mkv_codec_config(plain)
     assert out == {"video": None, "audio": None}
+
+
+def test_corrupt_codec_private_stays_in_envelope():
+    """r11 advice regressions: a corrupt CodecPrivate must surface as
+    the documented error classes, never leak IndexError/struct.error
+    past demux_mkv_features' (ValueError, NotImplementedError,
+    TypeError) catch and crash the Spark task on one bad doc.
+
+    - an ASC of b'\\xf8\\x00' uses the AOT-31 escape then runs out of
+      bits mid-field (used to leak IndexError from _Bits.take);
+    - a truncated avcC hits struct.unpack_from at a length field (used
+      to leak struct.error from extract_mkv_codec_config)."""
+    from rta_registrations_pyspark_glue_spark.operators import h264
+    from rta_registrations_pyspark_glue_spark.operators.mp4 import (
+        parse_audio_specific_config,
+    )
+
+    short_escape_asc = b"\xf8\x00"
+    with pytest.raises(ValueError, match="truncated"):
+        parse_audio_specific_config(short_escape_asc)
+
+    aus = [bytes(range(8))]
+    buf = mkv.encode_mkv_av(
+        [np.zeros((16, 16, 3), np.uint8)], codec="V_UNCOMPRESSED",
+        audio=aus, audio_codec="A_AAC",
+        audio_codec_private=short_escape_asc,
+    )
+    # the boundary fires WITHOUT the detail (parse failed) and stays
+    # NotImplementedError — the class demux_mkv_features catches
+    with pytest.raises(NotImplementedError, match="A_AAC"):
+        mkv.demux_mkv(buf)
+    with pytest.raises(ValueError, match="AAC CodecPrivate|truncated"):
+        mkv.extract_mkv_codec_config(buf)
+
+    sps = h264.write_sps(32, 32)
+    avcc = h264.build_avcc(sps, h264.write_pps())
+    sample = b"\x00\x00\x00\x02\x65\x00"
+    for cut in (3, 7, len(avcc) - 1):
+        bad = mkv.encode_mkv_av(
+            [sample], codec="V_MPEG4/ISO/AVC", frame_size=(32, 32),
+            codec_private=avcc[:cut],
+        )
+        with pytest.raises(ValueError):
+            mkv.extract_mkv_codec_config(bad)
+        # demux's detail branch swallows the parse error and still
+        # raises the named boundary
+        with pytest.raises(NotImplementedError, match="ISO/AVC"):
+            mkv.demux_mkv(bad)
