@@ -146,8 +146,12 @@ SCOPES = {
     # addressing; PCM decode stays the plug-in boundary,
     # doc_id % 16 = 3 subset) + the 'h264' rows (AVC STRUCTURAL
     # extraction — real SPS parse with cropping, avcC walk, NAL
-    # composition; slice decode stays the boundary, doc_id % 16 = 11)
-    "multimodal_suite": 7,
+    # composition; slice decode stays the boundary, doc_id % 16 = 11);
+    # round 12 → 8: + the 'hevc' rows (HEVC STRUCTURAL extraction —
+    # profile_tier_level, conformance-window dims, hvcC walk, two-byte
+    # NAL headers with IRAP keyframe semantics; CTU decode stays the
+    # boundary, doc_id % 16 = 12 subset)
+    "multimodal_suite": 8,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental
     # substring dedup, oracle-consolidated under the 50-query cap)

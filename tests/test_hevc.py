@@ -114,6 +114,49 @@ def test_mkv_codec_config_routes_hevc():
         assert v[k] == want[k], (k, v[k], want[k])
 
 
+def test_spark_leg_matches_local(spark, sf_dir):
+    """The r12 gate leg ('hevc' rows, doc_id % 16 == 12): the Spark
+    synthesize→extract pipeline reproduces the closed forms the
+    _MM_HEVC_ORACLE pins — profile/tier independent rotation, exact
+    conformance-cropped dims, NAL composition, and the slice/SEI byte
+    sum (headers 39 / 79+43 / 79+3 for IDR / SEI+CRA / SEI+trail)."""
+    from pyspark.sql import functions as F
+
+    from rta_registrations_pyspark_glue_spark.operators import hevc as hv
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 16 == 12
+    ).limit(30)
+    rows = hv.extract_hevc_features(hv.synthesize_hevc_docs(docs)).collect()
+    assert rows
+    for r in rows:
+        d = r.doc_id
+        assert r.parse_ok
+        assert r.profile == ("Main" if d % 2 == 0 else "Main 10")
+        assert r.tier == ("Main" if (d // 2) % 2 == 0 else "High")
+        assert r.level_idc == 90 + d % 4
+        assert r.width == 8 * (8 + d % 5) - 2 * (d % 4)
+        assert r.height == 8 * (6 + d % 4) - 2 * (d % 2)
+        n_samples = 2 + d % 3
+        assert r.n_samples == n_samples
+        assert r.n_nals == 2 * n_samples + 2
+        assert (r.n_idr, r.n_cra) == (1, (n_samples - 1) // 2)
+        assert r.n_sei == n_samples - 1
+        assert r.keyframes == 1 + (n_samples - 1) // 2
+        want = 0
+        for s in range(n_samples):
+            body = sum(
+                (d + 7 * s + i) % 256
+                for i in range(8 + (11 * d + 5 * s) % 16)
+            )
+            if s == 0:
+                want += 39 + body
+            else:
+                want += 79 + (43 if s % 2 == 0 else 3) + 2 * body
+        assert r.slice_byte_sum == want
+
+
 def test_malformed_envelope():
     vps, sps, pps, samples, want = _track_fixture(5)
     buf = mp4.encode_mp4_av(
