@@ -1284,6 +1284,7 @@ def ivf_search(
     query_id: str = "qid",
     query_vec: str = "qv",
     max_broadcast_queries: int = 100_000,
+    rank_mode: str = "auto",
 ) -> DataFrame:
     """Search a built IVF index; exact top-k within each query's
     ``nprobe`` nearest cells. Output: (qid, cid, rank, cosine) —
@@ -1306,10 +1307,26 @@ def ivf_search(
 
     Driver-side probe ranking is O(n_q · n_cells) column-fold lanes —
     fine to ~1e9 (e.g. 100k queries × 4k cells × 64 dims); past that,
-    lower ``max_broadcast_queries`` to force the join path."""
+    lower ``max_broadcast_queries`` to force the join path.
+
+    ``rank_mode`` (r12, VERDICT r11 #1): how the per-query top-nprobe
+    PROBE CELLS are ranked once k is large — "flat" always ranks all k
+    centroids exactly; "auto" (default) runs the decide_rank_mode
+    overlap validation on a ≤1024-query sample once k crosses
+    _HIER_RANK_MIN_CELLS and switches to the calibrated √k
+    hierarchical ranking only when the sampled probe-set recall clears
+    _HIER_RANK_OVERLAP within the _HIER_RANK_MAX_COST flop budget;
+    "hier" forces the hierarchical path at the calibrated (overlap-
+    target-meeting) super_probe — the A/B measurement hook. Below
+    _HIER_RANK_MIN_CELLS every mode is the exact flat ranking, so all
+    oracle-checked corpora are invariant to this parameter."""
     if 0 <= queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries:
-        return _ivf_search_broadcast(index, queries, k, nprobe, query_id, query_vec)
-    return _ivf_search_join(index, queries, k, nprobe, query_id, query_vec)
+        return _ivf_search_broadcast(
+            index, queries, k, nprobe, query_id, query_vec, rank_mode
+        )
+    return _ivf_search_join(
+        index, queries, k, nprobe, query_id, query_vec, rank_mode
+    )
 
 
 #: Above this centroid count, cell assignment and probe ranking run as
@@ -1349,9 +1366,51 @@ def _negcos_order(np, mat, sqrtn, cent_m, cent_nrm, nprobe):
     return np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
 
 
+def _topk_stable(np, negcos, nprobe):
+    """Top-``nprobe`` column indices per row in EXACTLY the order
+    ``np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]`` returns
+    them — (value ASC, column ASC among exact ties, NaN last) — at
+    O(Q·k) selection cost instead of the full O(Q·k log k) row sort
+    (r12: at sf405 the 81k×32400 ranking matrix made the full argsort
+    the dominant driver-ranking cost).
+
+    Method: np.partition gives the exact nprobe-th smallest VALUE per
+    row; keep every column strictly below it plus the LOWEST-index
+    columns equal to it until nprobe are selected (np.nonzero is
+    row-major, so a cumsum over the equality mask picks ascending
+    columns — the stable tie-break), then one (Q, nprobe) stable value
+    sort whose ties keep that ascending column order. Rows whose
+    nprobe-th value is NaN (more NaN lanes than k − nprobe: zero-norm
+    centroids) fall back to the full stable argsort — comparisons
+    against a NaN threshold select nothing, so correctness never
+    silently degrades."""
+    q, k = negcos.shape
+    if nprobe >= k or q == 0:
+        return np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
+    thr = np.partition(negcos, nprobe - 1, axis=1)[:, nprobe - 1]
+    good = ~np.isnan(thr)
+    out = np.empty((q, nprobe), dtype=np.int64)
+    if good.any():
+        sub = negcos[good]
+        t = thr[good][:, None]
+        lt = sub < t
+        need = nprobe - lt.sum(axis=1)
+        eq = sub == t
+        sel = lt | (eq & (np.cumsum(eq, axis=1) <= need[:, None]))
+        cols = np.nonzero(sel)[1].reshape(-1, nprobe)
+        vals = np.take_along_axis(sub, cols, axis=1)
+        order = np.argsort(vals, axis=1, kind="stable")
+        out[good] = np.take_along_axis(cols, order, axis=1)
+    if not good.all():
+        out[~good] = np.argsort(negcos[~good], axis=1, kind="stable")[
+            :, :nprobe
+        ]
+    return out
+
+
 def _negcos_order_gemm(np, mat, sqrtn, cent_m, cent_nrm, nprobe):
-    """_negcos_order with the accumulation done by ONE BLAS dgemm
-    instead of the d-step column fold. Mathematically the same sum;
+    """_negcos_order with the accumulation done by BLAS dgemm instead
+    of the d-step column fold. Mathematically the same sum;
     floating-point rounding may differ in the last ulp, so the probe
     ORDER can flip only between centroids whose cosines tie to ~1e-15
     — which is why this runs ONLY past _HIER_ASSIGN_MIN_CELLS, where
@@ -1363,10 +1422,29 @@ def _negcos_order_gemm(np, mat, sqrtn, cent_m, cent_nrm, nprobe):
     (rank_probe_hierarchical) measured BOTH slower (6.4s) and lossy
     (0.54 search-result overlap on the near-uniform corpus) — exact
     ranking via BLAS beats approximate ranking via routing at every
-    k this container can hold."""
-    with np.errstate(divide="ignore", invalid="ignore"):
-        negcos = -((mat @ cent_m.T) / np.outer(sqrtn, cent_nrm))
-    return np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
+    k this container can hold.
+
+    r12: the query axis is CHUNKED (the sf405 sixth decade made the
+    unchunked form allocate two 81k×32400 float64 temporaries — 21 GB
+    each — whose memory traffic, not the GEMM flops, dominated the
+    driver ranking) and top-nprobe selection runs through
+    _topk_stable's O(Q·k) exact selection instead of the full row
+    sort. Both changes preserve the (value ASC, column ASC) order
+    element-for-element; only dgemm blocking may shift the last ulp,
+    exactly as before."""
+    k = cent_m.shape[0]
+    nprobe = min(nprobe, k)
+    n = len(mat)
+    chunk = _GEMM_QUERY_CHUNK
+    out = np.empty((n, nprobe), dtype=np.int64)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            negcos = -(
+                (mat[s:e] @ cent_m.T) / np.outer(sqrtn[s:e], cent_nrm)
+            )
+        out[s:e] = _topk_stable(np, negcos, nprobe)
+    return out
 
 
 def assign_cells_vectorized(
@@ -1804,6 +1882,7 @@ def rank_probe_hierarchical(
     super_probe: int | None = None,
     n_super: int | None = None,
     quantizer=None,
+    score: str = "fold",
 ):
     """assign_cells_hierarchical's SEARCH-side twin (r9, VERDICT r8 #2):
     rank a query batch's top-``nprobe`` PROBE cells through the same
@@ -1841,7 +1920,15 @@ def rank_probe_hierarchical(
     (30k queries x C(35,6) possible combos) degenerated into ~10⁴
     tiny GEMMs whose fixed numpy overhead measured 271s; the per-super
     formulation runs the same flops in ~35 calls, merged by one global
-    lexsort over Q·sp·√k (~6M) score rows."""
+    lexsort over Q·sp·√k (~6M) score rows.
+
+    ``score``: "fold" (default) keeps the exact per-lane column fold —
+    the bit-identity anchor above holds against _negcos_order. "gemm"
+    runs each per-super block as one BLAS dgemm (and the short-query
+    fallback as _negcos_order_gemm) — same sums, last-ulp rounding
+    only; the r12 auto-enable path uses it because it only ever
+    engages past _HIER_RANK_MIN_CELLS, far beyond the bit-exact
+    oracle boundary."""
     import math
 
     k = len(centroids)
@@ -1870,9 +1957,12 @@ def rank_probe_hierarchical(
         if len(rows) == 0:
             continue
         cand = children[j]  # ascending original positions
-        acc = np.zeros((len(rows), len(cand)))
-        for d in range(mat.shape[1]):
-            acc += np.outer(mat[rows, d], cent_m[cand, d])
+        if score == "gemm":
+            acc = mat[rows] @ cent_m[cand].T
+        else:
+            acc = np.zeros((len(rows), len(cand)))
+            for d in range(mat.shape[1]):
+                acc += np.outer(mat[rows, d], cent_m[cand, d])
         with np.errstate(divide="ignore", invalid="ignore"):
             negcos = -(acc / np.outer(sqrtn[rows], cent_nrm[cand]))
         q_parts.append(np.repeat(rows, len(cand)))
@@ -1898,10 +1988,199 @@ def rank_probe_hierarchical(
         # exact flat fallback for queries whose routed supers carry
         # fewer than nprobe children (tiny quantizers / lopsided maps)
         short = np.nonzero(~enough)[0]
-        out[short] = _negcos_order(
+        rank_fn = _negcos_order_gemm if score == "gemm" else _negcos_order
+        out[short] = rank_fn(
             np, mat[short], sqrtn[short], cent_m, cent_nrm, nprobe
         )
     return out
+
+
+#: Cell count past which ivf_search's "auto" rank mode CONSIDERS the
+#: √k hierarchical probe ranking (it still has to pass the sampled
+#: overlap validation below). Sits an order of magnitude above
+#: _HIER_ASSIGN_MIN_CELLS: at k ≤ ~4k the exact Q·k dgemm is
+#: sub-second (SCALING.md §10 measured it at sf15's k=1200) and
+#: nothing is gained by trading recall; past it the ranking term is
+#: the only super-linear term left in the search (§16: ~51% of sf405
+#: search flops, growing √N per decade). Every oracle-checked corpus
+#: (k=8/80/400 at sf0.01/0.1/1/5) sits far below, so gate results
+#: stay bit-exact under the default "auto".
+_HIER_RANK_MIN_CELLS = 4096
+
+#: Sampled probe-set recall the calibrated hierarchical ranking must
+#: reach before "auto" turns it on. Probe-set recall lower-bounds
+#: search-result recall (a flat-top-nprobe cell that IS in the routed
+#: candidate pool always survives into the hierarchical top-nprobe:
+#: scores are exact and the pool is a subset of all cells), so 0.95
+#: here is stricter than the r9 ≥0.8 search-overlap contract.
+_HIER_RANK_OVERLAP = 0.95
+
+#: Maximum (hierarchical flops / flat flops) ratio "auto" accepts:
+#: if meeting the overlap target needs so many probed supers that the
+#: ranking cost is back above half of flat, routing buys too little —
+#: stay exact.
+_HIER_RANK_MAX_COST = 0.5
+
+#: Queries sampled (driver-side) for the overlap calibration.
+_RANK_SAMPLE_MAX = 1024
+
+
+def decide_rank_mode(
+    np,
+    sample_mat,
+    sample_sqrtn,
+    centroids: list[tuple[int, list[float]]],
+    cent_m,
+    cent_nrm,
+    nprobe: int,
+    overlap_target: float = _HIER_RANK_OVERLAP,
+    max_cost_ratio: float = _HIER_RANK_MAX_COST,
+    n_super: int | None = None,
+    quantizer=None,
+    force: bool = False,
+) -> dict:
+    """The r12 overlap-validation protocol SCALING.md §16 called for
+    (VERDICT r11 #1): decide, from a bounded driver-side query sample,
+    whether the √k hierarchical probe ranking (rank_probe_hierarchical)
+    preserves enough of the exact probe set to be enabled — and at
+    which ``super_probe``.
+
+    The r9 rejection used the DERIVED super_probe (≈4·nprobe children,
+    sp=6 at sf15) and measured 0.54 search overlap on the near-uniform
+    corpus. The insight this protocol adds: sp is a dial, not a
+    constant. Routing costs √k·d per query and each probed super adds
+    ~√k·d of candidate scoring, so even sp in the tens keeps the
+    ranking ~5× under the flat Q·k·d at k≈32k — the question is the
+    SMALLEST sp whose sampled probe-set recall clears the target, and
+    whether that sp still clears the flop budget.
+
+    Method (one V×k dgemm + one V×√k dgemm, driver-side, V ≤ 1024):
+    compute the exact flat top-``nprobe`` probe cells per sample query;
+    compute each query's full super routing order; for every (query,
+    probe-slot) pair find the routing RANK of that cell's super. The
+    overlap curve over sp is then one cumulative histogram —
+    overlap(sp) = fraction of flat probe cells whose super routes
+    within the top sp. This is EXACT for the candidate-pool stage (a
+    pooled cell survives into the hierarchical top-nprobe by the
+    subset argument in _HIER_RANK_OVERLAP's note), so the curve is the
+    true probe-set recall of rank_probe_hierarchical at each sp, not a
+    proxy.
+
+    Returns {"mode": "hier"|"flat", "super_probe", "overlap",
+    "cost_ratio", "n_super", "k", "nprobe"} — mode "hier" with the
+    minimal qualifying sp, or "flat" with the overlap at the largest
+    affordable sp (the measured, documented reason routing stays off).
+    ``force=True`` drops the cost gate (pick the minimal sp meeting
+    the overlap target, else the full-recall sp = n_super) — the A/B
+    measurement hook."""
+    import math
+
+    k = len(centroids)
+    nprobe = min(nprobe, k)
+    if quantizer is None:
+        s = n_super or max(2, int(round(math.sqrt(k))))
+        quantizer = _cluster_centroids(np, centroids, s)
+    sup_m, children = quantizer
+    ns = len(children)
+    flat = _negcos_order_gemm(
+        np, sample_mat, sample_sqrtn, cent_m, cent_nrm, nprobe
+    )
+    route_order = np.argsort(
+        -(sample_mat @ sup_m.T), axis=1, kind="stable"
+    )
+    v = len(sample_mat)
+    rows = np.arange(v)[:, None]
+    super_rank = np.empty_like(route_order)
+    super_rank[rows, route_order] = np.arange(ns)[None, :]
+    super_of = np.empty(k, dtype=np.int64)
+    for j, ch in enumerate(children):
+        super_of[ch] = j
+    need_rank = super_rank[rows, super_of[flat]]
+    hist = np.bincount(need_rank.reshape(-1), minlength=ns)
+    overlap_at = np.cumsum(hist) / max(1, need_rank.size)
+    sp_arr = np.arange(1, ns + 1)
+    cost_at = (ns + sp_arr * (k / ns)) / k
+    meets = overlap_at >= overlap_target
+    ok = meets & (cost_at <= max_cost_ratio) if not force else meets
+    base = {"n_super": ns, "k": k, "nprobe": nprobe}
+    if ok.any():
+        i = int(ok.argmax())  # minimal sp: overlap_at is nondecreasing
+        return {
+            "mode": "hier",
+            "super_probe": int(sp_arr[i]),
+            "overlap": float(overlap_at[i]),
+            "cost_ratio": float(cost_at[i]),
+            **base,
+        }
+    if force:
+        # full-recall fallback: probing every super IS the flat set
+        return {
+            "mode": "hier",
+            "super_probe": ns,
+            "overlap": 1.0,
+            "cost_ratio": float(cost_at[-1]),
+            **base,
+        }
+    within = cost_at <= max_cost_ratio
+    if within.any():
+        i = int(np.nonzero(within)[0][-1])
+        return {
+            "mode": "flat",
+            "super_probe": int(sp_arr[i]),
+            "overlap": float(overlap_at[i]),
+            "cost_ratio": float(cost_at[i]),
+            **base,
+        }
+    return {
+        "mode": "flat", "super_probe": 0, "overlap": 0.0,
+        "cost_ratio": 1.0, **base,
+    }
+
+
+def _rank_sample(np, q_mat, q_sqrtn):
+    """Deterministic ≤_RANK_SAMPLE_MAX-row calibration sample: an even
+    stride over the query matrix (no RNG — same queries, same
+    decision)."""
+    v = len(q_mat)
+    if v <= _RANK_SAMPLE_MAX:
+        return q_mat, q_sqrtn
+    idx = np.linspace(0, v - 1, _RANK_SAMPLE_MAX).astype(np.int64)
+    return q_mat[idx], q_sqrtn[idx]
+
+
+#: Last ivf_search rank-mode decision made on this driver (None until
+#: a search crosses _HIER_RANK_MIN_CELLS) — observability for tests
+#: and the decompose tool; DataFrames can't carry metadata.
+_LAST_RANK_DECISION: dict | None = None
+
+
+def _decide_search_rank(
+    np, q_mat, q_sqrtn, centroids, cent_m, cent_nrm, nprobe, rank_mode
+):
+    """ivf_search's shared gatekeeper: returns a decide_rank_mode
+    decision dict (with the fitted quantizer attached under
+    "_quantizer") when the calibrated hierarchical ranking should run,
+    else None (exact flat ranking). Records the decision in
+    _LAST_RANK_DECISION either way once validation actually ran."""
+    global _LAST_RANK_DECISION
+    import math
+
+    if rank_mode not in ("auto", "hier", "flat"):
+        raise ValueError(f"rank_mode {rank_mode!r}: auto | hier | flat")
+    k = len(centroids)
+    if rank_mode == "flat" or k <= _HIER_RANK_MIN_CELLS or len(q_mat) == 0:
+        return None
+    quantizer = _cluster_centroids(
+        np, centroids, max(2, int(round(math.sqrt(k))))
+    )
+    smat, ssq = _rank_sample(np, q_mat, q_sqrtn)
+    decision = decide_rank_mode(
+        np, smat, ssq, centroids, cent_m, cent_nrm, nprobe,
+        quantizer=quantizer, force=(rank_mode == "hier"),
+    )
+    decision["_quantizer"] = quantizer
+    _LAST_RANK_DECISION = decision
+    return decision if decision["mode"] == "hier" else None
 
 
 def probe_memberships_vectorized(
@@ -1997,6 +2276,7 @@ def _ivf_search_broadcast(
     nprobe: int,
     query_id: str,
     query_vec: str,
+    rank_mode: str = "auto",
 ) -> DataFrame:
     """Broadcast-GEMM strategy (see ivf_search). Exactness notes: query
     norms use the driver fold (_py_dot — identical to the Spark fold);
@@ -2046,7 +2326,22 @@ def _ivf_search_broadcast(
     cent_nrm = np.array(
         [math.sqrt(_py_dot(cv, cv)) for _, cv in index.centroids]
     )
-    if len(cells) > _HIER_ASSIGN_MIN_CELLS:
+    decision = _decide_search_rank(
+        np, q_mat, q_sqrtn, index.centroids, cent_m, cent_nrm, nprobe,
+        rank_mode,
+    )
+    if decision is not None and decision["mode"] == "hier":
+        # r12 (VERDICT r11 #1): the calibrated √k hierarchical ranking
+        # — enabled only because decide_rank_mode measured its sampled
+        # probe-set recall ≥ the target at this super_probe. Cuts the
+        # Q·k·d ranking term (~51% of sf405 search flops, §16) to
+        # Q·√k·(1+sp)·d.
+        order = rank_probe_hierarchical(
+            np, q_mat, q_sqrtn, index.centroids, cent_m, cent_nrm,
+            nprobe, super_probe=decision["super_probe"],
+            quantizer=decision["_quantizer"], score="gemm",
+        )
+    elif len(cells) > _HIER_ASSIGN_MIN_CELLS:
         # r9: past the same threshold as build-side assignment, probe
         # ranking switches to the BLAS dgemm form — the Q·k·d fold
         # loop SCALING.md §9 measured inside the sf15 search becomes
@@ -2070,11 +2365,20 @@ def _ivf_search_broadcast(
         # sorting (negcos, cell) ascending; NaN sorts last in numpy and
         # Spark alike.
         order = np.argsort(negcos, axis=1, kind="stable")[:, :nprobe]
-    cell2q: dict[int, list[int]] = {}
-    for qi in range(len(q_ids)):
-        for c in cells[order[qi]]:
-            cell2q.setdefault(int(c), []).append(qi)
-    cell2q_np = {c: np.array(v) for c, v in cell2q.items()}
+    # Invert (query -> probed cells) to (cell -> query positions)
+    # vectorized (r12: the per-element Python loop was 20M dict appends
+    # at sf405). The stable sort keeps query positions ascending within
+    # each cell — same arrays the loop built.
+    flat_q = np.repeat(np.arange(len(q_ids)), order.shape[1])
+    flat_c = cells[order].reshape(-1)
+    o = np.argsort(flat_c, kind="stable")
+    fc, fq = flat_c[o], flat_q[o]
+    uniq, starts = np.unique(fc, return_index=True)
+    bounds = np.append(starts, len(fc))
+    cell2q_np = {
+        int(uniq[i]): fq[bounds[i] : bounds[i + 1]].copy()
+        for i in range(len(uniq))
+    }
 
     sc = queries.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_sqrtn, cell2q_np))
@@ -2176,6 +2480,7 @@ def _ivf_search_join(
     nprobe: int = 2,
     query_id: str = "qid",
     query_vec: str = "qv",
+    rank_mode: str = "auto",
 ) -> DataFrame:
     """Per-pair-join strategy (see ivf_search): scan-side probe explode,
     cell equi-join against the persisted assignment, exact vectorized
@@ -2201,6 +2506,27 @@ def _ivf_search_join(
         )
         gemm = len(centroids) > _HIER_ASSIGN_MIN_CELLS  # driver-side
 
+        # r12 rank-mode validation: this path exists because the query
+        # set was too big to collect, so calibrate on a bounded PREFIX
+        # sample (one tiny early-stopping job). The decision and the
+        # driver-fitted quantizer ride the closure into every task —
+        # workers never refit, so all tasks rank identically.
+        decision = None
+        if rank_mode != "flat" and len(centroids) > _HIER_RANK_MIN_CELLS:
+            s_rows = q.select("__qv", "__qn").limit(_RANK_SAMPLE_MAX).collect()
+            if s_rows:
+                smat = np.array(
+                    [[float(x) for x in r["__qv"]] for r in s_rows]
+                )
+                ssq = np.sqrt(np.array([float(r["__qn"]) for r in s_rows]))
+                _, cent_m0, cent_nrm0 = _centroid_arrays(np, centroids)
+                decision = _decide_search_rank(
+                    np, smat, ssq, centroids, cent_m0, cent_nrm0, nprobe,
+                    rank_mode,
+                )
+        hier_sp = decision["super_probe"] if decision else None
+        hier_q = decision["_quantizer"] if decision else None
+
         def probe_op(batches):
             cells, cent_m, cent_nrm = _centroid_arrays(np, centroids)
             kk = min(nprobe, len(cells))
@@ -2209,7 +2535,13 @@ def _ivf_search_join(
                     continue
                 mat = np.stack(pdf["__qv"].map(np.asarray)).astype(np.float64)
                 sqrtn = np.sqrt(pdf["__qn"].to_numpy())
-                if gemm:  # r9: see _negcos_order_gemm
+                if hier_sp is not None:  # r12: calibrated √k ranking
+                    order = rank_probe_hierarchical(
+                        np, mat, sqrtn, centroids, cent_m, cent_nrm, kk,
+                        super_probe=hier_sp, quantizer=hier_q,
+                        score="gemm",
+                    )
+                elif gemm:  # r9: see _negcos_order_gemm
                     order = _negcos_order_gemm(
                         np, mat, sqrtn, cent_m, cent_nrm, kk
                     )

@@ -1914,3 +1914,129 @@ def test_ivf_append_index_bit_equal_and_drift(spark, sf_dir, tmp_path):
     )
     out2 = similarity.ivf_append_index(spark, path, perfect, corpus_vec="cv")
     assert out2["drift_ratio"] < 0.2 < out["drift_ratio"], (out, out2)
+
+
+def _clustered_fixture(np, n_dirs=60, k=800, d=32, n_queries=200, seed=42):
+    """Synthetic CLUSTERED geometry (the regime hierarchical routing is
+    for): k child centroids scattered around n_dirs unit directions,
+    queries drawn from the same directions."""
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(n_dirs, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    cc = dirs[rng.integers(0, n_dirs, size=k)] + 0.15 * rng.normal(
+        size=(k, d)
+    )
+    cents = [(i, cc[i].tolist()) for i in range(k)]
+    qm = dirs[rng.integers(0, n_dirs, size=n_queries)] + 0.15 * rng.normal(
+        size=(n_queries, d)
+    )
+    return cents, qm
+
+
+def test_decide_rank_mode_clustered_enables_uniform_refuses():
+    """The r12 overlap-validation protocol (VERDICT r11 #1): on a
+    clustered corpus the calibrated hierarchical ranking clears the
+    0.95 probe-set-recall target at a tiny super_probe (large flop
+    cut) -> mode 'hier'; on a NEAR-UNIFORM corpus (the documented
+    adversarial case that measured 0.54 overlap at the r9 derived sp)
+    no affordable sp reaches the target -> mode 'flat', with the
+    overlap it DID measure reported as the documented refusal reason."""
+    import numpy as np
+
+    cents, qm = _clustered_fixture(np, k=2000, n_queries=300)
+    cells, cm, cn = similarity._centroid_arrays(np, cents)
+    sq = np.sqrt((qm * qm).sum(axis=1))
+    dec = similarity.decide_rank_mode(np, qm, sq, cents, cm, cn, nprobe=45)
+    assert dec["mode"] == "hier"
+    assert dec["overlap"] >= similarity._HIER_RANK_OVERLAP
+    assert dec["cost_ratio"] <= similarity._HIER_RANK_MAX_COST
+    assert 1 <= dec["super_probe"] < dec["n_super"]
+
+    rng = np.random.default_rng(7)
+    ucents = [(i, rng.normal(size=64).tolist()) for i in range(8000)]
+    _, ucm, ucn = similarity._centroid_arrays(np, ucents)
+    uq = rng.normal(size=(300, 64))
+    usq = np.sqrt((uq * uq).sum(axis=1))
+    udec = similarity.decide_rank_mode(
+        np, uq, usq, ucents, ucm, ucn, nprobe=89
+    )
+    assert udec["mode"] == "flat"
+    assert 0.0 < udec["overlap"] < similarity._HIER_RANK_OVERLAP
+    assert udec["cost_ratio"] <= similarity._HIER_RANK_MAX_COST
+    # force=True (the A/B hook) always yields a runnable hier config
+    fdec = similarity.decide_rank_mode(
+        np, uq, usq, ucents, ucm, ucn, nprobe=89, force=True
+    )
+    assert fdec["mode"] == "hier" and fdec["overlap"] >= 0.95
+
+    # determinism: same inputs, same decision
+    again = similarity.decide_rank_mode(np, qm, sq, cents, cm, cn, nprobe=45)
+    assert again == dec
+
+
+def test_ivf_search_auto_rank_end_to_end(spark, monkeypatch):
+    """auto rank_mode end-to-end on a clustered Spark corpus, both
+    physical strategies: past the (monkeypatched) consideration
+    threshold the validation enables the calibrated hierarchical
+    ranking, the recorded decision says so, and the search results
+    stay >= 0.9 overlapped with the exact flat search — the r9
+    contract the fixed-sp variant failed at 0.54."""
+    import numpy as np
+
+    # 400 cells over 20 directions (k >> n_super >> directions is the
+    # geometry routing wins): corpus = 3 perturbed copies per centroid
+    cents, qm = _clustered_fixture(
+        np, n_dirs=20, k=400, d=16, n_queries=120, seed=3
+    )
+    rng = np.random.default_rng(5)
+    cm0 = np.array([cv for _, cv in cents])
+    corpus_m = np.repeat(cm0, 3, axis=0) + 0.05 * rng.normal(
+        size=(1200, 16)
+    )
+    corpus = spark.createDataFrame(
+        [(int(i), corpus_m[i].tolist()) for i in range(len(corpus_m))],
+        "cid long, cv array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(int(10_000 + i), qm[i].tolist()) for i in range(len(qm))],
+        "qid long, qv array<double>",
+    )
+    idx = similarity.ivf_build(corpus, centroids=cents)
+    flat = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_search(
+            idx, queries, k=5, nprobe=12, rank_mode="flat"
+        ).collect()
+    }
+    monkeypatch.setattr(similarity, "_HIER_RANK_MIN_CELLS", 16)
+    monkeypatch.setattr(similarity, "_LAST_RANK_DECISION", None)
+    auto = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_search(
+            idx, queries, k=5, nprobe=12, rank_mode="auto"
+        ).collect()
+    }
+    dec = similarity._LAST_RANK_DECISION
+    assert dec is not None and dec["mode"] == "hier", dec
+    assert dec["overlap"] >= similarity._HIER_RANK_OVERLAP
+    overlap = len(flat & auto) / len(flat)
+    assert overlap >= 0.9, overlap
+
+    # join path (query set forced past the broadcast cap): the
+    # decision is calibrated driver-side from a bounded prefix sample
+    # and shipped to the workers — same contract
+    monkeypatch.setattr(similarity, "_LAST_RANK_DECISION", None)
+    joined = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_search(
+            idx, queries, k=5, nprobe=12, rank_mode="auto",
+            max_broadcast_queries=10,
+        ).collect()
+    }
+    dec2 = similarity._LAST_RANK_DECISION
+    assert dec2 is not None and dec2["mode"] == "hier", dec2
+    overlap_j = len(flat & joined) / len(flat)
+    assert overlap_j >= 0.9, overlap_j
+    # flat mode is the default below the REAL threshold: un-patched,
+    # this 64-cell index never consults the validator
+    caching.release_tracked()
