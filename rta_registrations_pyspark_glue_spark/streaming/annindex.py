@@ -50,6 +50,7 @@ def ingest_ivf_batch(
     health dict it also writes."""
     from rta_registrations_pyspark_glue_spark.operators.similarity import (
         _assignment_quant_stats,
+        _cell_counts,
         ivf_build,
     )
 
@@ -63,6 +64,7 @@ def ingest_ivf_batch(
         batch_df, centroids=cents, corpus_id=corpus_id, corpus_vec=corpus_vec
     )
     n_new, new_err = _assignment_quant_stats(part)
+    batch_counts = _cell_counts(part.assignment)
     (
         part.assignment.select(
             F.col(corpus_id),
@@ -83,6 +85,13 @@ def ingest_ivf_batch(
         "new_mean_quant_err": new_err,
         "baseline_mean_quant_err": baseline,
         "drift_ratio": (new_err / baseline) if baseline else None,
+        # per-batch occupancy counts, from the BATCH's own aggregation
+        # (r12): summing these across health files + the base meta's
+        # cell_counts gives whole-index occupancy with no tree scan,
+        # and the file is overwritten on replay — exactly-once like
+        # the partitions it describes (folding into the base meta
+        # instead would double-count on replay)
+        "cell_counts": batch_counts,
     }
     hdir = os.path.join(index_path, "health")
     os.makedirs(hdir, exist_ok=True)
@@ -123,3 +132,28 @@ def stream_ivf_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ivf_index_occupancy(index_path: str) -> dict:
+    """Whole-index occupancy (base tree + streaming sibling) with NO
+    parquet scan: fold the base meta's persisted ``cell_counts``
+    (ivf_write_index / ivf_append_index) with every health file's
+    per-batch counts. Each health file is overwritten on replay, so
+    the fold is exactly-once by construction."""
+    from rta_registrations_pyspark_glue_spark.operators.similarity import (
+        _occupancy_from_counts,
+    )
+
+    with open(os.path.join(index_path, "centroids.json")) as f:
+        meta = json.load(f)
+    counts = dict(meta.get("cell_counts") or {})
+    hdir = os.path.join(index_path, "health")
+    if os.path.isdir(hdir):
+        for name in sorted(os.listdir(hdir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(hdir, name)) as f:
+                batch = json.load(f).get("cell_counts") or {}
+            for cell, n in batch.items():
+                counts[cell] = counts.get(cell, 0) + int(n)
+    return {"cell_counts": counts, **_occupancy_from_counts(counts)}

@@ -188,3 +188,24 @@ def test_stream_ivf_ingest_bit_equal_and_idempotent(spark, tmp_path):
     ingest_ivf_batch(spark, b1, 0, path, corpus_vec="cv")
     n_after = spark.read.parquet(os.path.join(path, "assignment_stream")).count()
     assert n_after == n_before
+    # (d) r12 scan-free occupancy: base meta counts + per-batch health
+    # counts fold to the exact whole-index recount, through the replay
+    # (health files are overwritten with their partitions)
+    from rta_registrations_pyspark_glue_spark.streaming.annindex import (
+        ivf_index_occupancy,
+    )
+
+    occ = ivf_index_occupancy(path)
+    recount = {
+        str(int(r["cell"])): int(r["n"])
+        for r in spark.read.parquet(os.path.join(path, "assignment"))
+        .select("cell")
+        .unionByName(
+            spark.read.parquet(
+                os.path.join(path, "assignment_stream")
+            ).select("cell")
+        )
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert occ["cell_counts"] == recount
+    assert occ["occupancy_max"] == max(recount.values())

@@ -56,6 +56,15 @@ def main() -> None:
         i = args.index("--query-mod")
         query_mod = int(args[i + 1])
         del args[i : i + 2]
+    # --rank-mode flat|auto|hier (default auto, r12): the probe-ranking
+    # strategy ivf_search should use; the recorded decide_rank_mode
+    # decision (mode/sp/overlap/cost) is printed per search pass so the
+    # sidecar shows WHY routing engaged or refused.
+    rank_mode = "auto"
+    if "--rank-mode" in args:
+        i = args.index("--rank-mode")
+        rank_mode = args[i + 1]
+        del args[i : i + 2]
     dirs = args or ["/root/repo/.scale/sf5", "/root/repo/.scale/sf15"]
     spark = get_spark("ivf_decompose")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -80,11 +89,20 @@ def main() -> None:
         idx.assignment.write.format("noop").mode("overwrite").save()
         t2 = time.perf_counter()
         search_times = []
+        decisions = []
         for _ in range(passes):
             ts = time.perf_counter()
-            out = similarity.ivf_search(idx, q, k=5, nprobe=nprobe)
+            out = similarity.ivf_search(
+                idx, q, k=5, nprobe=nprobe, rank_mode=rank_mode
+            )
             out.write.format("noop").mode("overwrite").save()
             search_times.append(time.perf_counter() - ts)
+            d = similarity._LAST_RANK_DECISION
+            decisions.append(
+                {k_: v for k_, v in d.items() if not k_.startswith("_")}
+                if d
+                else None
+            )
         strategy = (
             "hierarchical"
             if k > similarity._HIER_ASSIGN_MIN_CELLS
@@ -93,8 +111,9 @@ def main() -> None:
         searches = " ".join(f"search{i + 1}={t:.1f}s" for i, t in enumerate(search_times))
         print(
             f"{sf}: n={n} k={k} nprobe={nprobe} query_mod={query_mod} "
-            f"assign_strategy={strategy} "
-            f"train={t1 - t0:.1f}s assign={t2 - t1:.1f}s {searches}"
+            f"assign_strategy={strategy} rank_mode={rank_mode} "
+            f"train={t1 - t0:.1f}s assign={t2 - t1:.1f}s {searches} "
+            f"rank_decision={decisions[-1]}"
         )
         caching.release_tracked()
     spark.stop()
