@@ -56,6 +56,24 @@ def ingest_ivf_batch(
 
     with open(os.path.join(index_path, "centroids.json")) as f:
         meta = json.load(f)
+    if int(batch_id) <= int(meta.get("compacted_through_batch", -1)):
+        # r12 replay guard: this batch was already folded into the
+        # base tree by compact_ivf_index — a restarted stream whose
+        # checkpoint predates the compaction would otherwise resurrect
+        # its vectors as duplicates. Record the skip in the health log
+        # (empty counts keep scan-free occupancy exact) and write
+        # nothing.
+        health = {
+            "batch_id": int(batch_id),
+            "appended": 0,
+            "skipped_compacted": True,
+            "cell_counts": {},
+        }
+        hdir = os.path.join(index_path, "health")
+        os.makedirs(hdir, exist_ok=True)
+        with open(os.path.join(hdir, f"batch={int(batch_id)}.json"), "w") as f:
+            json.dump(health, f)
+        return health
     corpus_id = meta["corpus_id"]
     cents = [
         (int(cell), [float(x) for x in cv]) for cell, cv in meta["centroids"]
@@ -116,9 +134,13 @@ def stream_ivf_ingest(
     Scale shape: per-batch cost is the BATCH's assignment GEMM plus
     one partitioned write — proportional to the batch, never the
     index; searches pay one extra pruned scan over the streamed tree.
-    When drift_ratio in the health log trends up, retrain + rewrite
-    the base index and truncate the sibling — the documented
-    compaction path."""
+    When drift_ratio in the health log trends up, run
+    similarity.compact_ivf_index (r12): it retrains on the union,
+    rewrites the base tree under a new generation with the meta
+    rewrite as the atomic commit, truncates the sibling + health log,
+    resets the drift baseline, and records compacted_through_batch so
+    replayed pre-compaction batches are skipped (see ingest_ivf_batch's
+    guard)."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         ingest_ivf_batch(

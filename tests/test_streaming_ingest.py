@@ -209,3 +209,114 @@ def test_stream_ivf_ingest_bit_equal_and_idempotent(spark, tmp_path):
     }
     assert occ["cell_counts"] == recount
     assert occ["occupancy_max"] == max(recount.values())
+
+
+def test_compact_ivf_index_resets_and_guards_replay(spark, tmp_path):
+    """compact_ivf_index (r12 — the path the r11 module docstring
+    promised). Pins: (a) post-compaction search is BIT-EQUAL to a
+    one-shot build over the union with the compacted centroids; (b)
+    the streamed sibling and health log are gone, the meta carries a
+    FRESH drift baseline (no build_mean_quant_err carry-over) and the
+    new generation's cell counts; (c) a replayed pre-compaction batch
+    is SKIPPED (no resurrection of folded vectors), while a new batch
+    past the fold ingests normally; (d) a crash BEFORE the meta commit
+    leaves the old index fully readable (the meta is the commit
+    point)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rta_registrations_pyspark_glue_spark.operators import similarity
+    from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
+    from rta_registrations_pyspark_glue_spark.streaming.annindex import (
+        ingest_ivf_batch,
+        ivf_index_occupancy,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b1 = emb.filter(F.col("vec_id") % 4 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b2 = emb.filter(F.col("vec_id") % 4 == 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    late = emb.filter(F.col("vec_id") % 4 == 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    idx = similarity.ivf_build(base, n_pivots=4, train_iters=2)
+    path = str(tmp_path / "ivf_compact")
+    similarity.ivf_write_index(idx, path)
+    ingest_ivf_batch(spark, b1, 0, path, corpus_vec="cv")
+    ingest_ivf_batch(spark, b2, 1, path, corpus_vec="cv")
+
+    # (d) crash simulation: a half-written new generation without the
+    # meta commit must be invisible
+    q = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    before = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(
+            similarity.ivf_read_index(spark, path), q, k=5, nprobe=2
+        ).collect()
+    )
+    os.makedirs(os.path.join(path, "assignment_g1", "cell=0"), exist_ok=True)
+    after_crash = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(
+            similarity.ivf_read_index(spark, path), q, k=5, nprobe=2
+        ).collect()
+    )
+    assert after_crash == before
+
+    out = similarity.compact_ivf_index(spark, path, train_iters=2)
+    assert out["generation"] >= 1 and out["retrained"]
+    assert out["compacted_through_batch"] == 1
+    assert out["n"] == base.count() + b1.count() + b2.count()
+
+    # (b) layout + baseline reset
+    assert not os.path.isdir(os.path.join(path, "assignment_stream"))
+    assert not os.path.isdir(os.path.join(path, "health"))
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    assert meta["assignment_dir"].startswith("assignment_g")
+    assert "build_mean_quant_err" not in meta["stats"]
+    assert meta["stats"]["n"] == out["n"]
+    occ = ivf_index_occupancy(path)
+    assert sum(occ["cell_counts"].values()) == out["n"]
+
+    # (a) bit-equality: fresh one-shot build over the union with the
+    # COMPACTED centroids (assignment is deterministic given centroids)
+    loaded = similarity.ivf_read_index(spark, path)
+    union_idx = similarity.ivf_build(
+        base.unionByName(b1).unionByName(b2),
+        centroids=loaded.centroids,
+    )
+    got = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(loaded, q, k=5, nprobe=2).collect()
+    )
+    want = sorted(
+        (r.qid, r.cid, r.rank, r.cosine)
+        for r in similarity.ivf_search(union_idx, q, k=5, nprobe=2).collect()
+    )
+    assert got == want and len(got) > 0
+    # the retrain actually moved the quantizer relative to the tiny
+    # 4-pivot original (not a no-op swap)
+    assert loaded.centroids != idx.centroids
+
+    # (c) replay guard: batch 1 again -> skipped, nothing written
+    h = ingest_ivf_batch(spark, b2, 1, path, corpus_vec="cv")
+    assert h.get("skipped_compacted") and h["appended"] == 0
+    assert not os.path.isdir(os.path.join(path, "assignment_stream"))
+    # a NEW batch id ingests normally and unions back in
+    h2 = ingest_ivf_batch(spark, late, 2, path, corpus_vec="cv")
+    assert h2["appended"] == late.count()
+    occ2 = ivf_index_occupancy(path)
+    assert sum(occ2["cell_counts"].values()) == out["n"] + h2["appended"]
+    total = similarity.ivf_read_index(spark, path).assignment.count()
+    assert total == out["n"] + h2["appended"]
