@@ -147,11 +147,14 @@ SCOPES = {
     # doc_id % 16 = 3 subset) + the 'h264' rows (AVC STRUCTURAL
     # extraction — real SPS parse with cropping, avcC walk, NAL
     # composition; slice decode stays the boundary, doc_id % 16 = 11);
-    # round 12 → 8: + the 'hevc' rows (HEVC STRUCTURAL extraction —
+    # round 12 → 9: + the 'hevc' rows (HEVC STRUCTURAL extraction —
     # profile_tier_level, conformance-window dims, hvcC walk, two-byte
     # NAL headers with IRAP keyframe semantics; CTU decode stays the
-    # boundary, doc_id % 16 = 12 subset)
-    "multimodal_suite": 8,
+    # boundary, doc_id % 16 = 12 subset) + the 'opus' rows (Opus
+    # STRUCTURAL extraction — RFC 6716 TOC/frame-packing walk over all
+    # four count codes, RFC 7845 OpusHead, real Ogg page CRC + lacing;
+    # SILK/CELT decode stays the boundary, doc_id % 16 = 4 subset)
+    "multimodal_suite": 9,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental
     # substring dedup, oracle-consolidated under the 50-query cap)
@@ -383,17 +386,23 @@ def measure_scaling(
     # times can read as a fake red flag (the r6 study measured
     # near_dup_clusters at exp 1.31 cold vs 0.80 isolated-warm; r10
     # measured corpus_curation_pipeline at 0.539 and 0.771 across two
-    # quiet-host runs — single-pass sf1 numbers bounce). Queries whose
-    # single-pass exponent exceeds 0.7 (t_big > 10^0.7 ≈ 5x base) get up
-    # to two warm re-runs (min wins) — a genuinely super-linear query
-    # stays super-linear warm, while JIT/page-cache/GC effects converge
-    # away. Each row records how many passes produced its number
-    # ("passes") so readers can see which exponents got the min-of-N
-    # treatment (the estimator is one-sided by design: it only ever
-    # CLEARS red flags, never hides a warm-measured super-linear query).
+    # quiet-host runs — single-pass sf1 numbers bounce). r12 (VERDICT
+    # r11 what's-wrong #1): §15 measured first execution at the big dir
+    # at ~3x steady (codegen + first persist), but the old 5x trigger
+    # only caught 5x — 30 of 32 r11 rows ran once and their exponents
+    # carried the full first-pass inflation (minhash_lsh_near_dups read
+    # 0.662 single-pass vs the decompose tool's steady 0.48). The
+    # trigger is now 2.5x base OR t_big > 3s, so everything slow enough
+    # for warm-up to matter gets warm re-runs (min wins) — a genuinely
+    # super-linear query stays super-linear warm, while JIT/page-cache/
+    # GC effects converge away. Each row records how many passes
+    # produced its number ("passes") and every pass time ("t_passes"),
+    # so readers can see which exponents got the min-of-N treatment
+    # (the estimator is one-sided by design: it only ever CLEARS red
+    # flags, never hides a warm-measured super-linear query).
     for name in t_bigs:
         for _try in range(2):
-            if t_bigs[name] <= 5 * base_times[name]:
+            if t_bigs[name] <= 2.5 * base_times[name] and t_bigs[name] <= 3.0:
                 break
             t = run(name)
             all_passes[name].append(t)

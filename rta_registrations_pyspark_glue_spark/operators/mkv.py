@@ -311,11 +311,25 @@ def _demux_mkv_inner(buf: bytes) -> dict:
                     )
                 except (ValueError, struct.error, IndexError):
                     pass
+            elif codec == "A_OPUS" and soun.get("codec_private"):
+                # the CodecPrivate IS an OpusHead — name the stream
+                try:
+                    from rta_registrations_pyspark_glue_spark.operators.opus import (
+                        parse_opus_head,
+                    )
+
+                    oh = parse_opus_head(bytes(soun["codec_private"]))
+                    detail = (
+                        f" (opus x{oh['channels']} "
+                        f"pre-skip {oh['pre_skip']})"
+                    )
+                except (ValueError, struct.error, IndexError):
+                    pass
             raise NotImplementedError(
                 f"MKV audio codec {codec!r}{detail}: A_PCM/INT/LIT|BIG and "
                 "A_MPEG/L3 route natively; other compressed audio is the "
-                "plug-in boundary (extract_mkv_codec_config reads the AAC "
-                "config structurally)"
+                "plug-in boundary (extract_mkv_codec_config reads AAC and "
+                "Opus config structurally)"
             )
         if codec == "A_MPEG/L3":
             # MP3-in-Matroska: block frames are whole MPEG frames —
@@ -470,6 +484,34 @@ def extract_mkv_codec_config(content: bytes) -> dict:
             ),
             "duration_samples": len(aus) * asc["frame_length"],
         }
+    elif (
+        soun is not None
+        and soun.get("codec") == "A_OPUS"
+        and soun.get("codec_private")
+    ):
+        # Opus-in-Matroska (r12): CodecPrivate IS an OpusHead and
+        # block frames are raw Opus packets — the same records the Ogg
+        # path reads, so the structural walk is shared (operators/opus)
+        from rta_registrations_pyspark_glue_spark.operators.opus import (
+            parse_opus_head,
+            walk_opus_packets,
+        )
+
+        try:
+            head = parse_opus_head(bytes(soun["codec_private"]))
+            pkts = [
+                payload
+                for tn, fr in blocks
+                if tn == soun.get("number")
+                for payload in fr
+            ]
+            out["audio"] = {
+                "container": "mkv",
+                **head,
+                **walk_opus_packets(pkts),
+            }
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"truncated Opus CodecPrivate: {e}") from None
     return out
 
 
@@ -591,7 +633,32 @@ def encode_mkv_av(
     )
     tracks_body = vtrack
     a_blocks: list[bytes] = []
-    if audio is not None and audio_codec == "A_AAC":
+    if audio is not None and audio_codec == "A_OPUS":
+        # Opus-in-Matroska fixture (r12): ``audio`` is a list of raw
+        # Opus PACKETS; CodecPrivate carries the OpusHead. Same
+        # xiph-laced two-block shape as the AAC fixture (packet sizes
+        # differ, exercising the 255-run size coding).
+        if audio_codec_private is None:
+            raise ValueError("A_OPUS needs audio_codec_private (OpusHead)")
+        pkts = [bytes(x) for x in audio]
+        tracks_body += _ebml_el(
+            0xAE,
+            _ebml_el(0xD7, b"\x02") + _ebml_el(0x83, b"\x02")
+            + _ebml_el(0x86, audio_codec.encode())
+            + _ebml_el(0x63A2, audio_codec_private)
+            + _ebml_el(
+                0xE1,
+                _ebml_el(0xB5, struct.pack(">f", 48000.0))
+                + _ebml_el(0x9F, _ebml_uint_body(1)),
+            ),
+        )
+        half = max(1, len(pkts) // 2)
+        for chunk in (pkts[:half], pkts[half:]):
+            if not chunk:
+                continue
+            lac = "none" if len(chunk) == 1 else "xiph"
+            a_blocks.append(_simple_block(2, 0, chunk, lac))
+    elif audio is not None and audio_codec == "A_AAC":
         # AAC-in-Matroska fixture: ``audio`` is a list of raw ACCESS
         # UNITS; CodecPrivate carries the AudioSpecificConfig. AUs are
         # xiph-laced two blocks (sizes differ per AU, so the 255-run

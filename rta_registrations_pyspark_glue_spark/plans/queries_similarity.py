@@ -25,6 +25,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     h264,
     hevc,
     mp4,
+    opus,
     multimodal,
     pq,
     similarity,
@@ -1178,6 +1179,108 @@ def multimodal_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Opus structural extraction (r12, VERDICT r11 missing #5): the RFC
+#: 6716 TOC byte + frame-packing walk (all four count codes, the
+#: two-byte length escape, code-3 CBR/VBR and 255-run padding) and the
+#: RFC 7845 OpusHead, over real CRC'd Ogg pages with multi-packet
+#: lacing. Packet p of doc d uses count code p%4; config rotates
+#: (d+5p)%32 for codes 0-2 and stays CELT-only (16 + (d+5p)%16) for
+#: code 3 so the 120 ms packet limit holds. The frame-index collapse
+#: CASE mirrors the fixture: code-1 and code-3-CBR packets repeat
+#: frame 0, VBR enumerates distinct frames. SILK/CELT decode is the
+#: documented external-codec boundary. Budget: residue {4} mod 16 —
+#: with aac(3)/h264(11)/hevc(12) this completes mp3's residue pairs.
+_MM_OPUS_ORACLE = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(312 + doc_id % 100 AS INT) AS pre_skip,
+           CAST(list_extract([48000, 44100, 16000, 8000],
+                             CAST(doc_id % 4 AS INT) + 1) AS INT)
+               AS input_sample_rate,
+           CAST((doc_id % 41) - 20 AS INT) AS output_gain_q8,
+           CAST(3 + doc_id % 4 AS INT) AS n_packets,
+           CAST(list_sum(list_transform(pks, k -> k.m)) AS INT) AS n_frames,
+           CAST(list_sum(list_transform(pks, k -> k.m *
+                CASE WHEN k.cfg < 12
+                     THEN list_extract([480, 960, 1920, 2880], k.cfg % 4 + 1)
+                     WHEN k.cfg < 16
+                     THEN list_extract([480, 960], k.cfg % 2 + 1)
+                     ELSE list_extract([120, 240, 480, 960], k.cfg % 4 + 1)
+                END)) AS BIGINT) AS duration_samples,
+           CAST(list_sum(list_transform(pks, k ->
+                list_sum(list_transform(range(0, k.m), f ->
+                    6 + (7 * doc_id + 3 * k.p
+                         + 2 * (CASE WHEN k.code = 1 THEN 0
+                                     WHEN k.code = 3 AND NOT k.vbr THEN 0
+                                     ELSE f END)) % 10))))
+               AS BIGINT) AS frame_bytes,
+           CAST(list_sum(list_transform(pks, k ->
+                list_sum(list_transform(range(0, k.m), f ->
+                    list_sum(list_transform(
+                        range(0, 6 + (7 * doc_id + 3 * k.p
+                              + 2 * (CASE WHEN k.code = 1 THEN 0
+                                          WHEN k.code = 3 AND NOT k.vbr
+                                          THEN 0 ELSE f END)) % 10),
+                        i -> (doc_id + 11 * k.p
+                              + 5 * (CASE WHEN k.code = 1 THEN 0
+                                          WHEN k.code = 3 AND NOT k.vbr
+                                          THEN 0 ELSE f END) + i) % 256))))))
+               AS BIGINT) AS frame_byte_sum,
+           CAST(list_sum(list_transform(pks, k -> k.pad)) AS INT)
+               AS padding_bytes,
+           CAST(list_sum(list_transform(pks, k ->
+                CASE WHEN k.code < 3 AND k.cfg < 12 THEN 1 ELSE 0 END))
+               AS INT) AS n_silk,
+           CAST(list_sum(list_transform(pks, k ->
+                CASE WHEN k.code < 3 AND k.cfg >= 12 AND k.cfg < 16
+                     THEN 1 ELSE 0 END)) AS INT) AS n_hybrid,
+           CAST(list_sum(list_transform(pks, k ->
+                CASE WHEN k.code = 3 OR k.cfg >= 16 THEN 1 ELSE 0 END))
+               AS INT) AS n_celt,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 3 + doc_id % 4 ELSE 0 END
+               AS INT) AS stereo_packets,
+           TRUE AS parse_ok
+    FROM (
+        SELECT doc_id,
+               list_transform(range(0, 3 + doc_id % 4), p -> struct_pack(
+                   p := p,
+                   code := p % 4,
+                   cfg := CASE WHEN p % 4 = 3
+                               THEN 16 + (doc_id + 5 * p) % 16
+                               ELSE (doc_id + 5 * p) % 32 END,
+                   m := CASE p % 4 WHEN 0 THEN 1
+                        WHEN 3 THEN 2 + (doc_id + p) % 3 ELSE 2 END,
+                   vbr := (doc_id + p) % 2 = 1,
+                   pad := CASE WHEN p % 4 = 3
+                               THEN (doc_id + p) % 3 ELSE 0 END
+               )) AS pks
+        FROM documents WHERE doc_id % 16 = 4
+    )
+    """
+
+
+def multimodal_opus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opus-in-Ogg STRUCTURAL extraction through the Arrow/pandas path
+    (r12): each doc gets a spec-shaped Ogg Opus file (real page CRCs,
+    multi-packet lacing) whose packet plan is a closed form of the doc
+    id, and opus.extract_ogg_opus recovers the OpusHead fields plus
+    the full RFC 6716 frame-packing composition — packet/frame counts,
+    48 kHz duration, frame payload bytes and their sum, padding,
+    SILK/Hybrid/CELT mix, stereo flags — without decoding a single
+    SILK or CELT frame. The curation-first contract for the dominant
+    scraped-voice codec."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 16 == 4
+    )
+    feats = opus.extract_opus_features(opus.synthesize_opus_docs(docs))
+    return feats.select(
+        "doc_id", "channels", "pre_skip", "input_sample_rate",
+        "output_gain_q8", "n_packets", "n_frames", "duration_samples",
+        "frame_bytes", "frame_byte_sum", "padding_bytes", "n_silk",
+        "n_hybrid", "n_celt", "stereo_packets", "parse_ok",
+    )
+
+
 def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL AVI container demux through the Arrow/pandas path (r9):
     each doc gets a two-stream interleaved AVI (avi.synthesize_avi_docs
@@ -1387,6 +1490,8 @@ def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'hevc' AS kind, * FROM ({_MM_HEVC_ORACLE})
     UNION ALL BY NAME
+    SELECT 'opus' AS kind, * FROM ({_MM_OPUS_ORACLE})
+    UNION ALL BY NAME
     SELECT 'mp3' AS kind, * FROM ({_MM_MP3_ORACLE})
     UNION ALL BY NAME
     SELECT 'mkv' AS kind, * FROM ({_MM_MKV_ORACLE})
@@ -1477,6 +1582,10 @@ MULTIMODAL_LEGS = {
     # conformance-window dims, hvcC walk, two-byte NAL headers with
     # IRAP keyframe semantics; CTU decode stays the plug-in boundary
     "hevc": multimodal_hevc,
+    # 'opus' (r12): Opus STRUCTURAL extraction — RFC 6716 TOC +
+    # frame-packing walk, RFC 7845 OpusHead, real Ogg page CRC and
+    # lacing; SILK/CELT decode stays the plug-in boundary
+    "opus": multimodal_opus,
     # 'mp3' (r10): frame-level decode — CRC-16, full side-info unpack,
     # reservoir, exact silent-granule PCM
     "mp3": multimodal_decode_mp3,
