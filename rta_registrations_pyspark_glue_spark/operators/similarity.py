@@ -1919,8 +1919,16 @@ def rank_probe_hierarchical(
     first cut grouped queries by routed-super combination and at sf15
     (30k queries x C(35,6) possible combos) degenerated into ~10⁴
     tiny GEMMs whose fixed numpy overhead measured 271s; the per-super
-    formulation runs the same flops in ~35 calls, merged by one global
-    lexsort over Q·sp·√k (~6M) score rows.
+    formulation runs the same flops in ~35 calls. The MERGE is a
+    dense scatter into a reused (chunk, k) matrix (missing lanes NaN —
+    exactly where flat ranking puts unrankable lanes) selected by the
+    same O(Q·k) _topk_stable the exact path uses. r12 replaced the
+    original global-lexsort merge after measuring it at sf405: the
+    lexsort materialized Q·sp·√k ≈ 715M (query, cell, score) rows —
+    1300s and ~17 GB for a ranking whose flat exact form runs in 207s.
+    The flop saving was real; the merge gave it all back and more.
+    Dense-scatter keeps the per-super flop cut and pays flat's
+    selection cost, never the global sort.
 
     ``score``: "fold" (default) keeps the exact per-lane column fold —
     the bit-identity anchor above holds against _negcos_order. "gemm"
@@ -1949,49 +1957,52 @@ def rank_probe_hierarchical(
         per = k / max(1, len(children))
         super_probe = max(_HIER_SUPER_PROBE, math.ceil(4 * nprobe / per))
     sp = min(super_probe, len(children))
-    # routing: plain dgemm against unit supers (norms cancel per-row)
-    route = np.argsort(-(mat @ sup_m.T), axis=1, kind="stable")[:, :sp]
-    q_parts, c_parts, s_parts = [], [], []
-    for j in range(len(children)):
-        rows = np.nonzero((route == j).any(axis=1))[0]
-        if len(rows) == 0:
-            continue
-        cand = children[j]  # ascending original positions
-        if score == "gemm":
-            acc = mat[rows] @ cent_m[cand].T
-        else:
-            acc = np.zeros((len(rows), len(cand)))
-            for d in range(mat.shape[1]):
-                acc += np.outer(mat[rows, d], cent_m[cand, d])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            negcos = -(acc / np.outer(sqrtn[rows], cent_nrm[cand]))
-        q_parts.append(np.repeat(rows, len(cand)))
-        c_parts.append(np.tile(cand, len(rows)))
-        s_parts.append(negcos.reshape(-1))
-    qs = np.concatenate(q_parts)
-    cs = np.concatenate(c_parts)
-    ss = np.concatenate(s_parts)
-    # lexsort = successive stable sorts (cs, then ss, then qs): within
-    # a query, (negcos ASC, NaN last, position ASC among ties/NaN) —
-    # exactly the flat stable argsort's (negcos, cell) total order.
-    ord_ = np.lexsort((cs, ss, qs))
-    qs_s, cs_s = qs[ord_], cs[ord_]
-    counts = np.bincount(qs, minlength=len(mat))
-    first = np.zeros(len(mat), dtype=np.int64)
-    np.cumsum(counts[:-1], out=first[1:])
-    out = np.empty((len(mat), nprobe), dtype=np.int64)
-    enough = counts >= nprobe
-    if enough.any():
-        take = first[enough][:, None] + np.arange(nprobe)[None, :]
-        out[enough] = cs_s[take]
-    if not enough.all():
-        # exact flat fallback for queries whose routed supers carry
-        # fewer than nprobe children (tiny quantizers / lopsided maps)
-        short = np.nonzero(~enough)[0]
-        rank_fn = _negcos_order_gemm if score == "gemm" else _negcos_order
-        out[short] = rank_fn(
-            np, mat[short], sqrtn[short], cent_m, cent_nrm, nprobe
-        )
+    n = len(mat)
+    out = np.empty((n, nprobe), dtype=np.int64)
+    rank_fn = _negcos_order_gemm if score == "gemm" else _negcos_order
+    chunk = _GEMM_QUERY_CHUNK
+    dense = None
+    for cs_ in range(0, n, chunk):
+        ce = min(cs_ + chunk, n)
+        cmat, csq = mat[cs_:ce], sqrtn[cs_:ce]
+        # routing: plain dgemm against unit supers (norms cancel
+        # per-row)
+        route = np.argsort(-(cmat @ sup_m.T), axis=1, kind="stable")[
+            :, :sp
+        ]
+        if dense is None or len(dense) != len(cmat):
+            dense = np.empty((len(cmat), k))
+        dense.fill(np.nan)
+        pool = np.zeros(len(cmat), dtype=np.int64)
+        for j in range(len(children)):
+            rows = np.nonzero((route == j).any(axis=1))[0]
+            if len(rows) == 0:
+                continue
+            cand = children[j]  # ascending original positions
+            if score == "gemm":
+                acc = cmat[rows] @ cent_m[cand].T
+            else:
+                acc = np.zeros((len(rows), len(cand)))
+                for d in range(cmat.shape[1]):
+                    acc += np.outer(cmat[rows, d], cent_m[cand, d])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dense[np.ix_(rows, cand)] = -(
+                    acc / np.outer(csq[rows], cent_nrm[cand])
+                )
+            pool[rows] += len(cand)
+        enough = pool >= nprobe
+        if enough.any():
+            out[cs_:ce][enough] = _topk_stable(
+                np, dense[enough], nprobe
+            )
+        if not enough.all():
+            # exact flat fallback for queries whose routed supers carry
+            # fewer than nprobe children (tiny quantizers / lopsided
+            # maps)
+            short = np.nonzero(~enough)[0]
+            out[cs_:ce][short] = rank_fn(
+                np, cmat[short], csq[short], cent_m, cent_nrm, nprobe
+            )
     return out
 
 
@@ -2023,6 +2034,19 @@ _HIER_RANK_MAX_COST = 0.5
 
 #: Queries sampled (driver-side) for the overlap calibration.
 _RANK_SAMPLE_MAX = 1024
+
+#: Measured-time gate for "auto": after the overlap validation passes,
+#: both ranking forms are TIMED on the calibration sample and the
+#: hierarchical path must beat the exact one by at least this factor
+#: to be enabled. The r12 sf405 isolation measured why flop ratios
+#: alone mislead here: at d=64 the exact chunked ranking is MEMORY-
+#: bound (writing the (chunk, k) score matrix dominates), and the
+#: dense-scatter hierarchical form writes the same matrix — 3.6× fewer
+#: flops, 265s vs 241s wall-clock. Routing wins when scoring is
+#: compute-bound (large d, k ≥ 10⁵); the sample A/B detects that on
+#: the actual host/shape instead of assuming it. Set to None to
+#: disable (tests; the forced "hier" mode never times).
+_HIER_RANK_TIME_RATIO: float | None = 0.8
 
 
 def decide_rank_mode(
@@ -2178,6 +2202,32 @@ def _decide_search_rank(
         np, smat, ssq, centroids, cent_m, cent_nrm, nprobe,
         quantizer=quantizer, force=(rank_mode == "hier"),
     )
+    if (
+        rank_mode == "auto"
+        and decision["mode"] == "hier"
+        and _HIER_RANK_TIME_RATIO is not None
+    ):
+        # empirical time gate (see _HIER_RANK_TIME_RATIO): overlap
+        # passing only says routing is RECALL-safe; whether it is
+        # FASTER depends on whether ranking is compute- or memory-
+        # bound on this host/shape — measure, don't model.
+        import time as _time
+
+        t0 = _time.perf_counter()
+        _negcos_order_gemm(np, smat, ssq, cent_m, cent_nrm, nprobe)
+        t_flat = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        rank_probe_hierarchical(
+            np, smat, ssq, centroids, cent_m, cent_nrm, nprobe,
+            super_probe=decision["super_probe"], quantizer=quantizer,
+            score="gemm",
+        )
+        t_hier = _time.perf_counter() - t0
+        decision["t_flat_sample"] = t_flat
+        decision["t_hier_sample"] = t_hier
+        if t_hier > _HIER_RANK_TIME_RATIO * t_flat:
+            decision["mode"] = "flat"
+            decision["refused"] = "time-gate"
     decision["_quantizer"] = quantizer
     _LAST_RANK_DECISION = decision
     return decision if decision["mode"] == "hier" else None

@@ -2078,6 +2078,10 @@ def test_ivf_search_auto_rank_end_to_end(spark, monkeypatch):
         ).collect()
     }
     monkeypatch.setattr(similarity, "_HIER_RANK_MIN_CELLS", 16)
+    # disable the empirical time gate: at toy scale both rankings run
+    # in microseconds and the timing comparison is noise — this test
+    # pins the OVERLAP contract (the time gate has its own test)
+    monkeypatch.setattr(similarity, "_HIER_RANK_TIME_RATIO", None)
     monkeypatch.setattr(similarity, "_LAST_RANK_DECISION", None)
     auto = {
         (r.qid, r.cid)
@@ -2106,6 +2110,24 @@ def test_ivf_search_auto_rank_end_to_end(spark, monkeypatch):
     assert dec2 is not None and dec2["mode"] == "hier", dec2
     overlap_j = len(flat & joined) / len(flat)
     assert overlap_j >= 0.9, overlap_j
-    # flat mode is the default below the REAL threshold: un-patched,
-    # this 64-cell index never consults the validator
+    # the empirical time gate (re-enabled): whatever it measures at
+    # this scale, the decision must carry the sample timings and the
+    # search must still match flat results-wise — a time-gate refusal
+    # falls back to the EXACT ranking, never a worse one
+    monkeypatch.setattr(similarity, "_HIER_RANK_TIME_RATIO", 0.8)
+    monkeypatch.setattr(similarity, "_LAST_RANK_DECISION", None)
+    gated = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_search(
+            idx, queries, k=5, nprobe=12, rank_mode="auto"
+        ).collect()
+    }
+    dec3 = similarity._LAST_RANK_DECISION
+    assert dec3 is not None
+    assert "t_flat_sample" in dec3 and "t_hier_sample" in dec3
+    if dec3["mode"] == "flat":
+        assert dec3["refused"] == "time-gate"
+        assert gated == flat
+    else:
+        assert len(flat & gated) / len(flat) >= 0.9
     caching.release_tracked()
