@@ -2557,13 +2557,26 @@ def _ivf_search_join(
         gemm = len(centroids) > _HIER_ASSIGN_MIN_CELLS  # driver-side
 
         # r12 rank-mode validation: this path exists because the query
-        # set was too big to collect, so calibrate on a bounded PREFIX
-        # sample (one tiny early-stopping job). The decision and the
-        # driver-fitted quantizer ride the closure into every task —
-        # workers never refit, so all tasks rank identically.
+        # set was too big to collect, so calibrate on a bounded SPREAD
+        # sample — order by a hash of the query id and take the first
+        # _RANK_SAMPLE_MAX (one TakeOrdered job: per-partition top-k,
+        # driver merge of ≤1024 rows — never a full collect). The r12
+        # form took a limit() PREFIX, which on a clustered or sorted
+        # query set measures one region of query space and can
+        # overestimate probe-set recall for the rest (ADVICE r12); the
+        # hash order is deterministic (same queries, same decision),
+        # the broadcast-path analogue of _rank_sample's even stride.
+        # The decision and the driver-fitted quantizer ride the
+        # closure into every task — workers never refit, so all tasks
+        # rank identically.
         decision = None
         if rank_mode != "flat" and len(centroids) > _HIER_RANK_MIN_CELLS:
-            s_rows = q.select("__qv", "__qn").limit(_RANK_SAMPLE_MAX).collect()
+            s_rows = (
+                q.select(F.col(query_id), "__qv", "__qn")
+                .orderBy(F.xxhash64(F.col(query_id)), F.col(query_id))
+                .limit(_RANK_SAMPLE_MAX)
+                .collect()
+            )
             if s_rows:
                 smat = np.array(
                     [[float(x) for x in r["__qv"]] for r in s_rows]
@@ -2755,8 +2768,25 @@ def ivf_write_index(index: IvfIndex, path: str, with_stats: bool = True) -> None
         n, err = _assignment_quant_stats(index)
         meta["stats"] = {"n": n, "mean_quant_err": err}
         meta["cell_counts"] = _cell_counts(index.assignment)
-    with open(os.path.join(path, "centroids.json"), "w") as f:
+    _write_ivf_meta(path, meta)
+
+
+def _write_ivf_meta(path: str, meta: dict) -> None:
+    """Atomically commit the index meta: write ``centroids.json.tmp``
+    in full, then one ``os.replace`` — the commit discipline
+    compact_ivf_index introduced (r12), now shared by EVERY meta
+    writer (r13, VERDICT r12 what's-wrong #1). The meta is the only
+    copy of the centroids; an in-place rewrite that crashes mid-write
+    truncates it and renders the whole index unreadable, which is
+    strictly worse than any stale-counts outcome a crash between a
+    parquet write and the meta commit can produce."""
+    import json
+    import os
+
+    tmp = os.path.join(path, "centroids.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
 
 
 def _cell_counts(assignment: DataFrame) -> dict:
@@ -2879,8 +2909,7 @@ def ivf_append_index(
                 "build_mean_quant_err", base["mean_quant_err"]
             ),
         }
-    with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump(meta, f)
+    _write_ivf_meta(path, meta)
     return {
         "appended": n_new,
         "cells_touched": cells_touched,
@@ -2901,7 +2930,14 @@ def ivf_read_index(spark, path: str) -> IvfIndex:
     When the streaming sibling tree exists (``assignment_stream``,
     written by streaming/annindex.stream_ivf_ingest), it is unioned in
     — ``cell`` is a partition column in both trees, so the probed-cell
-    pruning applies to each scan independently."""
+    pruning applies to each scan independently. Only sibling batches
+    PAST the meta's ``compacted_through_batch`` are unioned (r13,
+    ADVICE r12): compact_ivf_index's post-commit cleanup is
+    best-effort, so a crash between the meta commit and the rmtree can
+    leave the folded sibling on disk — without the batch filter every
+    already-folded vector would be counted twice in searches. ``batch``
+    is a partition column, so the filter prunes at the file-listing
+    level."""
     import json
     import os
 
@@ -2909,23 +2945,27 @@ def ivf_read_index(spark, path: str) -> IvfIndex:
         meta = json.load(f)
     cents = [(int(cell), [float(x) for x in cv]) for cell, cv in meta["centroids"]]
 
-    def load(subdir: str) -> DataFrame:
-        return (
-            spark.read.parquet(os.path.join(path, subdir))
-            .select(
-                F.col(meta["corpus_id"]),
-                F.col("vec").alias("__cv"),
-                F.col("cell").cast("long").alias("__cell"),
-            )
-            .withColumn("__cn", dot("__cv", "__cv"))
-        )
+    def load(subdir: str, after_batch: int | None = None) -> DataFrame:
+        df = spark.read.parquet(os.path.join(path, subdir))
+        if after_batch is not None and after_batch >= 0:
+            df = df.filter(F.col("batch") > after_batch)
+        return df.select(
+            F.col(meta["corpus_id"]),
+            F.col("vec").alias("__cv"),
+            F.col("cell").cast("long").alias("__cell"),
+        ).withColumn("__cn", dot("__cv", "__cv"))
 
     # the meta names the live base tree (compact_ivf_index swaps
     # generations by atomically rewriting the meta; pre-r12 metas
     # default to the original name)
     assignment = load(meta.get("assignment_dir", "assignment"))
     if os.path.isdir(os.path.join(path, "assignment_stream")):
-        assignment = assignment.unionByName(load("assignment_stream"))
+        assignment = assignment.unionByName(
+            load(
+                "assignment_stream",
+                after_batch=int(meta.get("compacted_through_batch", -1)),
+            )
+        )
     return IvfIndex(
         centroids=cents, assignment=assignment, corpus_id=meta["corpus_id"]
     )
@@ -2953,8 +2993,12 @@ def compact_ivf_index(
     reader or appender any time before it sees the old generation
     intact (the meta names the live tree); any time after, the new
     one. Old trees, the streamed sibling, and the health log are
-    removed only after commit (best-effort — leftovers are garbage,
-    never corruption).
+    removed only after commit, best-effort — and leftovers really are
+    garbage, never corruption, because both readers IGNORE them:
+    ivf_read_index unions only sibling batches past
+    ``compacted_through_batch`` and ivf_index_occupancy skips health
+    files at or below it (r13, ADVICE r12 — before that filter a
+    crash between commit and cleanup duplicated every folded vector).
 
     Replay-safe against foreachBatch redelivery: the meta records
     ``compacted_through_batch`` (the highest streamed batch id folded
@@ -2984,14 +3028,39 @@ def compact_ivf_index(
     )
     compacted_through = int(meta.get("compacted_through_batch", -1))
     if have_stream:
-        corpus = corpus.unionByName(
-            spark.read.parquet(stream_dir).select(corpus_id, "vec")
-        )
-        for name in os.listdir(stream_dir):
-            if name.startswith("batch="):
-                compacted_through = max(
-                    compacted_through, int(name.split("=", 1)[1])
-                )
+        # Fold only KNOWN-COMPLETE batches (r13, ADVICE r12):
+        # ingest_ivf_batch writes ``health/batch=<id>.json`` only
+        # AFTER the batch's parquet write completes, so health-present
+        # means complete. A ``batch=`` directory with no health file
+        # is a crashed partial write — folding it (the r12 form
+        # derived compacted_through from directory names) would mark
+        # it compacted and the replay guard would then skip its
+        # redelivery, permanently dropping the rows the partial write
+        # missed. Left unfolded, it stays > compacted_through, so the
+        # restarted stream's redelivery overwrites its partitions in
+        # the new generation's sibling and repairs it. Batches at or
+        # below the PRIOR compacted_through are likewise excluded:
+        # they are leftovers of an earlier compaction whose cleanup
+        # crashed, and their rows already live in the base tree.
+        hdir = os.path.join(path, "health")
+        complete = set()
+        if os.path.isdir(hdir):
+            for name in os.listdir(hdir):
+                if name.startswith("batch=") and name.endswith(".json"):
+                    complete.add(int(name[len("batch=") : -len(".json")]))
+        on_disk = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(stream_dir)
+            if name.startswith("batch=")
+        }
+        fold = sorted(b for b in complete & on_disk if b > compacted_through)
+        if fold:
+            corpus = corpus.unionByName(
+                spark.read.parquet(stream_dir)
+                .filter(F.col("batch").isin(fold))
+                .select(corpus_id, "vec")
+            )
+            compacted_through = max(fold)
     if retrain:
         new_idx = ivf_build(
             corpus,

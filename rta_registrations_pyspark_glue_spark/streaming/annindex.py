@@ -161,7 +161,14 @@ def ivf_index_occupancy(index_path: str) -> dict:
     parquet scan: fold the base meta's persisted ``cell_counts``
     (ivf_write_index / ivf_append_index) with every health file's
     per-batch counts. Each health file is overwritten on replay, so
-    the fold is exactly-once by construction."""
+    the fold is exactly-once by construction.
+
+    Health files at or below the meta's ``compacted_through_batch``
+    are SKIPPED (r13, ADVICE r12): their batches were folded into the
+    base generation by compact_ivf_index — whose post-commit cleanup
+    of the health log is best-effort — so folding a leftover would
+    double-count every vector the compaction already absorbed into
+    the base meta's counts. Mirrors ivf_read_index's sibling filter."""
     from rta_registrations_pyspark_glue_spark.operators.similarity import (
         _occupancy_from_counts,
     )
@@ -169,13 +176,16 @@ def ivf_index_occupancy(index_path: str) -> dict:
     with open(os.path.join(index_path, "centroids.json")) as f:
         meta = json.load(f)
     counts = dict(meta.get("cell_counts") or {})
+    compacted_through = int(meta.get("compacted_through_batch", -1))
     hdir = os.path.join(index_path, "health")
     if os.path.isdir(hdir):
         for name in sorted(os.listdir(hdir)):
             if not name.endswith(".json"):
                 continue
             with open(os.path.join(hdir, name)) as f:
-                batch = json.load(f).get("cell_counts") or {}
-            for cell, n in batch.items():
+                health = json.load(f)
+            if int(health.get("batch_id", -1)) <= compacted_through:
+                continue
+            for cell, n in (health.get("cell_counts") or {}).items():
                 counts[cell] = counts.get(cell, 0) + int(n)
     return {"cell_counts": counts, **_occupancy_from_counts(counts)}

@@ -2131,3 +2131,84 @@ def test_ivf_search_auto_rank_end_to_end(spark, monkeypatch):
     else:
         assert len(flat & gated) / len(flat) >= 0.9
     caching.release_tracked()
+
+
+def test_join_rank_calibration_uses_spread_sample(spark, monkeypatch):
+    """r13 (ADVICE r12 #4): the join path's rank-mode calibration
+    samples by a deterministic hash spread over the query ids, not a
+    limit() prefix. The r12 prefix sample of a sorted/clustered query
+    frame measured one region of query space; here the calibrator's
+    actual input is captured and must (a) span the whole id range —
+    not the first-64 prefix — and (b) be the same set on a repeated
+    run (the decision must stay deterministic). The search result
+    itself stays >= 0.9 overlapped with the exact flat search
+    whichever way the decision goes."""
+    import numpy as np
+
+    cents, qm = _clustered_fixture(
+        np, n_dirs=20, k=400, d=16, n_queries=400, seed=17
+    )
+    rng = np.random.default_rng(19)
+    cm0 = np.array([cv for _, cv in cents])
+    corpus_m = np.repeat(cm0, 3, axis=0) + 0.05 * rng.normal(size=(1200, 16))
+    corpus = spark.createDataFrame(
+        [(int(i), corpus_m[i].tolist()) for i in range(len(corpus_m))],
+        "cid long, cv array<double>",
+    )
+    # a SORTED single-partition query frame — the shape where a
+    # limit() prefix degenerates to "the first 64 ids"
+    queries = spark.createDataFrame(
+        [(int(i), qm[i].tolist()) for i in range(400)],
+        "qid long, qv array<double>",
+    ).coalesce(1)
+    # recover sampled ids from the captured sample matrix: the float64
+    # vectors round-trip Spark exactly, so the first-3-coords key is
+    # collision-free for this fixture
+    key2id = {tuple(qm[i][:3].tolist()): i for i in range(400)}
+    assert len(key2id) == 400
+    captured: list[list[int]] = []
+    real_decide = similarity._decide_search_rank
+
+    def capturing(np_, q_mat, q_sqrtn, *a, **kw):
+        captured.append(
+            sorted(key2id[tuple(row[:3].tolist())] for row in q_mat)
+        )
+        return real_decide(np_, q_mat, q_sqrtn, *a, **kw)
+
+    monkeypatch.setattr(similarity, "_decide_search_rank", capturing)
+    monkeypatch.setattr(similarity, "_HIER_RANK_MIN_CELLS", 16)
+    monkeypatch.setattr(similarity, "_HIER_RANK_TIME_RATIO", None)
+    monkeypatch.setattr(similarity, "_RANK_SAMPLE_MAX", 64)
+
+    idx = similarity.ivf_build(corpus, centroids=cents)
+    flat = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_search(
+            idx, queries, k=5, nprobe=12, rank_mode="flat",
+            max_broadcast_queries=10,
+        ).collect()
+    }
+    assert captured == []  # flat mode never calibrates
+    auto = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_search(
+            idx, queries, k=5, nprobe=12, rank_mode="auto",
+            max_broadcast_queries=10,
+        ).collect()
+    }
+    assert len(captured) == 1
+    ids = captured[0]
+    assert len(ids) == 64
+    # (a) spread, not prefix: the sample covers all four quartiles of
+    # the id range and is NOT the first-64 prefix the r12 limit() took
+    assert ids != list(range(64))
+    assert min(ids) < 100 and max(ids) >= 300
+    assert sum(1 for i in ids if i >= 200) >= 10
+    # (b) deterministic: the same query frame samples the same ids
+    similarity.ivf_search(
+        idx, queries, k=5, nprobe=12, rank_mode="auto",
+        max_broadcast_queries=10,
+    ).collect()
+    assert captured[1] == ids
+    assert len(flat & auto) / len(flat) >= 0.9
+    caching.release_tracked()
