@@ -400,15 +400,27 @@ def measure_scaling(
     # so readers can see which exponents got the min-of-N treatment
     # (the estimator is one-sided by design: it only ever CLEARS red
     # flags, never hides a warm-measured super-linear query).
+    # r13 (VERDICT r12 what's-wrong #2): the r12 cap of 2 extra passes
+    # left minhash_lsh_near_dups still FALLING at its last pass
+    # (t_passes [19.2, 18.7, 9.2] — exponent 0.65 reported vs the
+    # decompose tool's steady 0.48). CONVERGE instead of counting:
+    # keep re-running while the latest pass improved on the best by
+    # >15%, bounded at 5 extra passes (a genuinely super-linear query
+    # plateaus immediately and stops after one confirming pass).
     for name in t_bigs:
-        for _try in range(2):
+        extra = 0
+        while extra < 5:
             if t_bigs[name] <= 2.5 * base_times[name] and t_bigs[name] <= 3.0:
                 break
+            prev_best = t_bigs[name]
             t = run(name)
             all_passes[name].append(t)
             t_bigs[name] = min(t_bigs[name], t)
             passes[name] += 1
+            extra += 1
             caching.release_tracked()
+            if t > 0.85 * prev_best:
+                break  # converged: this pass didn't improve best >15%
     caching.release_tracked()
     rows = {
         name: {

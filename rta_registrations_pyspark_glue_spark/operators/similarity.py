@@ -1408,7 +1408,22 @@ def _topk_stable(np, negcos, nprobe):
     return out
 
 
-def _negcos_order_gemm(np, mat, sqrtn, cent_m, cent_nrm, nprobe):
+#: Cell count past which _negcos_order_gemm computes the score matrix
+#: in float32 instead of float64 (r13, VERDICT r12 #2). The §17 sf405
+#: isolation showed the exact ranking is MEMORY-bound: the dominant
+#: cost is writing the (chunk, k) score matrix, and float32 halves
+#: exactly that traffic (plus sgemm doubles BLAS throughput). Same
+#: floor as the hierarchical ranking (_HIER_RANK_MIN_CELLS) and far
+#: above every oracle-checked corpus, so gate results stay bit-exact;
+#: past it, a probe-order flip needs two centroid cosines within
+#: ~1e-7 of each other — and such near-ties only reshuffle which of
+#: two near-equidistant cells is probed, never the exact scoring of
+#: the candidates themselves. Enabled by the sf405 A/B measurement
+#: recorded in SCALING.md §18. None disables.
+_GEMM_SCORE_F32_MIN_CELLS: int | None = 4096
+
+
+def _negcos_order_gemm(np, mat, sqrtn, cent_m, cent_nrm, nprobe, score_dtype=None):
     """_negcos_order with the accumulation done by BLAS dgemm instead
     of the d-step column fold. Mathematically the same sum;
     floating-point rounding may differ in the last ulp, so the probe
@@ -1431,17 +1446,44 @@ def _negcos_order_gemm(np, mat, sqrtn, cent_m, cent_nrm, nprobe):
     _topk_stable's O(Q·k) exact selection instead of the full row
     sort. Both changes preserve the (value ASC, column ASC) order
     element-for-element; only dgemm blocking may shift the last ulp,
-    exactly as before."""
+    exactly as before.
+
+    r13: past _GEMM_SCORE_F32_MIN_CELLS the score matrix is computed
+    in float32 (see the constant's note — §17 measured the ranking
+    memory-bound on exactly that matrix; ``score_dtype`` overrides the
+    dispatch for A/B runs). Cosines float32 cannot distinguish select
+    in ascending column order, the same rule exact ties follow."""
     k = cent_m.shape[0]
     nprobe = min(nprobe, k)
     n = len(mat)
+    if score_dtype is None:
+        score_dtype = (
+            np.float32
+            if _GEMM_SCORE_F32_MIN_CELLS is not None
+            and k > _GEMM_SCORE_F32_MIN_CELLS
+            else np.float64
+        )
+    if score_dtype == np.float32:
+        # r13 (VERDICT r12 #2): halve the memory traffic that binds —
+        # the inputs are downcast ONCE (Q·d + k·d, small next to Q·k)
+        # and the GEMM writes a float32 score matrix. Tie semantics
+        # stay pinned: _topk_stable's selection is dtype-agnostic, so
+        # cosines float32 cannot distinguish resolve by column (cell
+        # id) ascending — the same total order the float64 path gives
+        # exact ties, fuzz-pinned in test_extensions.
+        mat = np.ascontiguousarray(mat, dtype=np.float32)
+        sqrtn = np.asarray(sqrtn, dtype=np.float32)
+        cent_t = np.ascontiguousarray(cent_m.T, dtype=np.float32)
+        cent_nrm = np.asarray(cent_nrm, dtype=np.float32)
+    else:
+        cent_t = cent_m.T
     chunk = _GEMM_QUERY_CHUNK
     out = np.empty((n, nprobe), dtype=np.int64)
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         with np.errstate(divide="ignore", invalid="ignore"):
             negcos = -(
-                (mat[s:e] @ cent_m.T) / np.outer(sqrtn[s:e], cent_nrm)
+                (mat[s:e] @ cent_t) / np.outer(sqrtn[s:e], cent_nrm)
             )
         out[s:e] = _topk_stable(np, negcos, nprobe)
     return out

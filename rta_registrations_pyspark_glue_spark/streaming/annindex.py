@@ -118,12 +118,65 @@ def ingest_ivf_batch(
     return health
 
 
+def should_compact(
+    index_path: str,
+    drift_threshold: float = 1.5,
+    trend_window: int = 3,
+) -> dict:
+    """The compaction TRIGGER policy (r13, VERDICT r12 #4 / missing
+    #3): fold the health log the way ivf_index_occupancy does and
+    decide whether the drift trend says the coarse quantizer is stale.
+
+    Rule: compact when the last ``trend_window`` live batches (past
+    ``compacted_through_batch``, with a recorded drift_ratio) ALL read
+    at or above ``drift_threshold``. Requiring the whole window —
+    rather than one reading or a mean — makes the trigger a SUSTAINED
+    distribution shift: one outlier batch (a burst of atypical
+    documents) cannot fire a full index rewrite, and after a
+    compaction resets the baseline the window starts empty, so the
+    trigger re-arms only if drift actually rebuilds against the NEW
+    quantizer.
+
+    Pure driver-side file reads (one JSON per batch, no parquet scan
+    — the same cost shape as ivf_index_occupancy). Returns the
+    decision with its evidence: {"compact": bool, "window": [ratios],
+    "n_batches": live-batch count, "drift_threshold", "trend_window"}.
+    """
+    with open(os.path.join(index_path, "centroids.json")) as f:
+        meta = json.load(f)
+    compacted_through = int(meta.get("compacted_through_batch", -1))
+    readings: list[tuple[int, float]] = []
+    hdir = os.path.join(index_path, "health")
+    if os.path.isdir(hdir):
+        for name in sorted(os.listdir(hdir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(hdir, name)) as f:
+                health = json.load(f)
+            bid = int(health.get("batch_id", -1))
+            ratio = health.get("drift_ratio")
+            if bid <= compacted_through or ratio is None:
+                continue
+            readings.append((bid, float(ratio)))
+    readings.sort()
+    window = [r for _, r in readings[-trend_window:]]
+    return {
+        "compact": len(window) >= trend_window
+        and all(r >= drift_threshold for r in window),
+        "window": window,
+        "n_batches": len(readings),
+        "drift_threshold": drift_threshold,
+        "trend_window": trend_window,
+    }
+
+
 def stream_ivf_ingest(
     vec_stream: DataFrame,
     index_path: str,
     checkpoint_dir: str,
     corpus_vec: str = "vec",
     available_now: bool = True,
+    auto_compact: dict | None = None,
 ):
     """Continuous IVF-index ingestion: each micro-batch of
     ``vec_stream`` is assigned against the frozen coarse quantizer and
@@ -140,13 +193,46 @@ def stream_ivf_ingest(
     rewrite as the atomic commit, truncates the sibling + health log,
     resets the drift baseline, and records compacted_through_batch so
     replayed pre-compaction batches are skipped (see ingest_ivf_batch's
-    guard)."""
+    guard).
+
+    ``auto_compact`` (r13, VERDICT r12 #4) wires that advice into the
+    stream itself — opt-in, OFF by default because a compaction is a
+    full index read+rewrite and it runs INSIDE foreachBatch, stalling
+    the stream for its duration (fine for availableNow maintenance
+    runs; a continuous low-latency deployment should instead poll
+    should_compact from a separate maintenance job). Pass a dict:
+    ``drift_threshold`` (default 1.5) and ``trend_window`` (default 3)
+    feed should_compact — fire only when the last trend_window batches
+    ALL drift past the threshold — plus optional compact_ivf_index
+    passthroughs ``n_pivots`` / ``train_iters`` / ``train_sample_mod``
+    / ``retrain``. After a compaction the baseline resets and the
+    window re-arms empty, so a drifting stream triggers ONCE and a
+    stable one never does (pytest-pinned)."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         ingest_ivf_batch(
             batch_df.sparkSession, batch_df, batch_id, index_path,
             corpus_vec=corpus_vec,
         )
+        if auto_compact is not None:
+            decision = should_compact(
+                index_path,
+                drift_threshold=auto_compact.get("drift_threshold", 1.5),
+                trend_window=auto_compact.get("trend_window", 3),
+            )
+            if decision["compact"]:
+                from rta_registrations_pyspark_glue_spark.operators.similarity import (
+                    compact_ivf_index,
+                )
+
+                compact_ivf_index(
+                    batch_df.sparkSession,
+                    index_path,
+                    n_pivots=auto_compact.get("n_pivots"),
+                    train_iters=auto_compact.get("train_iters", 2),
+                    train_sample_mod=auto_compact.get("train_sample_mod", 1),
+                    retrain=auto_compact.get("retrain", True),
+                )
 
     writer = vec_stream.writeStream.foreachBatch(body).option(
         "checkpointLocation", checkpoint_dir

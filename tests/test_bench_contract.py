@@ -86,7 +86,11 @@ def test_measure_scaling_emits_per_pass_times(monkeypatch):
     minhash exponent drift was three never-steady passes — only
     t_passes makes that diagnosable from the sidecar), with t_big ==
     min(t_passes) and passes == len(t_passes); flagged queries (t_big >
-    5x base) get re-measured and therefore a longer list."""
+    2.5x base) get re-measured until CONVERGED (r13, VERDICT r12 #2:
+    the fixed 2-extra-pass cap left minhash still falling at pass 3 —
+    now passes repeat while the best improves >15%, capped at 5
+    extra), so the flagged row gets a longer list and the loop stops
+    once a pass stops improving."""
     if not os.path.isdir("/root/repo/.scale/sf1"):
         import pytest
 
@@ -101,8 +105,42 @@ def test_measure_scaling_emits_per_pass_times(monkeypatch):
     for name, row in out["queries"].items():
         assert row["t_big"] == min(row["t_passes"])
         assert row["passes"] == len(row["t_passes"])
-        expect = 3 if name == fast else 1
-        assert row["passes"] == expect, (name, row)
+        if name == fast:
+            # flagged: at least one re-measure, bounded by the cap,
+            # and the FINAL pass is the non-improving one (> 0.85x of
+            # the best-so-far before it) unless the cap cut it off
+            assert 2 <= row["passes"] <= 6, row
+            if row["passes"] < 6:
+                best_before = min(row["t_passes"][:-1])
+                assert row["t_passes"][-1] > 0.85 * best_before, row
+        else:
+            assert row["passes"] == 1, (name, row)
+
+
+def test_measure_scaling_converges_on_improving_passes(monkeypatch):
+    """The r13 convergence loop keeps re-measuring while passes
+    improve >15% (warm-up burn-off) and stops at the first
+    non-improving pass — pinned with a scripted timer so the pass
+    pattern is exact: 10 -> 5 -> 2.4 -> 2.3 stops after the 4th
+    (2.3 > 0.85 * 2.4), never reaching the cap."""
+    if not os.path.isdir("/root/repo/.scale/sf1"):
+        import pytest
+
+        pytest.skip("no scaled replica dir")
+    seq = iter([0.0, 10.0, 10.0, 15.0, 15.0, 17.4, 17.4, 19.7])
+    # perf_counter pairs: (start, end) per run -> durations 10, 5,
+    # 2.4, 2.3
+    times = iter([0.0, 10.0, 20.0, 25.0, 30.0, 32.4, 40.0, 42.3])
+    del seq
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(times))
+    monkeypatch.setattr(bench.caching, "release_tracked", lambda: None)
+    name = bench.SCALING_SUBSET[0]
+    monkeypatch.setattr(bench, "SCALING_SUBSET", [name])
+    qs = {name: (lambda spark, d: _FakeDF())}
+    out = bench.measure_scaling(None, qs, {name: 0.0001}, mm_legs_base=None)
+    row = out["queries"][name]
+    assert row["t_passes"] == [10.0, 5.0, 2.4, 2.3], row
+    assert row["t_big"] == 2.3 and row["passes"] == 4
 
 
 def test_headline_is_last_line_and_parseable(tmp_path):

@@ -526,3 +526,110 @@ def test_compaction_skips_partial_batch_and_replay_repairs(spark, tmp_path):
     assert sum(occ["cell_counts"].values()) == total
     with open(os.path.join(path, "centroids.json")) as f:
         assert json.load(f)["compacted_through_batch"] == 0
+
+
+def test_auto_compact_triggers_once_on_drift_never_on_stable(spark, tmp_path):
+    """r13 (VERDICT r12 #4): the opt-in auto_compact hook. A stream
+    whose batches drift hard off the training distribution triggers
+    EXACTLY ONE compaction (the trigger needs trend_window consecutive
+    over-threshold batches; the compaction resets the baseline and
+    re-arms the window empty), a stable stream never triggers, and
+    replay across the compaction stays duplicate-free via the
+    compacted_through_batch guard."""
+    import json
+    import os
+
+    from rta_registrations_pyspark_glue_spark.operators import similarity
+    from rta_registrations_pyspark_glue_spark.streaming.annindex import (
+        ingest_ivf_batch,
+        ivf_index_occupancy,
+        should_compact,
+        stream_ivf_ingest,
+    )
+
+    # synthetic well-separated geometry so the drift ratio is
+    # CONTROLLED (quantization error is ANGULAR — mean 1−cos to the
+    # assigned centroid): base vectors hug four orthogonal directions
+    # (baseline err ~0.001), in-distribution batches land at ratio ~1,
+    # and drift batches point at a FIFTH orthogonal direction no
+    # centroid covers (err ~1 → ratio in the hundreds)
+    d = 16
+
+    def dir_rows(dims, start_id, n=40):
+        rows = []
+        for i in range(n):
+            v = [0.0] * d
+            v[dims[i % len(dims)]] = 10.0
+            v[8 + (i % 4)] += 0.2 + 0.01 * (i % 5)  # small stable jitter
+            rows.append((start_id + i, v))
+        return spark.createDataFrame(rows, "cid long, cv array<double>")
+
+    base = dir_rows((0, 1, 2, 3), 0, n=200)
+    idx = similarity.ivf_build(base, n_pivots=4, train_iters=3)
+    drift_batches = [
+        dir_rows((5,), 10_000),
+        dir_rows((5, 6), 20_000),
+        dir_rows((6,), 30_000),
+    ]
+    path = str(tmp_path / "ivf_autocompact")
+    similarity.ivf_write_index(idx, path)
+    feed = str(tmp_path / "feed")
+    for i, b in enumerate(drift_batches):
+        b.coalesce(1).write.parquet(f"{feed}/f{i}")
+    stream = (
+        spark.readStream.schema("cid long, cv array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*/")
+    )
+    q = stream_ivf_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt"),
+        corpus_vec="cv",
+        auto_compact={"drift_threshold": 1.3, "trend_window": 2,
+                      "train_iters": 2},
+    )
+    q.awaitTermination(180)
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    # exactly one compaction: batches 0+1 filled the window and fired;
+    # the reset baseline + empty window kept batch 2 from firing again
+    assert meta.get("generation") == 1, meta.get("generation")
+    assert meta["compacted_through_batch"] == 1
+    n_total = base.count() + sum(b.count() for b in drift_batches)
+    loaded = similarity.ivf_read_index(spark, path)
+    assert loaded.assignment.count() == n_total
+    assert sum(ivf_index_occupancy(path)["cell_counts"].values()) == n_total
+    # replay of a pre-compaction batch across the compaction: skipped
+    h = ingest_ivf_batch(spark, drift_batches[1], 1, path, corpus_vec="cv")
+    assert h.get("skipped_compacted") and h["appended"] == 0
+    assert similarity.ivf_read_index(spark, path).assignment.count() == n_total
+
+    # stable stream: same distribution as the build -> drift ~1, the
+    # trigger never fires, no generation bump
+    base2 = dir_rows((0, 1, 2, 3), 1_000, n=200)
+    idx2 = similarity.ivf_build(base2, n_pivots=4, train_iters=3)
+    path2 = str(tmp_path / "ivf_stable")
+    similarity.ivf_write_index(idx2, path2)
+    feed2 = str(tmp_path / "feed2")
+    for i, start in enumerate((40_000, 50_000, 60_000)):
+        dir_rows((0, 1, 2, 3), start).coalesce(1).write.parquet(
+            f"{feed2}/f{i}"
+        )
+    stream2 = (
+        spark.readStream.schema("cid long, cv array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed2}/*/")
+    )
+    q2 = stream_ivf_ingest(
+        stream2, path2, checkpoint_dir=str(tmp_path / "ckpt2"),
+        corpus_vec="cv",
+        auto_compact={"drift_threshold": 1.3, "trend_window": 2,
+                      "train_iters": 2},
+    )
+    q2.awaitTermination(180)
+    with open(os.path.join(path2, "centroids.json")) as f:
+        meta2 = json.load(f)
+    assert "generation" not in meta2
+    assert len(os.listdir(os.path.join(path2, "health"))) == 3
+    dec = should_compact(path2, drift_threshold=1.3, trend_window=2)
+    assert not dec["compact"] and dec["n_batches"] == 3
+    assert all(r < 1.3 for r in dec["window"]), dec

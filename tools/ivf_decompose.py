@@ -65,9 +65,58 @@ def main() -> None:
         i = args.index("--rank-mode")
         rank_mode = args[i + 1]
         del args[i : i + 2]
+    # --score-dtype auto|f32|f64 (default auto, r13): the GEMM
+    # ranking's score-matrix precision — f64 forces the pre-r13 path
+    # (disables _GEMM_SCORE_F32_MIN_CELLS), f32 forces float32 at any
+    # k, auto leaves the production dispatch. The §18 A/B knob.
+    score_dtype = "auto"
+    if "--score-dtype" in args:
+        i = args.index("--score-dtype")
+        score_dtype = args[i + 1]
+        del args[i : i + 2]
+    if score_dtype == "f64":
+        similarity._GEMM_SCORE_F32_MIN_CELLS = None
+    elif score_dtype == "f32":
+        similarity._GEMM_SCORE_F32_MIN_CELLS = 0
+    elif score_dtype != "auto":
+        raise SystemExit(f"--score-dtype {score_dtype!r}: auto | f32 | f64")
     dirs = args or ["/root/repo/.scale/sf5", "/root/repo/.scale/sf15"]
     spark = get_spark("ivf_decompose")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def shuffle_totals():
+        """Cumulative shuffle volume across all completed stages, from
+        the local UI's REST API (r13, VERDICT r12 #7): per-pass DELTAS
+        of these totals isolate the distributed scoring's scatter/merge
+        traffic — the §17-named next super-linear suspect. Best-effort:
+        None when the UI is off; undercounts if stage eviction
+        (spark.ui.retainedStages) kicks in, which the caller flags by
+        a falling delta."""
+        import json as _json
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return None
+        try:
+            apps = _json.load(
+                urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5)
+            )
+            app_id = apps[0]["id"]
+            stages = _json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
+                    timeout=15,
+                )
+            )
+        except Exception:
+            return None
+        return {
+            "w_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "r_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+            "w_rec": sum(s.get("shuffleWriteRecords", 0) for s in stages),
+            "r_rec": sum(s.get("shuffleReadRecords", 0) for s in stages),
+        }
     for sf in dirs:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
@@ -90,13 +139,21 @@ def main() -> None:
         t2 = time.perf_counter()
         search_times = []
         decisions = []
+        shuffles = []
         for _ in range(passes):
+            s_before = shuffle_totals()
             ts = time.perf_counter()
             out = similarity.ivf_search(
                 idx, q, k=5, nprobe=nprobe, rank_mode=rank_mode
             )
             out.write.format("noop").mode("overwrite").save()
             search_times.append(time.perf_counter() - ts)
+            s_after = shuffle_totals()
+            shuffles.append(
+                {key: s_after[key] - s_before[key] for key in s_after}
+                if s_before is not None and s_after is not None
+                else None
+            )
             d = similarity._LAST_RANK_DECISION
             decisions.append(
                 {k_: v for k_, v in d.items() if not k_.startswith("_")}
@@ -109,11 +166,15 @@ def main() -> None:
             else ("vectorized" if k > similarity._VEC_ASSIGN_MIN_CELLS else "expression")
         )
         searches = " ".join(f"search{i + 1}={t:.1f}s" for i, t in enumerate(search_times))
+        shuf = " ".join(
+            f"shuffle{i + 1}={s}" for i, s in enumerate(shuffles)
+        )
         print(
             f"{sf}: n={n} k={k} nprobe={nprobe} query_mod={query_mod} "
             f"assign_strategy={strategy} rank_mode={rank_mode} "
+            f"score_dtype={score_dtype} "
             f"train={t1 - t0:.1f}s assign={t2 - t1:.1f}s {searches} "
-            f"rank_decision={decisions[-1]}"
+            f"rank_decision={decisions[-1]} {shuf}"
         )
         caching.release_tracked()
     spark.stop()
