@@ -17,10 +17,12 @@ frames route to decoders this repo owns:
 
 All FOUR lacing schemes decode (none / Xiph 255-run / fixed-equal /
 EBML signed-delta) — lacing is where real Matroska demuxers break, so
-the fixtures exercise each. Compressed codecs (V_VP9, V_AV1, A_OPUS,
-A_VORBIS, ...) raise NotImplementedError at the per-track boundary —
-the ffmpeg/PyAV plug-in point — while the walk and the other track
-still work.
+the fixtures exercise each. Compressed codecs (V_VP9, V_AV1, ...)
+raise NotImplementedError at the per-track DECODE boundary — the
+ffmpeg/PyAV plug-in point — while the walk and the other track still
+work; A_OPUS (r12) and A_VORBIS (r13) additionally get full
+STRUCTURAL extraction via extract_mkv_codec_config (their CodecPrivate
+carries the same header records the Ogg paths read).
 
 Spark surface mirrors avi.py/mp4.py: Arrow-batched ``mapInPandas``,
 memory bounded by the batch; at 100 TB the demux is embarrassingly
@@ -512,6 +514,47 @@ def extract_mkv_codec_config(content: bytes) -> dict:
             }
         except (struct.error, IndexError) as e:
             raise ValueError(f"truncated Opus CodecPrivate: {e}") from None
+    elif (
+        soun is not None
+        and soun.get("codec") == "A_VORBIS"
+        and soun.get("codec_private")
+    ):
+        # Vorbis-in-Matroska (r13): CodecPrivate is the Xiph lacing of
+        # the three Vorbis header packets and block frames are raw
+        # audio packets — the identical records the Ogg path reads, so
+        # the id/setup/audio walks are shared (operators/vorbis)
+        from rta_registrations_pyspark_glue_spark.operators.vorbis import (
+            parse_vorbis_codec_private,
+            parse_vorbis_id,
+            parse_vorbis_setup,
+            walk_vorbis_audio,
+        )
+
+        try:
+            ident_p, _comment_p, setup_p = parse_vorbis_codec_private(
+                bytes(soun["codec_private"])
+            )
+            ident = parse_vorbis_id(ident_p)
+            setup = parse_vorbis_setup(setup_p, ident["channels"])
+            flags = setup.pop("mode_blockflags")
+            pkts = [
+                payload
+                for tn, fr in blocks
+                if tn == soun.get("number")
+                for payload in fr
+            ]
+            out["audio"] = {
+                "container": "mkv",
+                **ident,
+                **setup,
+                **walk_vorbis_audio(
+                    pkts, flags, ident["blocksize_0"], ident["blocksize_1"]
+                ),
+            }
+        except (struct.error, IndexError) as e:
+            raise ValueError(
+                f"truncated Vorbis CodecPrivate: {e}"
+            ) from None
     return out
 
 
@@ -633,13 +676,16 @@ def encode_mkv_av(
     )
     tracks_body = vtrack
     a_blocks: list[bytes] = []
-    if audio is not None and audio_codec == "A_OPUS":
-        # Opus-in-Matroska fixture (r12): ``audio`` is a list of raw
-        # Opus PACKETS; CodecPrivate carries the OpusHead. Same
-        # xiph-laced two-block shape as the AAC fixture (packet sizes
-        # differ, exercising the 255-run size coding).
+    if audio is not None and audio_codec in ("A_OPUS", "A_VORBIS"):
+        # Opus-in-Matroska fixture (r12) / Vorbis-in-Matroska (r13):
+        # ``audio`` is a list of raw PACKETS; CodecPrivate carries the
+        # OpusHead (Opus) or the Xiph-laced three header packets
+        # (Vorbis). Same xiph-laced two-block shape as the AAC fixture
+        # (packet sizes differ, exercising the 255-run size coding).
         if audio_codec_private is None:
-            raise ValueError("A_OPUS needs audio_codec_private (OpusHead)")
+            raise ValueError(
+                f"{audio_codec} needs audio_codec_private (its header)"
+            )
         pkts = [bytes(x) for x in audio]
         tracks_body += _ebml_el(
             0xAE,

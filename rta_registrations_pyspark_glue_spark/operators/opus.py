@@ -429,6 +429,35 @@ def _doc_packets(d: int) -> list[bytes]:
     return out
 
 
+def ogg_page(
+    serial: int, bodies: list[bytes], granule: int, seq: int, flags: int
+) -> bytes:
+    """One spec-shaped Ogg page: 255-run lacing of ``bodies`` into the
+    segment table, real CRC over the zero-CRC'd header+body. Shared by
+    the Opus and Vorbis fixture encoders (r13) — the exact writer twin
+    of _ogg_packets' reader."""
+    segs = bytearray()
+    for b in bodies:
+        n = len(b)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+    hdr = (
+        b"OggS\x00"
+        + bytes([flags])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", serial)
+        + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00"
+        + bytes([len(segs)])
+        + bytes(segs)
+    )
+    body = b"".join(bodies)
+    crc = _ogg_crc(hdr + body)
+    return hdr[:22] + struct.pack("<I", crc) + hdr[26:] + body
+
+
 def encode_ogg_opus_packets(
     packets: list[bytes],
     channels: int = 1,
@@ -445,26 +474,7 @@ def encode_ogg_opus_packets(
     def page(
         bodies: list[bytes], granule: int, seq: int, flags: int
     ) -> bytes:
-        segs = bytearray()
-        for b in bodies:
-            n = len(b)
-            while n >= 255:
-                segs.append(255)
-                n -= 255
-            segs.append(n)
-        hdr = (
-            b"OggS\x00"
-            + bytes([flags])
-            + struct.pack("<q", granule)
-            + struct.pack("<I", serial)
-            + struct.pack("<I", seq)
-            + b"\x00\x00\x00\x00"
-            + bytes([len(segs)])
-            + bytes(segs)
-        )
-        body = b"".join(bodies)
-        crc = _ogg_crc(hdr + body)
-        return hdr[:22] + struct.pack("<I", crc) + hdr[26:] + body
+        return ogg_page(serial, bodies, granule, seq, flags)
 
     out = [
         page([build_opus_head(channels, pre_skip, input_rate, gain_q8)],

@@ -1418,8 +1418,10 @@ def _topk_stable(np, negcos, nprobe):
 #: past it, a probe-order flip needs two centroid cosines within
 #: ~1e-7 of each other — and such near-ties only reshuffle which of
 #: two near-equidistant cells is probed, never the exact scoring of
-#: the candidates themselves. Enabled by the sf405 A/B measurement
-#: recorded in SCALING.md §18. None disables.
+#: the candidates themselves. Enabled by measurement (r13 quiet-host
+#: A/B, tools/rank_dtype_ab.py, 3 passes each dtype): sf135 11.3s vs
+#: 14.3s (1.27×, 26997/27000 probe sets identical), sf405 358.6s vs
+#: 462.2s (1.29×, 80996/81000) — SCALING.md §18. None disables.
 _GEMM_SCORE_F32_MIN_CELLS: int | None = 4096
 
 

@@ -26,6 +26,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     hevc,
     mp4,
     opus,
+    vorbis,
     multimodal,
     pq,
     similarity,
@@ -1281,6 +1282,71 @@ def multimodal_opus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_VORBIS_ORACLE = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(list_extract([48000, 44100, 32000, 8000],
+                             CAST(doc_id % 4 AS INT) + 1) AS INT)
+               AS sample_rate,
+           CAST(64000 + 1000 * (doc_id % 32) AS INT) AS bitrate_nominal,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 128 ELSE 256 END AS INT)
+               AS blocksize_0,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 512 ELSE 1024 END AS INT)
+               AS blocksize_1,
+           CAST(1 + doc_id % 3 AS INT) AS codebook_count,
+           CAST(list_sum(list_transform(range(0, 1 + doc_id % 3),
+                j -> 4 + (doc_id + 3 * j) % 5)) AS INT)
+               AS codebook_entries_total,
+           CAST(1 + doc_id % 2 AS INT) AS floor_count,
+           CAST(1 + (doc_id + 1) % 2 AS INT) AS residue_count,
+           CAST(1 AS INT) AS mapping_count,
+           CAST(2 AS INT) AS mode_count,
+           CAST(4 + doc_id % 5 AS INT) AS n_audio_packets,
+           CAST(list_sum(list_transform(range(0, 4 + doc_id % 5),
+                p -> (doc_id + p) % 2)) AS INT) AS n_long_blocks,
+           CAST((4 + doc_id % 5)
+                - list_sum(list_transform(range(0, 4 + doc_id % 5),
+                      p -> (doc_id + p) % 2)) AS INT) AS n_short_blocks,
+           CAST(list_sum(list_transform(range(0, 4 + doc_id % 5),
+                p -> 8 + (3 * doc_id + 5 * p) % 12)) AS BIGINT)
+               AS audio_bytes,
+           -- consecutive packets alternate modes ((d+p) % 2), so all
+           -- n-1 lapped-window boundaries emit (bs0 + bs1) / 4 samples
+           CAST((3 + doc_id % 5)
+                * (CASE doc_id % 2 WHEN 0 THEN 128 ELSE 256 END
+                   + CASE doc_id % 2 WHEN 0 THEN 512 ELSE 1024 END)
+                // 4 AS BIGINT) AS duration_samples,
+           TRUE AS parse_ok
+    FROM documents WHERE doc_id % 16 = 7
+    """
+
+
+def multimodal_vorbis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Vorbis STRUCTURAL extraction through the Arrow/pandas path
+    (r13): each doc gets a spec-shaped Ogg Vorbis file (real page
+    CRCs, comment+setup laced onto one page) whose identification
+    fields, FULL setup-header composition (codebooks with
+    ordered/unordered length lists and VQ lookups, floor0/floor1,
+    residue cascades, coupled mappings, modes), and audio packet plan
+    are closed forms of the doc id — vorbis.extract_ogg_vorbis walks
+    every header bit-exactly (LSB-first) and derives the short/long
+    block sequence and lapped-window duration without running an MDCT.
+    The curation-first contract for the legacy scraped-audio codec,
+    completing the Xiph pair Opus started in r12."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 16 == 7
+    )
+    feats = vorbis.extract_vorbis_features(vorbis.synthesize_vorbis_docs(docs))
+    return feats.select(
+        "doc_id", "channels", "sample_rate", "bitrate_nominal",
+        "blocksize_0", "blocksize_1", "codebook_count",
+        "codebook_entries_total", "floor_count", "residue_count",
+        "mapping_count", "mode_count", "n_audio_packets",
+        "n_long_blocks", "n_short_blocks", "audio_bytes",
+        "duration_samples", "parse_ok",
+    )
+
+
 def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL AVI container demux through the Arrow/pandas path (r9):
     each doc gets a two-stream interleaved AVI (avi.synthesize_avi_docs
@@ -1492,6 +1558,8 @@ def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL BY NAME
     SELECT 'opus' AS kind, * FROM ({_MM_OPUS_ORACLE})
     UNION ALL BY NAME
+    SELECT 'vorbis' AS kind, * FROM ({_MM_VORBIS_ORACLE})
+    UNION ALL BY NAME
     SELECT 'mp3' AS kind, * FROM ({_MM_MP3_ORACLE})
     UNION ALL BY NAME
     SELECT 'mkv' AS kind, * FROM ({_MM_MKV_ORACLE})
@@ -1586,6 +1654,11 @@ MULTIMODAL_LEGS = {
     # frame-packing walk, RFC 7845 OpusHead, real Ogg page CRC and
     # lacing; SILK/CELT decode stays the plug-in boundary
     "opus": multimodal_opus,
+    # 'vorbis' (r13): Vorbis STRUCTURAL extraction — LSB-first id +
+    # FULL setup-header walk (codebooks/floors/residues/mappings/
+    # modes), audio-packet mode walk with lapped-window duration;
+    # MDCT synthesis stays the plug-in boundary
+    "vorbis": multimodal_vorbis,
     # 'mp3' (r10): frame-level decode — CRC-16, full side-info unpack,
     # reservoir, exact silent-granule PCM
     "mp3": multimodal_decode_mp3,
