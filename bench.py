@@ -153,8 +153,12 @@ SCOPES = {
     # boundary, doc_id % 16 = 12 subset) + the 'opus' rows (Opus
     # STRUCTURAL extraction — RFC 6716 TOC/frame-packing walk over all
     # four count codes, RFC 7845 OpusHead, real Ogg page CRC + lacing;
-    # SILK/CELT decode stays the boundary, doc_id % 16 = 4 subset)
-    "multimodal_suite": 9,
+    # SILK/CELT decode stays the boundary, doc_id % 16 = 4 subset);
+    # round 13 → 10: + the 'vorbis' rows (Vorbis STRUCTURAL extraction
+    # — LSB-first identification + setup-header walk, codebook count,
+    # real Ogg lacing + Matroska A_VORBIS Xiph-laced CodecPrivate;
+    # MDCT/floor/residue decode stays the boundary, doc_id % 16 = 7)
+    "multimodal_suite": 10,
     # round 9 (first benched round): relative to its r8 GATE scope,
     # doc_fingerprints gains the 'incdup' union leg (incremental
     # substring dedup, oracle-consolidated under the 50-query cap)
@@ -404,12 +408,20 @@ def measure_scaling(
     # left minhash_lsh_near_dups still FALLING at its last pass
     # (t_passes [19.2, 18.7, 9.2] — exponent 0.65 reported vs the
     # decompose tool's steady 0.48). CONVERGE instead of counting:
-    # keep re-running while the latest pass improved on the best by
-    # >15%, bounded at 5 extra passes (a genuinely super-linear query
-    # plateaus immediately and stops after one confirming pass).
+    # keep re-running until TWO CONSECUTIVE passes fail to improve the
+    # best by >15%, bounded at 5 extra passes. Two strikes, not one:
+    # the same r12 trace shows the warm-up burns off NON-monotonically
+    # (pass 2 improved 19.2→18.7 — under 15% — then pass 3 halved it),
+    # and §17's pass-ordering anomaly means any single pass can read
+    # slow; a one-strike stop mistook both for convergence (the first
+    # r13 refresh stopped minhash at [8.8, 11.1] and reported 0.80
+    # while the decompose tool's steady protocol read ~0.48). A
+    # genuinely super-linear query plateaus immediately and still
+    # stops after two confirming passes.
     for name in t_bigs:
         extra = 0
-        while extra < 5:
+        strikes = 0
+        while extra < 5 and strikes < 2:
             if t_bigs[name] <= 2.5 * base_times[name] and t_bigs[name] <= 3.0:
                 break
             prev_best = t_bigs[name]
@@ -419,8 +431,7 @@ def measure_scaling(
             passes[name] += 1
             extra += 1
             caching.release_tracked()
-            if t > 0.85 * prev_best:
-                break  # converged: this pass didn't improve best >15%
+            strikes = strikes + 1 if t > 0.85 * prev_best else 0
     caching.release_tracked()
     rows = {
         name: {

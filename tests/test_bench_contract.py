@@ -119,19 +119,21 @@ def test_measure_scaling_emits_per_pass_times(monkeypatch):
 
 def test_measure_scaling_converges_on_improving_passes(monkeypatch):
     """The r13 convergence loop keeps re-measuring while passes
-    improve >15% (warm-up burn-off) and stops at the first
-    non-improving pass — pinned with a scripted timer so the pass
-    pattern is exact: 10 -> 5 -> 2.4 -> 2.3 stops after the 4th
-    (2.3 > 0.85 * 2.4), never reaching the cap."""
+    improve >15% (warm-up burn-off) and stops only after TWO
+    CONSECUTIVE non-improving passes — one slow pass is the §17
+    pass-ordering anomaly, not convergence, and the r12 minhash trace
+    shows warm-up burning off non-monotonically (19.2 -> 18.7 -> 9.2:
+    a one-strike stop would have quit before the halving). Pinned with
+    a scripted timer: 10 -> 9.5 (strike 1) -> 5.0 (improves, strikes
+    RESET) -> 4.9 (strike 1) -> 4.95 (strike 2, stop) — ends at pass
+    5, below the 6-pass cap, so the stop is strike-driven."""
     if not os.path.isdir("/root/repo/.scale/sf1"):
         import pytest
 
         pytest.skip("no scaled replica dir")
-    seq = iter([0.0, 10.0, 10.0, 15.0, 15.0, 17.4, 17.4, 19.7])
-    # perf_counter pairs: (start, end) per run -> durations 10, 5,
-    # 2.4, 2.3
-    times = iter([0.0, 10.0, 20.0, 25.0, 30.0, 32.4, 40.0, 42.3])
-    del seq
+    # perf_counter pairs: (start, end) per run -> durations 10, 9.5,
+    # 5.0, 4.9, 4.95
+    times = iter([0.0, 10.0, 20.0, 29.5, 40.0, 45.0, 60.0, 64.9, 80.0, 84.95])
     monkeypatch.setattr(bench.time, "perf_counter", lambda: next(times))
     monkeypatch.setattr(bench.caching, "release_tracked", lambda: None)
     name = bench.SCALING_SUBSET[0]
@@ -139,8 +141,8 @@ def test_measure_scaling_converges_on_improving_passes(monkeypatch):
     qs = {name: (lambda spark, d: _FakeDF())}
     out = bench.measure_scaling(None, qs, {name: 0.0001}, mm_legs_base=None)
     row = out["queries"][name]
-    assert row["t_passes"] == [10.0, 5.0, 2.4, 2.3], row
-    assert row["t_big"] == 2.3 and row["passes"] == 4
+    assert row["t_passes"] == [10.0, 9.5, 5.0, 4.9, 4.95], row
+    assert row["t_big"] == 4.9 and row["passes"] == 5
 
 
 def test_headline_is_last_line_and_parseable(tmp_path):

@@ -74,6 +74,14 @@ def main() -> None:
         i = args.index("--score-dtype")
         score_dtype = args[i + 1]
         del args[i : i + 2]
+    # --stage-shuffles: per search pass, print every NEW completed
+    # stage that moved shuffle data (write-records descending) so the
+    # pass-level delta can be attributed to a specific exchange — the
+    # §18 "which exchange carries the rows" follow-up.
+    stage_shuffles = False
+    if "--stage-shuffles" in args:
+        stage_shuffles = True
+        args.remove("--stage-shuffles")
     if score_dtype == "f64":
         similarity._GEMM_SCORE_F32_MIN_CELLS = None
     elif score_dtype == "f32":
@@ -84,14 +92,19 @@ def main() -> None:
     spark = get_spark("ivf_decompose")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    def shuffle_totals():
-        """Cumulative shuffle volume across all completed stages, from
-        the local UI's REST API (r13, VERDICT r12 #7): per-pass DELTAS
-        of these totals isolate the distributed scoring's scatter/merge
-        traffic — the §17-named next super-linear suspect. Best-effort:
-        None when the UI is off; undercounts if stage eviction
-        (spark.ui.retainedStages) kicks in, which the caller flags by
-        a falling delta."""
+    def completed_stages():
+        """Completed-stage list from the local UI's REST API (r13,
+        VERDICT r12 #7): per-pass DELTAS of the summed shuffle columns
+        isolate the distributed scoring's scatter/merge traffic — the
+        §17-named next super-linear suspect — and the per-stage rows
+        (``--stage-shuffles``) attribute the delta to a SPECIFIC
+        exchange: a stage's shuffle WRITE is the volume its output
+        exchange carried, so the stage whose name is the probe
+        explode's mapInPandas owns the probe→assignment join traffic
+        and the stage at the scoring callsite owns the scored-candidate
+        merge. Best-effort: None when the UI is off; undercounts if
+        stage eviction (spark.ui.retainedStages) kicks in, which the
+        caller flags by a falling delta."""
         import json as _json
         import urllib.request
 
@@ -103,13 +116,17 @@ def main() -> None:
                 urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5)
             )
             app_id = apps[0]["id"]
-            stages = _json.load(
+            return _json.load(
                 urllib.request.urlopen(
                     f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
                     timeout=15,
                 )
             )
         except Exception:
+            return None
+
+    def shuffle_totals(stages):
+        if stages is None:
             return None
         return {
             "w_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
@@ -140,20 +157,49 @@ def main() -> None:
         search_times = []
         decisions = []
         shuffles = []
-        for _ in range(passes):
-            s_before = shuffle_totals()
+        for p in range(passes):
+            st_before = completed_stages()
+            s_before = shuffle_totals(st_before)
             ts = time.perf_counter()
             out = similarity.ivf_search(
                 idx, q, k=5, nprobe=nprobe, rank_mode=rank_mode
             )
             out.write.format("noop").mode("overwrite").save()
             search_times.append(time.perf_counter() - ts)
-            s_after = shuffle_totals()
+            st_after = completed_stages()
+            s_after = shuffle_totals(st_after)
             shuffles.append(
                 {key: s_after[key] - s_before[key] for key in s_after}
                 if s_before is not None and s_after is not None
                 else None
             )
+            if stage_shuffles and st_before is not None and st_after is not None:
+                # Attribute the pass delta: each NEW stage's shuffle
+                # WRITE is what its output exchange carried; the stage
+                # name is the callsite of its last RDD op, which in
+                # this plan distinguishes the probe/assignment join
+                # sides from the post-scoring merge.
+                seen = {(s["stageId"], s["attemptId"]) for s in st_before}
+                new = [
+                    s
+                    for s in st_after
+                    if (s["stageId"], s["attemptId"]) not in seen
+                    and (
+                        s.get("shuffleWriteRecords", 0)
+                        or s.get("shuffleReadRecords", 0)
+                    )
+                ]
+                new.sort(key=lambda s: -s.get("shuffleWriteRecords", 0))
+                for s in new:
+                    print(
+                        f"  [stage pass{p + 1}] id={s['stageId']} "
+                        f"tasks={s.get('numCompleteTasks', '?')} "
+                        f"w_rec={s.get('shuffleWriteRecords', 0)} "
+                        f"w_bytes={s.get('shuffleWriteBytes', 0)} "
+                        f"r_rec={s.get('shuffleReadRecords', 0)} "
+                        f"r_bytes={s.get('shuffleReadBytes', 0)} "
+                        f"name={s.get('name', '')[:120]!r}"
+                    )
             d = similarity._LAST_RANK_DECISION
             decisions.append(
                 {k_: v for k_, v in d.items() if not k_.startswith("_")}
