@@ -211,6 +211,9 @@ def main() -> None:
             if k > similarity._HIER_ASSIGN_MIN_CELLS
             else ("vectorized" if k > similarity._VEC_ASSIGN_MIN_CELLS else "expression")
         )
+        # --search-passes 0 is a legal train+assign-only run (the §18
+        # assign-stage A/B); there is no decision or shuffle to print.
+        last_decision = decisions[-1] if decisions else None
         searches = " ".join(f"search{i + 1}={t:.1f}s" for i, t in enumerate(search_times))
         shuf = " ".join(
             f"shuffle{i + 1}={s}" for i, s in enumerate(shuffles)
@@ -220,7 +223,7 @@ def main() -> None:
             f"assign_strategy={strategy} rank_mode={rank_mode} "
             f"score_dtype={score_dtype} "
             f"train={t1 - t0:.1f}s assign={t2 - t1:.1f}s {searches} "
-            f"rank_decision={decisions[-1]} {shuf}"
+            f"rank_decision={last_decision} {shuf}"
         )
         caching.release_tracked()
     spark.stop()
