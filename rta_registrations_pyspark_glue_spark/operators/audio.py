@@ -206,6 +206,23 @@ _IMA_STEPS = [
 ]
 _IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
 
+#: diff magnitude per (step index, nibble magnitude) — the shift-add
+#: form of _ima_step precomputed over the whole 89×8 state space, so the
+#: encoder's 16-candidate search is pure table lookups + adds (r13; the
+#: per-candidate _ima_step calls were ~70% of the adpcm fixture-synth
+#: leg). Kept bit-identical to _ima_step by construction and pinned by
+#: the byte-equality sweep in tests/test_audio.py.
+_IMA_DIFFS = [
+    [
+        (step >> 3)
+        + ((step >> 2) if m & 1 else 0)
+        + ((step >> 1) if m & 2 else 0)
+        + (step if m & 4 else 0)
+        for m in range(8)
+    ]
+    for step in _IMA_STEPS
+]
+
 
 def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
     """One IMA ADPCM state transition (shift-add difference form)."""
@@ -579,6 +596,15 @@ def encode_ms_adpcm_wav(
             # nibble t belongs to channel t % channels at sample index
             # 2 + t // channels — the decoder's exact rotation
             total = (per_block - 2) * channels
+            # Inlined candidate search (r13, bit-identical to the
+            # _ms_step form — pinned by the byte-equality sweep in
+            # tests/test_audio.py): the two-tap base prediction does not
+            # depend on the nibble, so hoist it and evaluate the 16
+            # candidates as base + signed·idelta with the same
+            # strict-less/first-min tie rule; idelta adapts only for the
+            # CHOSEN nibble. This removes 16 function calls per sample
+            # (the encoder was ~80% of the msadpcm fixture-synth leg).
+            adapt = _MS_ADPCM_ADAPT
             for t in range(total):
                 c = ch
                 target = (
@@ -586,17 +612,28 @@ def encode_ms_adpcm_wav(
                     if 2 + t // channels < len(chunk)
                     else s1[c]
                 )
-                best, best_err, best_state = 0, None, None
+                base = (s1[c] * c1 + s2[c] * c2) >> 8
+                d = idelta[c]
+                best, best_err, best_smp = 0, None, None
                 for nib in range(16):
-                    smp, nd = _ms_step(s1[c], s2[c], idelta[c], c1, c2, nib)
-                    e = abs(smp - target)
+                    smp = base + (nib - 16 if nib >= 8 else nib) * d
+                    if smp < -32768:
+                        smp = -32768
+                    elif smp > 32767:
+                        smp = 32767
+                    e = smp - target
+                    if e < 0:
+                        e = -e
                     if best_err is None or e < best_err:
-                        best, best_err, best_state = nib, e, (smp, nd)
+                        best, best_err, best_smp = nib, e, smp
                 nibbles.append(best)
                 err += best_err
-                smp, nd = best_state
-                s2[c], s1[c] = s1[c], smp
-                idelta[c] = nd
+                s2[c], s1[c] = s1[c], best_smp
+                nd = (adapt[best] * d) >> 8
+                # same floor-16 / int32-cap clamps as _ms_step
+                idelta[c] = (
+                    16 if nd < 16 else (nd if nd < 0x80000000 else 0x7FFFFFFF)
+                )
                 ch = (ch + 1) % channels
             return err, nibbles, init
 
@@ -662,17 +699,32 @@ def encode_ima_adpcm_wav(
             headers += struct.pack("<hBB", pred, 0, 0)
             states.append((pred, 0))
         nibbles: list[list[int]] = [[] for _ in range(channels)]
+        # Inlined candidate search over the precomputed _IMA_DIFFS table
+        # (r13, bit-identical to the _ima_step form — same candidate
+        # order 0..15 and strict-less/first-min tie rule; pinned by the
+        # byte-equality sweep in tests/test_audio.py).
         for s in range(1, per_block):
             for c in range(channels):
                 pred, idx = states[c]
                 target = int(chunk[s, c]) if s < len(chunk) else pred
-                best, best_err = 0, None
+                diffs = _IMA_DIFFS[idx]
+                best, best_err, best_p = 0, None, None
                 for nib in range(16):
-                    p2, _ = _ima_step(pred, idx, nib)
-                    err = abs(p2 - target)
+                    p2 = pred - diffs[nib - 8] if nib >= 8 else pred + diffs[nib]
+                    if p2 < -32768:
+                        p2 = -32768
+                    elif p2 > 32767:
+                        p2 = 32767
+                    err = p2 - target
+                    if err < 0:
+                        err = -err
                     if best_err is None or err < best_err:
-                        best, best_err = nib, err
-                states[c] = _ima_step(pred, idx, best)
+                        best, best_err, best_p = nib, err, p2
+                nidx = idx + _IMA_INDEX_ADJUST[best & 7]
+                states[c] = (
+                    best_p,
+                    0 if nidx < 0 else (88 if nidx > 88 else nidx),
+                )
                 nibbles[c].append(best)
         for c in range(channels):
             ns = nibbles[c] + [0] * (data_bytes_per_ch * 2 - len(nibbles[c]))
@@ -811,7 +863,11 @@ def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     parsing RIFF)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[int, bytes] = {}
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache(f"wav_synth_{n}")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -845,7 +901,11 @@ def synthesize_flac_docs(docs: DataFrame, n: int = 96) -> DataFrame:
     from rta_registrations_pyspark_glue_spark.operators.flac import encode_flac
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[tuple[int, int, int, int], bytes] = {}
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache(f"flac_synth_{n}")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -868,11 +928,14 @@ def synthesize_flac_docs(docs: DataFrame, n: int = 96) -> DataFrame:
     return spread_ids(docs.select("doc_id")).mapInPandas(op, "doc_id bigint, content binary")
 
 
-#: fixture-encode memos (worker-process-level): ≤4096 tiny WAVs per
-#: (base, samples_per_block) — deterministic bytes, so sharing across
-#: partitions/passes is safe and keeps the bench leg measuring DECODE
-_IMA_FIXTURE_CACHE: dict[tuple[int, int], bytes] = {}
-_MS_FIXTURE_CACHE: dict[tuple[int, int], bytes] = {}
+#: fixture-encode memos: ≤4096 tiny WAVs per (base, samples_per_block) —
+#: deterministic bytes, so sharing across partitions/passes is safe and
+#: keeps the bench leg measuring DECODE. r13: the memos moved into
+#: workercache.worker_cache resolved INSIDE the ops — these module
+#: globals, referenced by closure, were cloudpickled BY VALUE into every
+#: task, so workers never actually shared them (each task warmed a copy
+#: and threw it away; the msadpcm leg re-encoded ~1k fixtures per
+#: invocation, 2.2s warm on the sf0.1 bench).
 
 
 def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
@@ -886,11 +949,17 @@ def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     state machine is pinned by the hand-vector pytest."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # module-level memo, not per-partition: the 4096 bases spread
-        # across partitions made a local cache always miss, so the leg's
-        # bench time measured the fixture ENCODER (7-pair greedy search)
-        # instead of the decode operator (r10 per-leg decomposition)
-        cache = _IMA_FIXTURE_CACHE
+        # worker-process memo resolved at call time (workercache.py): the
+        # 4096 bases spread across partitions made a task-local cache
+        # always miss, so the leg's bench time measured the fixture
+        # ENCODER instead of the decode operator (r10 per-leg
+        # decomposition; r13 found the closure-referenced module global
+        # was cloudpickled by value and never shared either)
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache("ima_synth")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -922,7 +991,12 @@ def synthesize_msadpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     machine is pinned by the hand-computed pytest vector."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache = _MS_FIXTURE_CACHE  # module-level: see synthesize_adpcm_docs
+        # worker-process memo: see synthesize_adpcm_docs
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache("ms_synth")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:

@@ -324,7 +324,11 @@ def synthesize_jpeg_docs(docs: DataFrame, size: int = 16) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        cache: dict[int, bytes] = {}
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache(f"jpeg_synth_{size}")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -353,8 +357,12 @@ def synthesize_gif_docs(docs: DataFrame, size: int = 16) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
         pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
-        cache: dict[int, bytes] = {}
+        cache = worker_cache(f"gif_synth_{size}")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -382,7 +390,11 @@ def synthesize_tiff_docs(docs: DataFrame, size: int = 16) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        cache: dict[int, bytes] = {}
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache(f"tiff_synth_{size}")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -416,7 +428,11 @@ def synthesize_webp_docs(docs: DataFrame, size: int = 16) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        cache: dict[int, bytes] = {}
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache(f"webp_synth_{size}")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -455,7 +471,11 @@ def synthesize_vp8_docs(docs: DataFrame) -> DataFrame:
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[tuple[int, int, int], bytes] = {}
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache("vp8_synth")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -485,7 +505,11 @@ def synthesize_png_docs(docs: DataFrame, size: int = 16) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        cache: dict[int, bytes] = {}
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache(f"png_synth_{size}")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:

@@ -152,7 +152,11 @@ def synthesize_y4m_docs(
     and the DuckDB oracle computes it without parsing anything."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[int, bytes] = {}
+        from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            worker_cache,
+        )
+
+        cache = worker_cache(f"y4m_synth_{size}_{n_frames}")
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:

@@ -491,3 +491,107 @@ def test_adpcm_lockstep_rejects_bad_indices():
         audio._decode_ms_adpcm(
             bytes(bad), ch, ba, 64, audio._MS_ADPCM_COEFS, lockstep=True
         )
+
+
+def test_encoder_inlined_search_matches_step_function_reference():
+    """r13: both encoders inlined their 16-candidate searches (hoisted
+    base prediction / precomputed _IMA_DIFFS) for speed. This sweep pins
+    the inlined form bit-identical to the original per-candidate
+    _ms_step/_ima_step search — same candidate order, same strict-less
+    first-min tie rule, same clamps — across constants (the gate-fixture
+    shape), random signals, walks, stereo, and partial tail blocks."""
+
+    def ms_ref_nibbles(chunk, channels, pidx, per_block):
+        c1, c2 = audio._MS_ADPCM_COEFS[pidx]
+        s2 = [int(chunk[0, c]) for c in range(channels)]
+        s1 = [int(chunk[min(1, len(chunk) - 1), c]) for c in range(channels)]
+        if len(chunk) > 2:
+            diffs = np.abs(np.diff(chunk.astype(np.int64), axis=0))
+            d0 = int(diffs.mean() // 4) if diffs.size else 16
+        else:
+            d0 = 16
+        d0 = max(16, min(32767, d0))
+        idelta = [d0] * channels
+        nibbles, err, ch = [], 0, 0
+        for t in range((per_block - 2) * channels):
+            c = ch
+            target = (
+                int(chunk[2 + t // channels, c])
+                if 2 + t // channels < len(chunk)
+                else s1[c]
+            )
+            best, best_err, best_state = 0, None, None
+            for nib in range(16):
+                smp, nd = audio._ms_step(s1[c], s2[c], idelta[c], c1, c2, nib)
+                e = abs(smp - target)
+                if best_err is None or e < best_err:
+                    best, best_err, best_state = nib, e, (smp, nd)
+            nibbles.append(best)
+            err += best_err
+            smp, nd = best_state
+            s2[c], s1[c] = s1[c], smp
+            idelta[c] = nd
+            ch = (ch + 1) % channels
+        return err, nibbles
+
+    def ima_ref_nibbles(chunk, channels, per_block):
+        states = [(int(chunk[0, c]), 0) for c in range(channels)]
+        nibbles = [[] for _ in range(channels)]
+        for s in range(1, per_block):
+            for c in range(channels):
+                pred, idx = states[c]
+                target = int(chunk[s, c]) if s < len(chunk) else pred
+                best, best_err = 0, None
+                for nib in range(16):
+                    p2, _ = audio._ima_step(pred, idx, nib)
+                    e = abs(p2 - target)
+                    if best_err is None or e < best_err:
+                        best, best_err = nib, e
+                states[c] = audio._ima_step(pred, idx, best)
+                nibbles[c].append(best)
+        return nibbles
+
+    rng = np.random.RandomState(13)
+    cases = [np.full((64, 1), int(rng.randint(-32768, 32768)), np.int32)
+             for _ in range(6)]
+    cases += [rng.randint(-32768, 32768, size=(n, ch)).astype(np.int32)
+              for n, ch in [(3, 1), (17, 1), (64, 1), (200, 1), (64, 2), (97, 2)]]
+    cases += [np.cumsum(rng.randint(-800, 800, size=(150, 1)), axis=0)
+              .clip(-32768, 32767).astype(np.int32) for _ in range(3)]
+    for chunk in cases:
+        per_block = 64
+        channels = chunk.shape[1]
+        # MS: compare the full encoded bytes (pair choice included) by
+        # re-deriving each pair's (err, nibbles) with the step-function
+        # reference and asserting the encoder's chunk encodes the same.
+        blob = encode_ms_adpcm_wav(chunk, 8000, samples_per_block=per_block)
+        refs = [ms_ref_nibbles(chunk[:per_block], channels, p, per_block)
+                for p in range(len(audio._MS_ADPCM_COEFS))]
+        errs = [r[0] for r in refs]
+        pidx = errs.index(min(errs))
+        data, ch_, ba = _wav_parts(blob)
+        block = data[:ba]
+        assert block[0] == pidx
+        ns = refs[pidx][1]
+        packed = bytes(
+            ((ns + [0] * (2 * (ba - 7 * channels) - len(ns)))[i] << 4)
+            | (ns + [0] * (2 * (ba - 7 * channels) - len(ns)))[i + 1]
+            for i in range(0, 2 * (ba - 7 * channels), 2)
+        )
+        assert block[7 * channels:] == packed
+        # IMA: nibble-for-nibble against the step-function reference.
+        blob = encode_ima_adpcm_wav(chunk, 8000, samples_per_block=per_block)
+        data, ch_, ba = _wav_parts(blob)
+        block = data[:ba]
+        ref = ima_ref_nibbles(chunk[:per_block], channels, per_block)
+        dbpc = (per_block - 1 + 7) // 8 * 4
+        payload = [bytearray() for _ in range(channels)]
+        for c in range(channels):
+            nsc = ref[c] + [0] * (dbpc * 2 - len(ref[c]))
+            for i in range(0, len(nsc), 2):
+                payload[c].append(nsc[i] | (nsc[i + 1] << 4))
+        want = bytearray()
+        for off in range(0, dbpc, 4):
+            for c in range(channels):
+                want += payload[c][off:off + 4]
+        assert block[4 * channels:] == bytes(want)

@@ -1,0 +1,61 @@
+"""workercache: worker-process-persistent fixture memos (r13).
+
+The mapInPandas synth ops resolve their payload memos through
+``worker_cache`` at call time (an import executed inside the op), so a
+reused Python worker shares one dict across tasks and jobs. These tests
+pin the process-level identity/cap contract and — end to end on a real
+session — that a leg's fixtures actually land in the worker module's
+cache (the closure-captured module-global form they replace was
+cloudpickled by value and provably never shared)."""
+
+from __future__ import annotations
+
+from rta_registrations_pyspark_glue_spark.operators import workercache
+
+
+def test_worker_cache_identity_and_cap():
+    a = workercache.worker_cache("t_identity")
+    b = workercache.worker_cache("t_identity")
+    assert a is b
+    c = workercache.worker_cache("t_other")
+    assert c is not a
+    small = workercache.worker_cache("t_cap")
+    for i in range(5):
+        workercache.cache_put(small, i, i, cap=3)
+    assert len(small) == 3  # admission stops at the cap
+    # existing keys still readable; puts of present keys are no-ops past cap
+    assert small[0] == 0
+
+
+def test_synth_fixtures_land_in_worker_module_cache(spark):
+    """End-to-end: after one audio synth leg runs, a probe task on the
+    same worker pool sees non-empty ims/ms caches in ITS process-level
+    module — the property that makes a second invocation (bench pass 2,
+    the per-leg decomposition) skip the fixture encode entirely."""
+    import pandas as pd  # noqa: F401
+
+    from rta_registrations_pyspark_glue_spark.operators import audio
+
+    docs = spark.range(0, 64).selectExpr("id as doc_id")
+    audio.decode_audio_features(audio.synthesize_adpcm_docs(docs)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    def probe(batches):
+        import pandas as pd
+
+        from rta_registrations_pyspark_glue_spark.operators import (
+            workercache as w,
+        )
+
+        n = len(w.worker_cache("ima_synth"))
+        for _ in batches:
+            yield pd.DataFrame({"n": [n]})
+
+    rows = (
+        spark.range(0, 64, 1, 8)
+        .mapInPandas(probe, "n long")
+        .collect()
+    )
+    # at least one reused worker carries warmed fixtures
+    assert max(r.n for r in rows) > 0
