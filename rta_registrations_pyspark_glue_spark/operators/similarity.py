@@ -526,8 +526,14 @@ def hyperplane_lsh_candidates(
     tests). The bucket index is tracked-persisted (both join sides read
     it); callers release via caching.release_tracked().
     """
+    from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
+    # spread: the bench corpus arrives as ONE parquet split, which ran
+    # the 96-plane sign folds + explode as a single task (profiled 1.5 s
+    # single-threaded, guide §2.5 input-skew case). Round-robin of
+    # (id, vec) rows is a no-op at real scale (scan already wide).
     v = (
-        df.select(F.col(id_col), as_double(vec_col).alias("__e"))
+        spread_ids(df.select(F.col(id_col), as_double(vec_col).alias("__e")))
         .withColumn("__n", dot("__e", "__e"))
         .filter(F.col("__n") > 0)
     )

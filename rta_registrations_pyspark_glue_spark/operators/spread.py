@@ -45,3 +45,21 @@ def spread_ids(df: DataFrame) -> DataFrame:
     if cur >= target:
         return df
     return df.repartition(target)
+
+
+def spread_rows(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Widen-only repartition for CPU-heavy JVM stages (r13): up to
+    ``target`` (default the FULL defaultParallelism — unlike
+    ``spread_ids``, whose // 4 headroom exists for the ~21 concurrent
+    Python legs of the multimodal union, a lone CPU-dense branch wants
+    every core). Never coalesces: a wide production scan passes through
+    untouched — the guard exists for the one-file bench/gate corpora."""
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if target <= 1:
+        return df
+    cur = df.rdd.getNumPartitions()
+    if cur >= target:
+        return df
+    return df.repartition(target)

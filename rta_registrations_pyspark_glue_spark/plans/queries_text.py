@@ -60,11 +60,12 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The docs parquet is a single small file → 1-2 input partitions; the
     # shingle/MinHash work downstream is CPU-bound per row, so spread it
-    # across the cores (a 6k-row shuffle is free; at real scale the input
-    # is already many files and this is a no-op sizing choice).
-    return docs.unionByName(copies).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # across the cores (a 6k-row shuffle is free). r13: widen-only guard
+    # instead of an unconditional repartition — the old form would have
+    # COALESCED an already-wide production scan down to the core count.
+    from rta_registrations_pyspark_glue_spark.operators.spread import spread_rows
+
+    return spread_rows(docs.unionByName(copies))
 
 
 SQL_NEAR_CORPUS = f"""
@@ -234,8 +235,18 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     four text-analysis operators; the 'lm' rows in particular
     hash-verify the leakage-aware train split, add-one smoothing, and
     the order-independent integer-scaled probability aggregation of
-    text.trigram_lm_quality against an independent SQL formulation."""
-    docs = load_table(spark, "documents", sf_dir)
+    text.trigram_lm_quality against an independent SQL formulation.
+
+    r13: the shared docs frame goes through spread_ids — the bench
+    corpus is ONE parquet file, so the stats/quality/lang/fix branches
+    each ran their token-array work as a single task (profiled: four
+    concurrent 1-task stages of 3.1 s CPU each, guide §2.5 input-skew
+    case). One tiny round-robin exchange (3.5 MB of text) fans all four
+    branches out; Spark's exchange reuse computes it once. At real scale
+    the scan arrives wide and the guard is a no-op."""
+    from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
+    docs = spread_ids(load_table(spark, "documents", sf_dir))
     stats = text.token_stats(docs).select(
         F.lit("stats").alias("kind"),
         "doc_id",
@@ -818,8 +829,14 @@ def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole — no recall loss) in one union-tagged result. One gate
     slot pins both the fingerprint values and the banded pair
     semantics."""
+    from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
+    # spread (r13): the one-file corpus scan ran the majority-vote bit
+    # computation as a single 1.9 s task (guide §2.5 input skew); a
+    # round-robin of (doc_id, text) fans it across the cores and is a
+    # no-op on a wide production scan.
     fp = textdedup.simhash_fingerprints(
-        load_table(spark, "documents", sf_dir)
+        spread_ids(load_table(spark, "documents", sf_dir))
     ).select(F.lit("fp").alias("kind"), "doc_id", "simhash")
     pairs = textdedup.simhash_near_pairs(_near_dup_corpus(spark, sf_dir)).select(
         F.lit("pair").alias("kind"), "id_a", "id_b", "hamming"
@@ -1377,7 +1394,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    corpus = docs.select("doc_id", injected.alias("text"))
+    from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
+    # spread (r13): scrub_pii is one shuffle-free regex projection, so on
+    # the one-file bench scan the whole query was a single 0.66 s task.
+    corpus = spread_ids(docs.select("doc_id", injected.alias("text")))
     return pii.scrub_pii(corpus)
 
 
@@ -1516,7 +1537,12 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB mirror was promoted into the registry when consolidation
     freed gate slots); hand-computed expectations remain in
     tests/test_extensions.py::test_decontaminate_*."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from rta_registrations_pyspark_glue_spark.operators.spread import spread_ids
+
+    # spread (r13): the shingle projections of both split branches ran as
+    # concurrent single tasks (four 1.2 s 1-task stages profiled) off the
+    # one-file scan; one shared round-robin exchange fans them out.
+    docs = spread_ids(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     d = sampling.hash_split(docs, "doc_id")
     train = d.filter(F.col("split") == "train").drop("split")
     ev = d.filter(F.col("split") == "test").drop("split")

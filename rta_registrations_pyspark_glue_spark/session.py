@@ -50,6 +50,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor: measured BOTH ways in r13 and left at the
+        # engine default (1 MB). Lowering it to 64 KB widened the LSH
+        # verify stage 10→47 tasks but made it 12× SLOWER (252 s executor
+        # time vs 22 s, only 55 s of it CPU): the fused
+        # join+distinct+mapInPandas stage pays per-task broadcast
+        # deserialization and Python-worker round-trips, which multiply
+        # with task count while the per-task data shrinks. Partition-count
+        # problems in this engine are fixed at the operator (spread_ids)
+        # where the work is provably per-row CPU, not globally.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"),
+        )
         # Deterministic, oracle-comparable timestamps.
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas-UDF paths (similarity / multimodal operators).

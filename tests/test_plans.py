@@ -100,6 +100,15 @@ def test_vocabulary_topn_uses_take_ordered(spark, sf_dir):
 
 def test_pii_scrub_is_single_stage(spark, sf_dir):
     plan = _formatted_plan(spark, "pii_scrub", sf_dir)
-    # Detection + redaction is one scan-side projection: no exchange at
-    # all — the property that makes it linear at 100 TB.
-    assert "Exchange" not in plan
+    # Detection + redaction is one scan-side projection: no KEYED
+    # exchange (no join/agg/window shuffle) — the property that makes it
+    # linear at 100 TB. r13: the one allowed exchange is the widen-only
+    # round-robin spread guard (spread_ids), which exists only because
+    # the bench corpus is a single parquet split (the whole query ran as
+    # one 0.66 s task on 32 cores); at production scale the scan arrives
+    # wide and spread_ids adds no exchange to the plan at all.
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+    assert len(exchanges) <= 1, exchanges
