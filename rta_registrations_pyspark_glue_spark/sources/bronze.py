@@ -39,9 +39,12 @@ def synthesize_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The orders parquet is 1-3 files → as few input partitions; the dirty
     # row synthesis and the downstream cleaning chain are CPU-bound per
-    # row, so spread across cores up front (real bronze arrives as many
-    # CSV files and needs no such step).
-    orders = orders.repartition(spark.sparkContext.defaultParallelism)
+    # row, so spread across cores up front. r13: widen-only guard — the
+    # old unconditional repartition would have COALESCED an already-wide
+    # real bronze feed down to the core count.
+    from rta_registrations_pyspark_glue_spark.operators.spread import spread_rows
+
+    orders = spread_rows(orders)
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_name", "p_brand")
     k = F.col("o_orderkey")
 
