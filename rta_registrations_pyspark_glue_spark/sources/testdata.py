@@ -28,6 +28,18 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+#: Unexecuted-plan memo per (applicationId, sf_dir, name) — r13. Every
+#: registered query calls load_table per invocation, and each call paid a
+#: fresh spark.read.parquet (footer read + schema inference + py4j, tens
+#: of ms; the events nanos/micros type probe several times that). The
+#: memoized value is an IMMUTABLE DataFrame plan, not data: every action
+#: on it still scans the parquet, so nothing is cached across runs — this
+#: is the same plan-memo precedent as plans/queries_pipeline._MEMO. Keyed
+#: by applicationId so a new session never reuses a dead session's plan;
+#: entries of older applications are dropped on first touch of a new one.
+_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     # The driver may call queries() on a session we didn't build (its own
@@ -40,6 +52,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # expands yy->yyyy in-string with a fixed pivot).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
+    memo = _PLAN_MEMO.get(key)
+    if memo is not None:
+        return memo
+    if any(k[0] != app_id for k in _PLAN_MEMO):
+        stale = [k for k in _PLAN_MEMO if k[0] != app_id]
+        for k in stale:
+            del _PLAN_MEMO[k]
     if name == "events":
         # events.ts has shipped as both TIMESTAMP(NANOS) — which the Spark
         # parquet reader rejects — and TIMESTAMP(MICROS), depending on the
@@ -70,8 +91,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # driver mutating spark.sql.session.timeZone between load and
             # action would shift values).
             df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+        _PLAN_MEMO[key] = df
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    _PLAN_MEMO[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

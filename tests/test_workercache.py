@@ -59,3 +59,27 @@ def test_synth_fixtures_land_in_worker_module_cache(spark):
     )
     # at least one reused worker carries warmed fixtures
     assert max(r.n for r in rows) > 0
+
+
+def test_load_table_plan_memo_identity_and_isolation(spark):
+    """r13: load_table memoizes the UNEXECUTED DataFrame plan per
+    (applicationId, sf_dir, name) — repeated loads return the same
+    immutable plan object (the bench paid a fresh footer-read/schema
+    inference py4j round per call), different tables/dirs stay distinct,
+    and the session confs the loader pins are still pinned on memo hits."""
+    from rta_registrations_pyspark_glue_spark.sources import testdata
+
+    sf = "/root/testdata/sf0.001"
+    a = testdata.load_table(spark, "documents", sf)
+    b = testdata.load_table(spark, "documents", sf)
+    assert a is b
+    c = testdata.load_table(spark, "region", sf)
+    assert c is not a
+    # conf pinning still happens on the hit path
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    testdata.load_table(spark, "documents", sf)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # the memoized plan recomputes from parquet on every action (it is a
+    # plan, not data): two actions agree with a fresh non-memo read
+    fresh = spark.read.parquet(f"{sf}/documents.parquet")
+    assert a.count() == fresh.count() == a.count()
