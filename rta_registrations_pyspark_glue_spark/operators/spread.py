@@ -32,6 +32,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: (applicationId, analyzed-plan semanticHash, target) -> needs_spread.
+#: The partition-count probe (``df.rdd.getNumPartitions()``) runs full
+#: physical planning — measured ~25-55 ms per FRESH DataFrame, and the
+#: multimodal union probes ~26 semantically identical (doc_id) selects
+#: per build. Semantically equal plans scan the same (static) files, so
+#: the decision is a pure function of the analyzed plan within one
+#: application; the semanticHash lookup costs ~7 ms. Values are bools —
+#: a few bytes per distinct plan, dropped when the application changes.
+_DECISION_MEMO: dict[tuple[str, int, int], bool] = {}
+
+
+def _needs_spread(df: DataFrame, target: int) -> bool:
+    app_id = df.sparkSession.sparkContext.applicationId
+    try:
+        key = (app_id, int(df._jdf.queryExecution().analyzed().semanticHash()), target)
+    except Exception:  # non-classic DataFrame impls: fall through, no memo
+        return df.rdd.getNumPartitions() < target
+    hit = _DECISION_MEMO.get(key)
+    if hit is not None:
+        return hit
+    if any(k[0] != app_id for k in _DECISION_MEMO):
+        for k in [k for k in _DECISION_MEMO if k[0] != app_id]:
+            del _DECISION_MEMO[k]
+    need = df.rdd.getNumPartitions() < target
+    _DECISION_MEMO[key] = need
+    return need
+
 
 def spread_ids(df: DataFrame) -> DataFrame:
     """Repartition ``df`` up to max(8, defaultParallelism // 4) when
@@ -41,8 +68,7 @@ def spread_ids(df: DataFrame) -> DataFrame:
     target = max(8, sc.defaultParallelism // 4)
     if sc.defaultParallelism <= 1:
         return df
-    cur = df.rdd.getNumPartitions()
-    if cur >= target:
+    if not _needs_spread(df, target):
         return df
     return df.repartition(target)
 
@@ -59,7 +85,6 @@ def spread_rows(df: DataFrame, target: int | None = None) -> DataFrame:
         target = sc.defaultParallelism
     if target <= 1:
         return df
-    cur = df.rdd.getNumPartitions()
-    if cur >= target:
+    if not _needs_spread(df, target):
         return df
     return df.repartition(target)

@@ -83,3 +83,23 @@ def test_load_table_plan_memo_identity_and_isolation(spark):
     # plan, not data): two actions agree with a fresh non-memo read
     fresh = spark.read.parquet(f"{sf}/documents.parquet")
     assert a.count() == fresh.count() == a.count()
+
+
+def test_spread_decision_memo_consistent_with_probe(spark):
+    """r13: spread_ids/spread_rows memoize the widen decision per
+    (application, analyzed-plan semanticHash, target) — the raw
+    partition probe runs full physical planning per fresh DataFrame.
+    Pin: repeated semantically-equal inputs give the same partitioning
+    as the unmemoized probe would, and a genuinely-wide frame is never
+    coalesced."""
+    from rta_registrations_pyspark_glue_spark.operators import spread
+
+    narrow = spark.range(0, 100, 1, 1).selectExpr("id as doc_id")
+    s1 = spread.spread_ids(narrow)
+    s2 = spread.spread_ids(spark.range(0, 100, 1, 1).selectExpr("id as doc_id"))
+    tgt = max(8, spark.sparkContext.defaultParallelism // 4)
+    assert s1.rdd.getNumPartitions() == tgt
+    assert s2.rdd.getNumPartitions() == tgt  # memo hit path, same answer
+    wide = spark.range(0, 1000, 1, 64).selectExpr("id as doc_id")
+    assert spread.spread_rows(wide) is wide  # never coalesced
+    assert spread.spread_rows(wide) is wide  # memo hit path
