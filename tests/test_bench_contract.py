@@ -41,14 +41,17 @@ def _fake_out():
         "queries": times,
         "scopes": {n: bench.SCOPES.get(n, 1) for n in bench.HEADLINE},
         "cold_start_sec": 9.9,
-        "multimodal_legs": _fake_legs(),
         "sf": 0.1,
         "loadavg": [0.5, 1.0],
     }
 
 
 def _fake_scaling():
+    # r14: main() always routes the per-leg multimodal map through the
+    # SCALING channel (multimodal_legs_base), merged with the measured
+    # scaling block when the replica dir exists.
     return {
+        "multimodal_legs_base": _fake_legs(),
         "scale_factor_ratio": 10,
         "big_dir": "/root/repo/.scale/sf1",
         "queries": {
@@ -154,11 +157,15 @@ def test_headline_is_last_line_and_parseable(tmp_path):
     assert last["metric"] == "headline_queries_total"
     assert set(last) == {
         "metric", "value", "unit", "queries", "scopes", "cold_start_sec",
-        "multimodal_legs", "sf", "loadavg",
+        "sf", "loadavg",
     }
     assert "scaling" not in last
-    # the per-leg map must cover the suite's union exactly
-    assert set(last["multimodal_legs"]) == set(_fake_legs())
+    # r14: the per-leg map must NOT ride the headline line (it is what
+    # grew the r12 line past the driver's tail capture) — it lives on
+    # the SCALING channel, covering the suite's union exactly
+    assert "multimodal_legs" not in last
+    block = json.loads(lines[0][len("SCALING "):])
+    assert set(block["multimodal_legs_base"]) == set(_fake_legs())
 
 
 def test_scaling_line_is_prefixed_and_valid_json(tmp_path):
@@ -176,8 +183,13 @@ def test_headline_line_stays_under_tail_capture(tmp_path):
     bench.emit(_fake_out(), _fake_scaling(), sink=lines.append,
                sidecar=str(tmp_path / "scaling_bench.json"))
     # The r6 merged line was >8 KiB and fell off the driver's tail
-    # capture; the compact headline must stay well inside it.
-    assert len(lines[-1]) < 4096
+    # capture; the r12 line (queries+scopes+26 multimodal legs) crept
+    # back to ~3.8 KiB and was truncated again (BENCH_r12 parsed:null).
+    # r14 budget: the slimmed headline (no per-leg map) measures ~2.4
+    # KiB with the full 36-query roster — pin a 3 KiB ceiling so any
+    # future field addition that would re-approach the capture limit
+    # fails HERE instead of silently costing a round's perf signal.
+    assert len(lines[-1]) < 3072
 
 
 def test_no_scaling_emits_single_headline_line():
