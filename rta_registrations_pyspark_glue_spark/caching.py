@@ -16,6 +16,7 @@ invocations is done — bench.py does so after every full pass.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from py4j.protocol import Py4JError
 from pyspark.errors import IllegalArgumentException
@@ -23,6 +24,7 @@ from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
 _HOOKS: list[Callable[[], None]] = []
+_RECORDINGS: list[list[DataFrame]] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -35,12 +37,33 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     stack a second registration and a ``CacheManager: Asked to cache
     already cached data`` warning. Whoever persisted first (tracked or
     caller-owned) keeps release ownership."""
+    for rec in _RECORDINGS:
+        rec.append(df)
     lvl = df.storageLevel
     if lvl.useMemory or lvl.useDisk:
         return df
     df = df.persist()
     _LIVE.append(df)
     return df
+
+
+@contextmanager
+def record_persists():
+    """Record every frame routed through ``tracked_persist`` while the
+    context is open (r14, for the unexecuted-plan memos): a memoized
+    build's persists are dropped by ``release_tracked``, but the PLANS
+    stay valid — a later memo hit re-arms the recorded frames with
+    ``tracked_persist`` instead of rebuilding the DAG, so the persist
+    lifecycle is indistinguishable from a fresh build. Nested
+    recordings each capture every persist made while they are open
+    (a memoized query may wrap a memoized sub-build; both must be able
+    to re-arm independently)."""
+    rec: list[DataFrame] = []
+    _RECORDINGS.append(rec)
+    try:
+        yield rec
+    finally:
+        _RECORDINGS.pop()
 
 
 def register_release_hook(hook: Callable[[], None]) -> None:

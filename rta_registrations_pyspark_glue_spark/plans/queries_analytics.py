@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.operators import windows
 from rta_registrations_pyspark_glue_spark.operators.analytics import MONEY, dsum, star_denormalize
+from rta_registrations_pyspark_glue_spark.plans.planmemo import plan_memo
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -37,6 +38,7 @@ from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
     ORDER BY l_returnflag, l_linestatus
     """,
 )
+@plan_memo
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (A5). All sums accumulate in exact
     decimal; averages are exact-sum / count in double. Single groupBy →
@@ -73,6 +75,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
+@plan_memo
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (§2.6): orderBy + limit. TakeOrderedAndProject in the
     physical plan — no global sort materialization, each task keeps k rows."""
@@ -149,6 +152,7 @@ def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
+@plan_memo
 def nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct counts + conditional counts per nation (A5).
     countDistinct shuffles (custkey, nation) pairs once; at 100 TB prefer
@@ -202,6 +206,7 @@ def orderstatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
+@plan_memo
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregate + lag over an explicit ROWS frame (window surface
     beyond the reference's ranking-only usage, SURVEY.md §2.5)."""
@@ -273,6 +278,7 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE side = 1
     """,
 )
+@plan_memo
 def events_last_signup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/windows.asof_join): each event gets the most
     recent signup (ts and id) of the same user at-or-before its time —
@@ -329,6 +335,7 @@ def events_last_signup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
 )
+@plan_memo
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) + per-session rollup. Batch
     analogue of streaming session_window; see operators/windows.py."""

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from rta_registrations_pyspark_glue_spark.functions.dates import date_key, date_spine, parse_multiformat_date
 from rta_registrations_pyspark_glue_spark.functions.hashing import surrogate_key
 from rta_registrations_pyspark_glue_spark.operators import cleaning, resolve, urls
+from rta_registrations_pyspark_glue_spark.plans.planmemo import plan_memo
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -69,6 +70,7 @@ def surrogate_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM parsed
     """,
 )
+@plan_memo
 def multiformat_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-branch multi-format date parse + yyyyMMdd key (D1/D3,
     etl1_clean_and_stage.py:36-49). Dirty strings synthesized from
@@ -577,6 +579,7 @@ def date_spine_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM best
     """,
 )
+@plan_memo
 def fuzzy_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's crown-jewel operator: exact resolution + anti-join
     staging + blocked Levenshtein fuzzy match + deterministic top-1

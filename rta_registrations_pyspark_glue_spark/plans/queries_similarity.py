@@ -33,6 +33,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     video,
     web,
 )
+from rta_registrations_pyspark_glue_spark.plans.planmemo import plan_memo
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -409,6 +410,7 @@ def _bucketed_near_dup_oracle(
 
 
 @register("embedding_near_dup_bucketed", oracle=_bucketed_near_dup_oracle())
+@plan_memo
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-LSH banding blocks the
     corpus into (band, key) buckets, candidates are pairs sharing any
@@ -1571,6 +1573,7 @@ def multimodal_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'warc' AS kind, * FROM ({_MM_WARC_ORACLE})
     """,
 )
+@plan_memo
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal binary-column operators — metadata extraction
     ('meta' rows), byte-level feature extraction + frame chunking
@@ -1772,6 +1775,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("embedding_near_dup_bucketed_fast")
+@plan_memo
 def embedding_near_dup_bucketed_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH near-dup pipeline scored IN-CELL
     (similarity.hyperplane_near_dup_incell): same banding, same exact

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from rta_registrations_pyspark_glue_spark.operators import analytics, dedup
+from rta_registrations_pyspark_glue_spark.plans.planmemo import plan_memo
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -25,6 +26,7 @@ from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
     ORDER BY 1, 2
     """,
 )
+@plan_memo
 def star_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: star join (J1/J6) + year rollup (A5).
     Reference shape: etl2_advclean_and_dimcreatin.py:206-212,256-275."""

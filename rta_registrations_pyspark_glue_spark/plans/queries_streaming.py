@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rta_registrations_pyspark_glue_spark.plans.planmemo import plan_memo
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -46,6 +47,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 2, 3
     """,
 )
+@plan_memo
 def events_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour and sliding 1h/30m event-time windows in one
     union-tagged result (batch semantics of streaming/windows). Every

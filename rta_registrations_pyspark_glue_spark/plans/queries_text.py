@@ -24,6 +24,7 @@ from rta_registrations_pyspark_glue_spark.operators import (
     text,
     textdedup,
 )
+from rta_registrations_pyspark_glue_spark.plans.planmemo import plan_memo
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -227,6 +228,7 @@ _FIX_CORRUPT_SQL = """
     )
     """,
 )
+@plan_memo
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics, composite quality score, marker-word language
     ID, and — since round 7 — the trigram-LM quality filter in one
@@ -427,6 +429,7 @@ _INCDUP_SQL = f"""
     FROM ({_INCDUP_SQL})
     """,
 )
+@plan_memo
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints over normalized text ('fp' rows); 'zorder'
     rows (round 7) hash-verifying the Morton-interleave key expression
@@ -495,6 +498,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("incremental_substring_dedup")
+@plan_memo
 def incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental substring-level dedup (round 9): history = the base
     documents, batch = the token-dropped near-dup copies (ids
@@ -556,6 +560,7 @@ def incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM ek WHERE ek.content_key = b.content_key)
     """,
 )
+@plan_memo
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup, batch AND incremental modes under one slot:
     - 'groups' rows: full-corpus dedup by content hash over a corpus
@@ -666,6 +671,7 @@ _MINHASH_CTES = f"""corpus AS (
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.35
     """,
 )
+@plan_memo
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH banding (4 bands of 2) candidate generation, then
     exact-Jaccard verification at 0.35 — the scalable near-dup pipeline
@@ -821,6 +827,7 @@ def _simhash_pairs_sql(n_bands: int = 4, max_hamming: int = 3, r: int = 1) -> st
     SELECT 'pair' AS kind, id_a, id_b, hamming FROM ({_simhash_pairs_sql()})
     """,
 )
+@plan_memo
 def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints over the documents table ('fp' rows,
     majority vote over token-hash bits) and Hamming-≤3 near-dup pairs
@@ -1103,6 +1110,7 @@ def _mix_keep_sql() -> str:
     ) WHERE rn <= 5
     """,
 )
+@plan_memo
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two dataset-split modes under one union-tagged slot:
     - 'hash' rows: deterministic 80/10/10 train/val/test keyed on
@@ -1232,6 +1240,7 @@ _RT = text.REPETITION_THRESHOLDS
     FROM m
     """,
 )
+@plan_memo
 def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters
     (operators/text.repetition_metrics): duplicate-line fraction, top
@@ -1336,6 +1345,7 @@ _LUHN_SQL = f"""list_sum(list_transform(range(1, length({_CC_D}) + 1),
     FROM cnts
     """,
 )
+@plan_memo
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/pii.scrub_pii): per-doc
     email / credit-card / intl-phone / NANP-phone / SSN / IPv4 counts,
@@ -1439,6 +1449,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING SUM(c) * 500 > (SELECT SUM(c) FROM tf0)
     """,
 )
+@plan_memo
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary + per-doc characteristic terms in one
     union-tagged slot: 'vocab' rows are the top-100 tokens by total
@@ -1528,6 +1539,7 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN top t ON t.eval_id = b.doc_id
     """,
 )
+@plan_memo
 def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination over the engine's own split: the
     documents corpus is hash-split 80/10/10, and every test-split doc is

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rta_registrations_pyspark_glue_spark.operators import similarity, upsert
+from rta_registrations_pyspark_glue_spark.plans.planmemo import plan_memo
 from rta_registrations_pyspark_glue_spark.plans.registry import register
 from rta_registrations_pyspark_glue_spark.sources.testdata import load_table
 
@@ -66,6 +67,7 @@ def _updates(orders: DataFrame) -> DataFrame:
     ) WHERE rn = 1
     """,
 )
+@plan_memo
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style merge (operators/upsert.py): every 7th order updated,
     every 13th inserted under a new key; updates win by source priority.

@@ -103,3 +103,97 @@ def test_spread_decision_memo_consistent_with_probe(spark):
     wide = spark.range(0, 1000, 1, 64).selectExpr("id as doc_id")
     assert spread.spread_rows(wide) is wide  # never coalesced
     assert spread.spread_rows(wide) is wide  # memo hit path
+
+
+def test_load_table_memo_invalidates_on_rewrite(spark, tmp_path):
+    """r14 (VERDICT r13 #7): the plan memo is keyed on a local-stat
+    fingerprint of the table file, so REGENERATING a table
+    mid-application serves a fresh plan (the r13 memo pinned the first
+    read's file index for the application's life and went stale)."""
+    import os
+    import time
+
+    from rta_registrations_pyspark_glue_spark.sources import testdata
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "region.parquet")
+    spark.range(0, 5).selectExpr("id as r_regionkey").write.parquet(path)
+    first = testdata.load_table(spark, "region", sf)
+    assert first.count() == 5
+    assert testdata.load_table(spark, "region", sf) is first  # memo hit
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    spark.range(0, 9).selectExpr("id as r_regionkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+    second = testdata.load_table(spark, "region", sf)
+    assert second is not first  # fingerprint change invalidated the memo
+    assert second.count() == 9
+
+
+def test_clear_hooks_exist_and_clear():
+    """The documented in-process invalidation hooks for tools/tests that
+    rewrite inputs mid-application."""
+    from rta_registrations_pyspark_glue_spark.operators import spread
+    from rta_registrations_pyspark_glue_spark.sources import testdata
+
+    testdata._PLAN_MEMO[("app", "dir", "t", None)] = object()
+    testdata.clear_plan_memo()
+    assert testdata._PLAN_MEMO == {}
+    spread._DECISION_MEMO[("app", 1, ("c",), 8)] = True
+    spread.clear_decision_memo()
+    assert spread._DECISION_MEMO == {}
+
+
+def test_plan_memo_reuses_plan_and_rearms_persists(spark, sf_dir):
+    """r14 planmemo: a decorated action-free query build returns the
+    IDENTICAL plan object on re-invocation (no driver rebuild), its
+    recorded internal persists are re-armed after release_tracked, and
+    the results of pass 1 and pass 2 are frame-equal (the plan is a
+    plan — every action recomputes from parquet)."""
+    from rta_registrations_pyspark_glue_spark import caching
+    from rta_registrations_pyspark_glue_spark.plans import planmemo, registry
+
+    qs = registry.queries()
+    planmemo.clear_plan_memo()
+    a = qs["simhash_suite"](spark, sf_dir)
+    rows_a = sorted(map(str, a.collect()))
+    caching.release_tracked()
+    b = qs["simhash_suite"](spark, sf_dir)
+    assert b is a  # memo hit: same unexecuted plan object
+    rows_b = sorted(map(str, b.collect()))
+    assert rows_a == rows_b
+    caching.release_tracked()
+    # memo keys carry the input-dir fingerprint: rewriting inputs
+    # invalidates (dir fingerprint covers every *.parquet in sf_dir)
+    key_fps = {k[2] for k in planmemo._MEMO}
+    assert key_fps and all(fp is not None for fp in key_fps)
+    planmemo.clear_plan_memo()
+    assert planmemo._MEMO == {}
+
+
+def test_plan_memo_invalidates_on_input_rewrite(spark, tmp_path):
+    """The planmemo key folds in the sf_dir parquet listing fingerprint:
+    regenerating a table mid-application yields a fresh build, not the
+    stale plan (same r14 contract as load_table)."""
+    import os
+    import time
+
+    from rta_registrations_pyspark_glue_spark.plans import planmemo
+
+    calls = []
+
+    @planmemo.plan_memo
+    def fake_query(spark, sf_dir):
+        calls.append(sf_dir)
+        return spark.range(3)
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "documents.parquet")
+    spark.range(0, 4).selectExpr("id as doc_id").write.parquet(path)
+    fake_query(spark, sf)
+    fake_query(spark, sf)
+    assert len(calls) == 1  # memo hit while inputs unchanged
+    time.sleep(0.01)
+    spark.range(0, 6).selectExpr("id as doc_id").write.mode("overwrite").parquet(path)
+    fake_query(spark, sf)
+    assert len(calls) == 2  # fingerprint change -> rebuild
