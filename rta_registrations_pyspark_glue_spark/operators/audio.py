@@ -864,6 +864,7 @@ def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -873,11 +874,12 @@ def synthesize_wav_docs(docs: DataFrame, n: int = 64) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 11) % 4096
-                if base not in cache:
+                val = cache.get(base)
+                if val is None:
                     i = np.arange(n, dtype=np.int64)
                     s = ((base + i * 17) % 4096 - 2048) * 16
-                    cache[base] = encode_wav(s.astype(np.int32), 8000)
-                payloads.append(cache[base])
+                    val = cache_put(cache, base, encode_wav(s.astype(np.int32), 8000))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
@@ -902,6 +904,7 @@ def synthesize_flac_docs(docs: DataFrame, n: int = 96) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -912,15 +915,16 @@ def synthesize_flac_docs(docs: DataFrame, n: int = 96) -> DataFrame:
                 d = int(doc_id)
                 key = ((d * 37) % 2000 - 1000, d % 7 - 3,
                        (d * 53) % 1600 - 800, (d * 3) % 5 - 2)
-                if key not in cache:
+                val = cache.get(key)
+                if val is None:
                     a0, b0, a1, b1 = key
                     i = np.arange(n, dtype=np.int64)
                     sig = np.stack([a0 + b0 * i, a1 + b1 * i], axis=-1)
-                    cache[key] = encode_flac(
+                    val = cache_put(cache, key, encode_flac(
                         sig, 16000, bps=16, blocksize=n,
                         mode="fixed2", stereo="mid_side",
-                    )
-                payloads.append(cache[key])
+                    ))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
@@ -956,6 +960,7 @@ def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
         # decomposition; r13 found the closure-referenced module global
         # was cloudpickled by value and never shared either)
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -965,13 +970,14 @@ def synthesize_adpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 29) % 4096
-                if (base, n) not in cache:
+                val = cache.get((base, n))
+                if val is None:
                     c = (base - 2048) * 13
                     sig = np.full(n, c, dtype=np.int32)
-                    cache[base, n] = encode_ima_adpcm_wav(
+                    val = cache_put(cache, (base, n), encode_ima_adpcm_wav(
                         sig, 8000, samples_per_block=n
-                    )
-                payloads.append(cache[base, n])
+                    ))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
@@ -993,6 +999,7 @@ def synthesize_msadpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # worker-process memo: see synthesize_adpcm_docs
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -1002,13 +1009,14 @@ def synthesize_msadpcm_docs(docs: DataFrame, n: int = 64) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 31) % 4096
-                if (base, n) not in cache:
+                val = cache.get((base, n))
+                if val is None:
                     c = (base - 2048) * 11
                     sig = np.full(n, c, dtype=np.int32)
-                    cache[base, n] = encode_ms_adpcm_wav(
+                    val = cache_put(cache, (base, n), encode_ms_adpcm_wav(
                         sig, 8000, samples_per_block=n
-                    )
-                payloads.append(cache[base, n])
+                    ))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )

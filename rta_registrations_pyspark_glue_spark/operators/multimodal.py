@@ -325,6 +325,7 @@ def synthesize_jpeg_docs(docs: DataFrame, size: int = 16) -> DataFrame:
         import numpy as np
 
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -333,11 +334,12 @@ def synthesize_jpeg_docs(docs: DataFrame, size: int = 16) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 v = (int(doc_id) * 37) % 256
-                if v not in cache:
-                    cache[v] = encode_baseline_jpeg(
+                val = cache.get(v)
+                if val is None:
+                    val = cache_put(cache, v, encode_baseline_jpeg(
                         np.full((size, size), v, dtype=np.uint8)
-                    )
-                payloads.append(cache[v])
+                    ))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
@@ -358,6 +360,7 @@ def synthesize_gif_docs(docs: DataFrame, size: int = 16) -> DataFrame:
         import numpy as np
 
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -368,11 +371,12 @@ def synthesize_gif_docs(docs: DataFrame, size: int = 16) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 5) % 256
-                if base not in cache:
+                val = cache.get(base)
+                if val is None:
                     p = np.arange(size * size, dtype=np.int64)
                     idx = ((base + p) % 256).astype(np.uint8).reshape(size, size)
-                    cache[base] = encode_gif(idx, pal)
-                payloads.append(cache[base])
+                    val = cache_put(cache, base, encode_gif(idx, pal))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
@@ -391,6 +395,7 @@ def synthesize_tiff_docs(docs: DataFrame, size: int = 16) -> DataFrame:
         import numpy as np
 
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -400,13 +405,14 @@ def synthesize_tiff_docs(docs: DataFrame, size: int = 16) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 3) % 256
-                if base not in cache:
+                val = cache.get(base)
+                if val is None:
                     p = np.arange(size * size, dtype=np.int64)
                     img = ((base + p) % 256).astype(np.uint8).reshape(size, size, 1)
-                    cache[base] = encode_tiff(
+                    val = cache_put(cache, base, encode_tiff(
                         img, compression=5, rows_per_strip=size // 2
-                    )
-                payloads.append(cache[base])
+                    ))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
@@ -429,6 +435,7 @@ def synthesize_webp_docs(docs: DataFrame, size: int = 16) -> DataFrame:
         import numpy as np
 
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -438,7 +445,8 @@ def synthesize_webp_docs(docs: DataFrame, size: int = 16) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 5) % 256
-                if base not in cache:
+                val = cache.get(base)
+                if val is None:
                     colors = (base + 40 * np.arange(4, dtype=np.int64)) % 256
                     p = np.arange(size * size, dtype=np.int64)
                     img = (
@@ -447,8 +455,8 @@ def synthesize_webp_docs(docs: DataFrame, size: int = 16) -> DataFrame:
                         .repeat(3)
                         .reshape(size, size, 3)
                     )
-                    cache[base] = encode_webp(img, palette=True)
-                payloads.append(cache[base])
+                    val = cache_put(cache, base, encode_webp(img, palette=True))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
@@ -472,6 +480,7 @@ def synthesize_vp8_docs(docs: DataFrame) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -481,9 +490,10 @@ def synthesize_vp8_docs(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 key = (1 + d % 11, 1 + (d * 3) % 7, 1 + (d * 7) % 5)
-                if key not in cache:
-                    cache[key] = wrap_webp(synthesize_vp8_stream(40, *key))
-                payloads.append(cache[key])
+                val = cache.get(key)
+                if val is None:
+                    val = cache_put(cache, key, wrap_webp(synthesize_vp8_stream(40, *key)))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )
@@ -506,6 +516,7 @@ def synthesize_png_docs(docs: DataFrame, size: int = 16) -> DataFrame:
         import numpy as np
 
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -515,13 +526,14 @@ def synthesize_png_docs(docs: DataFrame, size: int = 16) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 7) % 256
-                if base not in cache:
+                val = cache.get(base)
+                if val is None:
                     rows = (base + 13 * np.arange(size, dtype=np.int64)) % 256
                     img = np.repeat(rows, size * 3).reshape(size, size, 3)
-                    cache[base] = encode_png(
+                    val = cache_put(cache, base, encode_png(
                         img.astype(np.uint8), filters=[0, 1, 2, 3, 4]
-                    )
-                payloads.append(cache[base])
+                    ))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )

@@ -32,21 +32,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: (applicationId, analyzed-plan semanticHash, target) -> needs_spread.
-#: The partition-count probe (``df.rdd.getNumPartitions()``) runs full
-#: physical planning — measured ~25-55 ms per FRESH DataFrame, and the
-#: multimodal union probes ~26 semantically identical (doc_id) selects
-#: per build. Semantically equal plans scan the same (static) files, so
-#: the decision is a pure function of the analyzed plan within one
+#: (applicationId, analyzed-plan semanticHash, schema discriminator,
+#: target) -> needs_spread. The partition-count probe
+#: (``df.rdd.getNumPartitions()``) runs full physical planning —
+#: measured ~25-55 ms per FRESH DataFrame, and the multimodal union
+#: probes ~26 semantically identical (doc_id) selects per build.
+#: Semantically equal plans scan the same (static) files, so the
+#: decision is a pure function of the analyzed plan within one
 #: application; the semanticHash lookup costs ~7 ms. Values are bools —
 #: a few bytes per distinct plan, dropped when the application changes.
-_DECISION_MEMO: dict[tuple[str, int, int], bool] = {}
+#:
+#: Known windows, accepted and documented (ADVICE r13): (a) the
+#: 32-bit semanticHash can collide across DISTINCT plans — the column
+#: tuple folded into the key discriminates the plausible collisions
+#: (different operators' probe frames differ in schema) for one extra
+#: py4j call, but two same-schema colliding plans would still share a
+#: decision (perf-only either way: the guard is widen-only, so the
+#: worst outcome is a missing or redundant round-robin exchange);
+#: (b) if the same path's file count GROWS within one application, a
+#: stale True re-widens an already-wide frame — repartition(target)
+#: with cur > target would coalesce, so callers of this module rely on
+#: the engine-wide static-input contract (sources/testdata.py: inputs
+#: are immutable within an application; ``clear_decision_memo`` is the
+#: invalidation hook for tools/tests that rewrite inputs in-process).
+_DECISION_MEMO: dict[tuple[str, int, tuple, int], bool] = {}
+
+
+def clear_decision_memo() -> None:
+    """Invalidate every memoized widen decision (for tools/tests that
+    regenerate input files within one application)."""
+    _DECISION_MEMO.clear()
 
 
 def _needs_spread(df: DataFrame, target: int) -> bool:
     app_id = df.sparkSession.sparkContext.applicationId
     try:
-        key = (app_id, int(df._jdf.queryExecution().analyzed().semanticHash()), target)
+        key = (
+            app_id,
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+            tuple(df.columns),
+            target,
+        )
     except Exception:  # non-classic DataFrame impls: fall through, no memo
         return df.rdd.getNumPartitions() < target
     hit = _DECISION_MEMO.get(key)

@@ -153,6 +153,7 @@ def synthesize_y4m_docs(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rta_registrations_pyspark_glue_spark.operators.workercache import (
+            cache_put,
             worker_cache,
         )
 
@@ -162,7 +163,8 @@ def synthesize_y4m_docs(
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = (d * 13) % 256
-                if base not in cache:
+                val = cache.get(base)
+                if val is None:
                     p = np.arange(size * size, dtype=np.int64)
                     c = np.full((size // 2, size // 2), 128, dtype=np.uint8)
                     frames = [
@@ -175,8 +177,8 @@ def synthesize_y4m_docs(
                         )
                         for f in range(n_frames)
                     ]
-                    cache[base] = encode_y4m(frames)
-                payloads.append(cache[base])
+                    val = cache_put(cache, base, encode_y4m(frames))
+                payloads.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": pd.Series(payloads, dtype="object")}
             )

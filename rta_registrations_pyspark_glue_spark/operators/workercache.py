@@ -23,8 +23,11 @@ runs.
 
 ``cap`` bounds memory in long-lived workers: at the cap the cache stops
 admitting new entries (callers fall back to computing the payload —
-correct, just unmemoized). The synth key spaces here are all modular
-(≤4096), far below the default cap.
+correct, just unmemoized). r14 (ADVICE r13): every synth site now
+actually routes its writes through ``cache_put`` (they previously wrote
+``cache[key] = ...`` directly, leaving the documented cap unenforced).
+The synth key spaces are all modular (≤4096 for most; flac's joint key
+space is ~56k per worker), at or below the default cap.
 """
 
 from __future__ import annotations

@@ -107,8 +107,12 @@ def test_pii_scrub_is_single_stage(spark, sf_dir):
     # the bench corpus is a single parquet split (the whole query ran as
     # one 0.66 s task on 32 cores); at production scale the scan arrives
     # wide and spread_ids adds no exchange to the plan at all.
-    import re
-
-    exchanges = re.findall(r"Exchange (\w+)", plan)
-    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+    # r14 (ADVICE r13): count exchanges from the TREE section (formatted
+    # explain prints 'Exchange (<node id>)', so the old
+    # r"Exchange (\w+)" matched nothing and the guard was vacuous) and
+    # read the partitioning kind off the detail section's Arguments line.
+    exchanges = re.findall(r"\+- Exchange \(\d+\)", plan)
     assert len(exchanges) <= 1, exchanges
+    kinds = re.findall(r"\(\d+\) Exchange\nInput.*\nArguments: (\w+)", plan)
+    assert len(kinds) == len(exchanges), plan
+    assert all(k == "RoundRobinPartitioning" for k in kinds), kinds
