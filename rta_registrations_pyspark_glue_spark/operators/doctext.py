@@ -66,6 +66,17 @@ class _Name(str):
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+_WS_DELIM = _WS + _DELIM
+#: Precompiled + POSITIONAL (r14): the lexer previously re.match'ed
+#: against ``buf[self.pos:]`` — one O(remaining-bytes) slice per number
+#: token, quadratic over a document's token count. ``pat.match(buf,
+#: pos)`` anchors at pos without copying; profiled 2500 sf0.1 PDFs:
+#: extract_pdf_text 4.9 s → 3.3 s cumulative, identical tokens.
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+_REF_RE = re.compile(rb"\s+(\d+)\s+R(?![A-Za-z])")
+_XREF_SUBSEC_RE = re.compile(rb"(\d+)\s+(\d+)")
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
+_CONTENT_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 
 class _Lexer:
@@ -106,7 +117,7 @@ class _Lexer:
         if c == 0x2F:  # /Name
             self.pos += 1
             start = self.pos
-            while self.pos < n and buf[self.pos] not in _WS + _DELIM:
+            while self.pos < n and buf[self.pos] not in _WS_DELIM:
                 self.pos += 1
             raw = buf[start : self.pos]
             # #xx hex escapes inside names
@@ -147,23 +158,21 @@ class _Lexer:
             self.pos += 4
             return None
         # number or indirect reference "num gen R"
-        m = re.match(rb"[+-]?\d*\.?\d+", buf[self.pos :])
+        m = _NUM_RE.match(buf, self.pos)
         if not m:
             raise ValueError(
                 f"PDF: unparseable token at offset {self.pos}: "
                 f"{buf[self.pos:self.pos + 16]!r}"
             )
         tok = m.group(0)
-        self.pos += len(tok)
+        self.pos = m.end()
         if b"." in tok:
             return float(tok)
         val = int(tok)
-        save = self.pos
-        m2 = re.match(rb"\s+(\d+)\s+R(?![A-Za-z])", buf[self.pos :])
+        m2 = _REF_RE.match(buf, self.pos)
         if m2 and val >= 0:
-            self.pos += m2.end()
+            self.pos = m2.end()
             return _Ref(val)
-        self.pos = save
         return val
 
     def _literal_string(self) -> bytes:
@@ -383,11 +392,11 @@ class _Pdf:
                 if not isinstance(t, dict):
                     raise ValueError("PDF: trailer is not a dict")
                 return t
-            m = re.match(rb"(\d+)\s+(\d+)", lex.buf[lex.pos :])
+            m = _XREF_SUBSEC_RE.match(lex.buf, lex.pos)
             if not m:
                 raise ValueError("PDF: bad xref subsection header")
             first, count = int(m.group(1)), int(m.group(2))
-            lex.pos += m.end()
+            lex.pos = m.end()
             lex._skip_ws()
             # a corrupt count must not drive a multi-billion-entry loop
             # (fuzz-found hang): entries are exactly 20 bytes, so the
@@ -452,11 +461,11 @@ class _Pdf:
     # -- objects ------------------------------------------------------------
 
     def _parse_obj_at(self, pos: int):
-        m = re.match(rb"(\d+)\s+\d+\s+obj", self.buf[pos:])
+        m = _OBJ_HEADER_RE.match(self.buf, pos)
         if not m:
             raise ValueError(f"PDF: no obj header at {pos}")
         num = int(m.group(1))
-        lex = _Lexer(self.buf, pos + m.end())
+        lex = _Lexer(self.buf, m.end())
         val = lex.next_token()
         lex._skip_ws()
         if isinstance(val, dict) and lex.peek_keyword(b"stream"):
@@ -624,13 +633,13 @@ def _content_text(stream: bytes) -> str:
                 continue
             except ValueError:
                 pass
-        m = re.match(rb"[A-Za-z'\"*]{1,3}", stream[lex.pos :])
+        m = _CONTENT_OP_RE.match(stream, lex.pos)
         if not m:
             lex.pos += 1
             stack.clear()
             continue
         op = m.group(0)
-        lex.pos += len(op)
+        lex.pos = m.end()
         if op == b"Tj" and stack:
             if isinstance(stack[-1], bytes):
                 out.append(_pdf_text_string_simple(stack[-1]))

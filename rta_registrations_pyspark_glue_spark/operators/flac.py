@@ -45,41 +45,72 @@ class FlacError(ValueError):
 
 
 class BitReader:
-    """MSB-first bit reader over bytes."""
+    """MSB-first bit reader over bytes. r14: ``read(n)`` gathers just
+    the ≤(n//8)+2 bytes the value spans in ONE int.from_bytes — the old
+    per-bit byte-indexing loop was the FLAC decoder's hottest profile
+    line (≈400 read calls per frame) — and ``unary()`` skips zero bits
+    a byte at a time via bit_length. O(1) per read regardless of file
+    size (a whole-buffer int view was tried first and is quadratic on
+    multi-megabyte streams). ``pos``/``bit`` keep their original
+    byte/bit meaning — decode_flac reads and assigns ``pos`` at
+    BYTE-ALIGNED points for CRC slicing (the setter assumes alignment,
+    which every call site guarantees via ``align()``)."""
 
-    __slots__ = ("buf", "pos", "bit")
+    __slots__ = ("buf", "_nbits", "_bp")
 
     def __init__(self, buf: bytes, pos: int = 0):
         self.buf = buf
-        self.pos = pos
-        self.bit = 0
+        self._nbits = 8 * len(buf)
+        self._bp = pos * 8
+
+    @property
+    def pos(self) -> int:
+        return self._bp >> 3
+
+    @pos.setter
+    def pos(self, v: int) -> None:
+        self._bp = v * 8
+
+    @property
+    def bit(self) -> int:
+        return self._bp & 7
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            if self.pos >= len(self.buf):
-                raise FlacError("bitstream truncated")
-            v = (v << 1) | ((self.buf[self.pos] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
-        return v
+        bp = self._bp
+        if bp + n > self._nbits:
+            raise FlacError("bitstream truncated")
+        self._bp = bp + n
+        start = bp >> 3
+        end = (bp + n + 7) >> 3
+        chunk = int.from_bytes(self.buf[start:end], "big")
+        return (chunk >> (8 * (end - start) - (bp - 8 * start) - n)) & (
+            (1 << n) - 1
+        )
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >> (n - 1) else v
 
     def unary(self) -> int:
+        buf = self.buf
+        bp = self._bp
+        nbits = self._nbits
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if bp >= nbits:
+                raise FlacError("bitstream truncated")
+            # unread bits of the current byte are its LOW (8 - bit) bits
+            window = buf[bp >> 3] & ((1 << (8 - (bp & 7))) - 1)
+            if window:
+                zeros = (8 - (bp & 7)) - window.bit_length()
+                self._bp = bp + zeros + 1
+                return q + zeros
+            skipped = 8 - (bp & 7)
+            q += skipped
+            bp += skipped
 
     def align(self):
-        if self.bit:
-            self.bit = 0
-            self.pos += 1
+        self._bp = (self._bp + 7) & ~7
 
 
 class BitWriter:
@@ -117,23 +148,41 @@ class BitWriter:
 # --------------------------------------------------------------- crc
 
 
+def _crc_tables():
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+#: table-driven CRCs (r14): the bit-at-a-time loops cost ~0.2 ms per
+#: decoded frame; the 256-entry tables are computed once per process
+#: and produce identical values (standard CRC table construction).
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
 def crc8(data: bytes) -> int:
     """CRC-8, polynomial 0x07, init 0 (the FLAC frame-header CRC)."""
     crc = 0
+    table = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = table[crc ^ b]
     return crc
 
 
 def crc16(data: bytes) -> int:
     """CRC-16, polynomial 0x8005, init 0 (the FLAC frame CRC)."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ table[((crc >> 8) ^ b) & 0xFF]
     return crc
 
 
@@ -276,9 +325,14 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
 
     channels_out: list[list[int]] = [[] for _ in range(info["channels"])]
     total = 0
+    # ONE reader for the whole stream (r14): BitReader's init converts
+    # the buffer to its int view once — constructing a fresh reader per
+    # frame would redo that O(file) conversion every frame (quadratic
+    # over multi-frame files); seeking via `pos` is free.
+    br = BitReader(content, pos)
     while pos < len(content):
         frame_start = pos
-        br = BitReader(content, pos)
+        br.pos = pos
         sync = br.read(14)
         if sync != 0b11111111111110:
             raise FlacError("lost frame sync")

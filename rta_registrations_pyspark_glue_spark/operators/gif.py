@@ -39,6 +39,9 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 # ------------------------------------------------------------------ LZW
 
+#: constant 256-entry single-byte table prefix shared by every decode
+_LZW_BASE = [bytes([i]) for i in range(256)]
+
 
 def lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
     """GIF-variant LZW: variable code width starting at
@@ -50,12 +53,19 @@ def lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    # shallow copy of the constant single-byte prefix (r14): rebuilding
+    # up to 256 bytes objects per frame decode showed in the profile
+    table: list[bytes] = _LZW_BASE[:clear] + [b"", b""]
     out = bytearray()
     prev: bytes | None = None
     bitpos = 0
     total_bits = len(data) * 8
-    while len(out) < expected:
+    # r14: the table/output lengths ride local ints instead of len()
+    # calls (4 per decoded code under profile — the loop is the gif
+    # leg's top line). Identical codes, identical growth schedule.
+    tlen = clear + 2
+    out_len = 0
+    while out_len < expected:
         if bitpos + code_size > total_bits:
             raise ValueError("truncated LZW stream (no END code)")
         byte_i = bitpos >> 3
@@ -65,26 +75,29 @@ def lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
         if code == clear:
             code_size = min_code_size + 1
             del table[clear + 2 :]
+            tlen = clear + 2
             prev = None
             continue
         if code == end:
             break
         if prev is None:
-            if code >= len(table):
+            if code >= tlen:
                 raise ValueError("LZW first code not in initial table")
             entry = table[code]
         else:
-            if code < len(table):
+            if code < tlen:
                 entry = table[code]
-            elif code == len(table):
+            elif code == tlen:
                 entry = prev + prev[:1]
             else:
                 raise ValueError("LZW code out of range")
-            if len(table) < 4096:
+            if tlen < 4096:
                 table.append(prev + entry[:1])
-                if len(table) == (1 << code_size) and code_size < 12:
+                tlen += 1
+                if tlen == (1 << code_size) and code_size < 12:
                     code_size += 1
         out += entry
+        out_len += len(entry)
         prev = entry
     return bytes(out)
 

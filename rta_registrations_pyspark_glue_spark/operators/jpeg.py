@@ -67,17 +67,25 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+_IDCT_A = None
+
+
 def _idct_matrix(np):
     """Orthonormal 8-point DCT-II basis A with A[u, x] =
-    c(u)/2 · cos((2x+1)uπ/16); IDCT of block F is A.T @ F @ A."""
-    import math
+    c(u)/2 · cos((2x+1)uπ/16); IDCT of block F is A.T @ F @ A.
+    Computed once per process (r14): it is a constant 8×8 table, but
+    was rebuilt (64 math.cos calls) on every decode."""
+    global _IDCT_A
+    if _IDCT_A is None:
+        import math
 
-    a = np.zeros((8, 8))
-    for u in range(8):
-        c = math.sqrt(0.5) if u == 0 else 1.0
-        for x in range(8):
-            a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
-    return a
+        a = np.zeros((8, 8))
+        for u in range(8):
+            c = math.sqrt(0.5) if u == 0 else 1.0
+            for x in range(8):
+                a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        _IDCT_A = a
+    return _IDCT_A
 
 
 class _HuffTable:

@@ -208,19 +208,36 @@ def _read_subimage(
         elif ft == 2:  # Up: vectorized row add
             recon = (line + prev) & 255
         elif ft == 3:  # Average: sequential in x by definition
-            recon = line.copy()
-            recon[:bpp] = (recon[:bpp] + prev[:bpp] // 2) & 255
-            for x in range(bpp, rowbytes):
-                recon[x] = (recon[x] + (recon[x - bpp] + prev[x]) // 2) & 255
-        elif ft == 4:  # Paeth: sequential in x by definition
-            recon = line.copy()
+            # r14: the sequential filters run on Python ints (tolist)
+            # — per-element numpy scalar indexing was ~4x slower under
+            # profile; arithmetic is identical (nonneg ints, //2 == >>1)
+            rec = line.tolist()
+            pv = prev.tolist()
             for x in range(bpp):
-                recon[x] = (recon[x] + _paeth(0, int(prev[x]), 0)) & 255
+                rec[x] = (rec[x] + (pv[x] >> 1)) & 255
             for x in range(bpp, rowbytes):
-                recon[x] = (
-                    recon[x]
-                    + _paeth(int(recon[x - bpp]), int(prev[x]), int(prev[x - bpp]))
-                ) & 255
+                rec[x] = (rec[x] + ((rec[x - bpp] + pv[x]) >> 1)) & 255
+            recon = np.asarray(rec, dtype=np.int64)
+        elif ft == 4:  # Paeth: sequential in x by definition
+            rec = line.tolist()
+            pv = prev.tolist()
+            for x in range(bpp):
+                # paeth(0, b, 0) == b for every byte value b
+                rec[x] = (rec[x] + pv[x]) & 255
+            for x in range(bpp, rowbytes):
+                a, b, c = rec[x - bpp], pv[x], pv[x - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (rec[x] + pred) & 255
+            recon = np.asarray(rec, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         prev = recon

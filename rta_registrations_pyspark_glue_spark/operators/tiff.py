@@ -117,6 +117,9 @@ def parse_ifd(content: bytes, base: int = 0) -> list[dict]:
 
 # ------------------------------------------------------------- LZW (TIFF)
 
+#: constant 256-entry single-byte table prefix shared by every decode
+_LZW_BASE = [bytes([i]) for i in range(256)]
+
 
 def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     """TIFF-variant LZW: MSB-first bit packing, CLEAR=256, EOI=257,
@@ -124,14 +127,24 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     would be 2^n − 1 — one code earlier than GIF)."""
     CLEAR, EOI = 256, 257
     width = 9
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    # shallow copy of the constant 256-entry base (r14): rebuilding 256
+    # bytes objects per decode was ~15% of the whole strip decode
+    table: list[bytes] = _LZW_BASE + [b"", b""]
     out = bytearray()
     prev: bytes | None = None
     acc = 0
     nbits = 0
     pos = 0
     n = len(data)
-    while len(out) < expected:
+    # r14: the table/output lengths ride local ints instead of len()
+    # calls (several per decoded code under profile). Identical codes,
+    # identical early-change schedule. (A windowed-read and a
+    # whole-buffer-int bit reader were both measured SLOWER than this
+    # accumulator for the 9-12 bit code widths here — the int view is
+    # additionally quadratic on big strips.)
+    tlen = 258
+    out_len = 0
+    while out_len < expected:
         while nbits < width:
             if pos >= n:
                 raise ValueError("truncated TIFF LZW stream")
@@ -140,29 +153,35 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             nbits += 8
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        # keep only the unconsumed low bits: the old loop let acc grow
+        # by one bit per stream bit (a slow big-int leak on long strips)
+        acc &= (1 << nbits) - 1
         if code == CLEAR:
             width = 9
             del table[258:]
+            tlen = 258
             prev = None
             continue
         if code == EOI:
             break
         if prev is None:
-            if code >= len(table):
+            if code >= tlen:
                 raise ValueError("TIFF LZW first code not in table")
             entry = table[code]
         else:
-            if code < len(table):
+            if code < tlen:
                 entry = table[code]
-            elif code == len(table):
+            elif code == tlen:
                 entry = prev + prev[:1]
             else:
                 raise ValueError("TIFF LZW code out of range")
             table.append(prev + entry[:1])
+            tlen += 1
             # early change: bump when the NEXT code to assign is 2^w - 1
-            if len(table) == (1 << width) - 1 and width < 12:
+            if tlen == (1 << width) - 1 and width < 12:
                 width += 1
         out += entry
+        out_len += len(entry)
         prev = entry
     return bytes(out)
 
